@@ -1,0 +1,208 @@
+"""Convolutional-code puncturing tables (ETSI EN 300 401 s11).
+
+Reference counterpart: `upstream:dab_tables.c` / inline tables in
+`upstream:input_sdr.c` (R11/R14 in SURVEY.md).  Rebuilt from the standard:
+
+* The rate-1/4 mother code emits 4 bits per input bit.  Puncturing operates
+  on blocks of 32 mother bits (8 input bits x 4).  Vector PI_i keeps
+  ``8 + i`` of every 32 bits: the first output (g1) of every input bit is
+  always kept, and the g2/g3/g4 outputs are enabled for input-bit groups in
+  bit-reversed order ``0,4,2,6,1,5,3,7`` as *i* grows (EN 300 401
+  Table "puncturing vectors").
+* The 24 tail mother bits (6 zero tail bits x 4) are punctured with
+  VT = ``1100`` x 6, keeping 12 bits.
+* FIC: 2016 bits at PI=16 (21 blocks of 128), 276 at PI=15 (3 blocks),
+  12 tail -> 2304-bit codeword from a 3096-bit mother word (s11.2).
+* EEP profiles A/B (s11.3.2) are generated from the standard's block-count
+  formulas and self-checked against their nominal code rates in tests.
+* UEP profiles (s11.3.1, Table of 64 audio profiles): the *mechanism*
+  (4 regions L1..L4 with PI1..PI4 + tail) is implemented; the 64-row data
+  table requires the standard text and is NOT bundled (see
+  ``UEP_PROFILES``) — a documented round-1 gap (tests use EEP).
+
+Everything returns NumPy arrays; the receiver turns masks into static
+gather/scatter index maps at trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from dabtools_tpu import constants as C
+
+# Order in which g2/g3/g4 taps are enabled as the puncturing index grows.
+_GROUP_ORDER = (0, 4, 2, 6, 1, 5, 3, 7)
+
+# Tail puncturing vector VT: keep g1,g2 of each of the 6 tail bits.
+TAIL_VECTOR = np.tile(np.array([1, 1, 0, 0], dtype=np.uint8), C.TAIL_BITS)
+
+
+def pi_vector(pi: int) -> np.ndarray:
+    """32-element 0/1 keep-mask for puncturing index ``pi`` (1..24)."""
+    if not 1 <= pi <= 24:
+        raise ValueError(f"puncturing index out of range: {pi}")
+    v = np.zeros(32, dtype=np.uint8)
+    v[0::4] = 1  # g1 output always kept
+    for tap in range(3):  # g2, g3, g4
+        n_groups = min(max(pi - 8 * tap, 0), 8)
+        for g in _GROUP_ORDER[:n_groups]:
+            v[4 * g + 1 + tap] = 1
+    assert int(v.sum()) == 8 + pi
+    return v
+
+
+@dataclasses.dataclass(frozen=True)
+class PuncturingProfile:
+    """A sequence of (n_blocks, PI) regions + tail, as used by FIC/UEP/EEP.
+
+    One *block* covers 32 data bits = 128 mother bits.
+    """
+
+    name: str
+    regions: tuple[tuple[int, int], ...]  # ((n_blocks, pi), ...)
+    padding_bits: int = 0                 # UEP only
+
+    @property
+    def n_blocks(self) -> int:
+        return sum(n for n, _ in self.regions)
+
+    @property
+    def data_bits(self) -> int:
+        return 32 * self.n_blocks
+
+    @property
+    def mother_bits(self) -> int:
+        return 4 * (self.data_bits + C.TAIL_BITS)
+
+    @property
+    def tx_bits(self) -> int:
+        kept = sum(n * 4 * (8 + pi) for n, pi in self.regions)
+        return kept + int(TAIL_VECTOR.sum()) + self.padding_bits
+
+    def mask(self) -> np.ndarray:
+        """0/1 keep-mask over the mother codeword (length ``mother_bits``)."""
+        parts = [np.tile(pi_vector(pi), 4 * n) for n, pi in self.regions]
+        parts.append(TAIL_VECTOR)
+        m = np.concatenate(parts)
+        assert m.size == self.mother_bits, (m.size, self.mother_bits)
+        return m
+
+
+@functools.cache
+def puncture_mask_for_profile(profile: PuncturingProfile) -> np.ndarray:
+    return profile.mask()
+
+
+# ------------------------------------------------------------------- FIC
+FIC_PROFILE = PuncturingProfile("FIC", regions=((21, 16), (3, 15)))
+assert FIC_PROFILE.data_bits == C.FIC_INFO_BITS
+assert FIC_PROFILE.tx_bits == C.FIC_PUNCTURED_BITS
+assert FIC_PROFILE.mother_bits == C.FIC_MOTHER_BITS
+
+
+def fic_puncture_mask() -> np.ndarray:
+    return puncture_mask_for_profile(FIC_PROFILE)
+
+
+# ------------------------------------------------------------------- EEP
+# (option, level) -> (PI_a, PI_b, block-count formulas); bitrate units:
+# set A: 8n kbit/s, set B: 32n kbit/s.  EN 300 401 s11.3.2.
+_EEP_A = {  # level -> (pi1, pi2, l1(n), l2(n))
+    1: (24, 23, lambda n: 6 * n - 3, lambda n: 3),
+    2: (14, 13, lambda n: 2 * n - 3, lambda n: 4 * n + 3),
+    3: (8, 7, lambda n: 6 * n - 3, lambda n: 3),
+    4: (3, 2, lambda n: 4 * n - 3, lambda n: 2 * n + 3),
+}
+_EEP_B = {
+    1: (10, 9, lambda n: 24 * n - 3, lambda n: 3),
+    2: (6, 5, lambda n: 24 * n - 3, lambda n: 3),
+    3: (4, 3, lambda n: 24 * n - 3, lambda n: 3),
+    4: (2, 1, lambda n: 24 * n - 3, lambda n: 3),
+}
+# CUs occupied per unit n, by (set, level):
+EEP_CUS_PER_N = {("A", 1): 12, ("A", 2): 8, ("A", 3): 6, ("A", 4): 4,
+                 ("B", 1): 27, ("B", 2): 21, ("B", 3): 18, ("B", 4): 15}
+EEP_KBPS_PER_N = {"A": 8, "B": 32}
+
+
+def eep_profile(level: int, option: str, bitrate_kbps: int) -> PuncturingProfile:
+    """EEP profile ``<level>-<option>`` for the given sub-channel bitrate."""
+    option = option.upper()
+    table = {"A": _EEP_A, "B": _EEP_B}[option]
+    if level not in table:
+        raise ValueError(f"EEP level must be 1..4, got {level}")
+    unit = EEP_KBPS_PER_N[option]
+    if bitrate_kbps % unit:
+        raise ValueError(
+            f"EEP-{option} bitrate must be a multiple of {unit} kbit/s")
+    n = bitrate_kbps // unit
+    pi1, pi2, l1f, l2f = table[level]
+    l1, l2 = l1f(n), l2f(n)
+    if option == "A" and level == 2 and n == 1:
+        # Standard-mandated exception for 8 kbit/s EEP 2-A (L1 = 2n-3
+        # would be negative).
+        l1, l2 = 5, 1
+        pi1, pi2 = 13, 12
+    if min(l1, l2) < 0:
+        raise ValueError(f"EEP {level}-{option} undefined at {bitrate_kbps} kbit/s")
+    prof = PuncturingProfile(f"EEP-{level}{option}-{bitrate_kbps}k",
+                             regions=((l1, pi1), (l2, pi2)))
+    assert prof.data_bits == bitrate_kbps * 24  # bits per 24 ms logical frame
+    return prof
+
+
+def eep_subchannel_cus(level: int, option: str, bitrate_kbps: int) -> int:
+    n = bitrate_kbps // EEP_KBPS_PER_N[option.upper()]
+    return EEP_CUS_PER_N[(option.upper(), level)] * n
+
+
+# ------------------------------------------------------------------- UEP
+# FIG 0/1 short-form sub-channel size table (EN 300 401 Table 31):
+# index -> (size_cus, protection_level 1..5, bitrate_kbps).
+# NOTE [K-med, SURVEY.md availability notice]: reconstructed from knowledge
+# of the public standard; re-verify against a reference capture when one is
+# available.
+UEP_TABLE_31: tuple[tuple[int, int, int], ...] = (
+    (16, 5, 32), (21, 4, 32), (24, 3, 32), (29, 2, 32), (35, 1, 32),
+    (24, 5, 48), (29, 4, 48), (35, 3, 48), (42, 2, 48), (52, 1, 48),
+    (29, 5, 56), (35, 4, 56), (42, 3, 56), (52, 2, 56),
+    (32, 5, 64), (42, 4, 64), (48, 3, 64), (58, 2, 64), (70, 1, 64),
+    (40, 5, 80), (52, 4, 80), (58, 3, 80), (70, 2, 80), (84, 1, 80),
+    (48, 5, 96), (58, 4, 96), (70, 3, 96), (84, 2, 96), (104, 1, 96),
+    (58, 5, 112), (70, 4, 112), (84, 3, 112), (104, 2, 112),
+    (64, 5, 128), (84, 4, 128), (96, 3, 128), (116, 2, 128), (140, 1, 128),
+    (80, 5, 160), (104, 4, 160), (116, 3, 160), (140, 2, 160), (168, 1, 160),
+    (96, 5, 192), (116, 4, 192), (140, 3, 192), (168, 2, 192), (208, 1, 192),
+    (116, 5, 224), (140, 4, 224), (168, 3, 224), (208, 2, 224), (232, 1, 224),
+    (128, 5, 256), (168, 4, 256), (192, 3, 256), (232, 2, 256), (280, 1, 256),
+    (160, 5, 320), (208, 4, 320), (280, 2, 320),
+    (192, 5, 384), (280, 3, 384), (416, 1, 384),
+)
+
+# (bitrate_kbps, level) -> PuncturingProfile with 4 regions + padding.
+# The 64-row data table (EN 300 401 Table 33) needs the standard text, which
+# is unavailable offline; the 4-region mechanism below is implemented and
+# tested with synthetic profiles.  KNOWN ROUND-1 GAP — populate when the
+# standard/reference is reachable.
+UEP_PROFILES: dict[tuple[int, int], PuncturingProfile] = {}
+
+
+def uep_profile(bitrate_kbps: int, level: int) -> PuncturingProfile:
+    try:
+        return UEP_PROFILES[(bitrate_kbps, level)]
+    except KeyError:
+        raise NotImplementedError(
+            f"UEP profile data for {bitrate_kbps} kbit/s P{level} is not "
+            "bundled (EN 300 401 Table 33 unavailable offline). EEP "
+            "sub-channels are fully supported; see tables/puncturing.py."
+        ) from None
+
+
+def profile_for_subchannel(sub) -> PuncturingProfile:
+    """Profile for a parsed sub-channel description (fic.config.Subchannel)."""
+    if sub.protection_type == "EEP":
+        return eep_profile(sub.protection_level, sub.eep_option, sub.bitrate_kbps)
+    return uep_profile(sub.bitrate_kbps, sub.protection_level)
