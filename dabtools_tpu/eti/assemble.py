@@ -1,0 +1,119 @@
+"""ETI(NI) frame assembly (ETS 300 799; N10).
+
+Reference counterpart: `upstream:dab.c` `eti_build` (R16).  Host-side byte
+work (one 6144-B frame per 24 ms CIF); the C fast path in
+``native/dabhost.c`` accelerates the inner copy/CRC when available.
+
+Frame layout (ETS 300 799 s5):
+  ERR(1) FSYNC(3) | FC(4) STC(4*NST) EOH{MNSC(2) CRC(2)} |
+  MST{FIC 3 FIBs=96B (Mode I), sub-channel data} | EOF{CRC(2) RFU(2)} |
+  TIST(4) | 0x55 padding to 6144.
+
+Field packing notes [K-med — reconstructed from the standard; round-trip
+covered by tests, re-verify against reference captures when available]:
+  FC: FCT(8) FICF(1) NST(7) FP(3) MID(2) FL(11), FL in 32-bit words over
+  STC+EOH+MST.  STC entry: SubChId(6) SAD(10) TPL(8) STL(8), STL in 64-bit
+  words.  TPL: 0b00iiiiii = UEP table index i; 0b01ooLLLL = EEP option o
+  (0=A,1=B) level L-1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dabtools_tpu import constants as C
+from dabtools_tpu.fic.config import Ensemble, Subchannel
+from dabtools_tpu.utils.crc import crc16_ccitt
+
+
+def tpl_for_subchannel(s: Subchannel) -> int:
+    if s.protection_type == "UEP":
+        return s.uep_table_index & 0x3F
+    option = 0 if s.eep_option == "A" else 1
+    return 0x40 | (option << 4) | (s.protection_level - 1)
+
+
+class EtiAssembler:
+    """Builds the 6144-byte ETI(NI) stream for a fixed ensemble config."""
+
+    def __init__(self, ensemble: Ensemble, mode=C.MODE_I):
+        self.ensemble = ensemble
+        self.mode = mode
+        self.subs = ensemble.sorted_subchannels()
+        self.fct = 0
+
+    def frame(self, fibs: list[bytes], subch_data: dict[int, bytes],
+              error_level: int = 0) -> bytes:
+        """One ETI frame for one 24 ms CIF.
+
+        ``fibs``: FIBs for this CIF (Mode I: 3 x 32 B).  ``subch_data``:
+        subchid -> decoded logical-frame bytes.  ``error_level``: 0 = clean,
+        1..3 degrade the ERR byte (sync-loss observability, SURVEY.md s5.3).
+        """
+        fibs_bytes = b"".join(bytes(f) for f in fibs)
+        fic_len = self.mode.n_fibs // self.mode.n_cifs * C.FIB_BYTES
+        if len(fibs_bytes) != fic_len:
+            raise ValueError(f"expected {fic_len} FIC bytes, got {len(fibs_bytes)}")
+
+        streams = []
+        for s in self.subs:
+            data = subch_data[s.subchid]
+            if len(data) != s.data_bytes:
+                raise ValueError(
+                    f"subch {s.subchid}: expected {s.data_bytes} bytes, "
+                    f"got {len(data)}")
+            streams.append((s, bytes(data)))
+
+        nst = len(streams)
+        mst_bytes = fic_len + sum(len(d) for _, d in streams)
+        fl_words = (4 * nst + 4 + mst_bytes) // 4   # STC + EOH + MST
+
+        err = (0xFF, 0x0F, 0x0F, 0x00)[min(error_level, 3)]
+        fsync = C.ETI_FSYNC if self.fct % 2 == 0 else C.ETI_FSYNC_INV
+        out = bytearray()
+        out.append(err)
+        out += fsync.to_bytes(3, "big")
+
+        # FC
+        fc = bytearray(4)
+        fc[0] = self.fct % 250
+        ficf = 1
+        fp = self.fct % 8
+        mid = {"I": 1, "II": 2, "III": 3, "IV": 0}[self.mode.name]
+        fc[1] = (ficf << 7) | nst
+        fc[2] = (fp << 5) | (mid << 3) | ((fl_words >> 8) & 0x07)
+        fc[3] = fl_words & 0xFF
+        out += fc
+
+        # STC; SAD/STL in 64-bit (8-byte) words so 10/8 bits cover the MST
+        sad = fic_len // 8  # sub-channel data starts after the FIC
+        stc = bytearray()
+        for s, data in streams:
+            stl = len(data) // 8
+            tpl = tpl_for_subchannel(s)
+            stc.append((s.subchid << 2) | ((sad >> 8) & 0x03))
+            stc.append(sad & 0xFF)
+            stc.append(tpl)
+            stc.append(stl & 0xFF)
+            sad += stl
+        out += stc
+
+        # EOH: MNSC + header CRC over FC+STC+MNSC
+        mnsc = b"\xff\xff"
+        crc = crc16_ccitt(bytes(fc) + bytes(stc) + mnsc)
+        out += mnsc + crc.to_bytes(2, "big")
+
+        # MST
+        mst = fibs_bytes + b"".join(d for _, d in streams)
+        out += mst
+
+        # EOF: CRC over MST + RFU
+        out += crc16_ccitt(mst).to_bytes(2, "big") + b"\xff\xff"
+        # TIST: unused
+        out += b"\xff\xff\xff\xff"
+
+        if len(out) > C.ETI_FRAME_BYTES:
+            raise ValueError("ETI frame overflow")
+        out += b"\x55" * (C.ETI_FRAME_BYTES - len(out))
+        self.fct = (self.fct + 1) % 250
+        return bytes(out)

@@ -1,0 +1,109 @@
+"""Ensemble configuration model (the MCI) — frozen, hashable dataclasses.
+
+Reference counterpart: the ensemble/sub-channel structs filled by
+`upstream:dab.c` `fib_parse` (R10).  Frozen + tuples so an ``Ensemble`` can
+be a *static* jit argument: the MSC decode specializes (shapes, puncturing
+maps, CU slices) per configuration at trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from dabtools_tpu import constants as C
+from dabtools_tpu.tables.puncturing import (
+    PuncturingProfile,
+    UEP_TABLE_31,
+    eep_profile,
+    eep_subchannel_cus,
+    uep_profile,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Subchannel:
+    subchid: int                 # 0..63
+    start_cu: int                # 0..863
+    protection_type: str         # "EEP" | "UEP"
+    protection_level: int        # EEP 1..4, UEP 1..5
+    bitrate_kbps: int
+    eep_option: str = "A"        # EEP only
+    uep_table_index: int = -1    # UEP only (FIG 0/1 short form)
+
+    @property
+    def profile(self) -> PuncturingProfile:
+        if self.protection_type == "EEP":
+            return eep_profile(self.protection_level, self.eep_option,
+                               self.bitrate_kbps)
+        return uep_profile(self.bitrate_kbps, self.protection_level)
+
+    @property
+    def size_cus(self) -> int:
+        if self.protection_type == "EEP":
+            return eep_subchannel_cus(self.protection_level, self.eep_option,
+                                      self.bitrate_kbps)
+        return UEP_TABLE_31[self.uep_table_index][0]
+
+    @property
+    def data_bits(self) -> int:   # bits per 24 ms logical frame
+        return self.bitrate_kbps * 24
+
+    @property
+    def data_bytes(self) -> int:
+        return self.data_bits // 8
+
+    @classmethod
+    def eep(cls, subchid: int, start_cu: int, level: int, option: str,
+            bitrate_kbps: int) -> "Subchannel":
+        return cls(subchid=subchid, start_cu=start_cu, protection_type="EEP",
+                   protection_level=level, bitrate_kbps=bitrate_kbps,
+                   eep_option=option.upper())
+
+    @classmethod
+    def uep(cls, subchid: int, start_cu: int, table_index: int) -> "Subchannel":
+        size, level, kbps = UEP_TABLE_31[table_index]
+        del size
+        return cls(subchid=subchid, start_cu=start_cu, protection_type="UEP",
+                   protection_level=level, bitrate_kbps=kbps,
+                   uep_table_index=table_index)
+
+
+@dataclasses.dataclass(frozen=True)
+class ServiceComponent:
+    tmid: int                    # 0 = MSC stream audio
+    subchid: int
+    ascty: int = 0               # 0 = DAB (MP2), 63 = DAB+ (AAC)
+    primary: bool = True
+
+    @property
+    def is_dabplus(self) -> bool:
+        return self.ascty == 63
+
+
+@dataclasses.dataclass(frozen=True)
+class Service:
+    sid: int
+    components: tuple[ServiceComponent, ...]
+    label: str = ""
+
+
+@dataclasses.dataclass(frozen=True)
+class Ensemble:
+    eid: int
+    subchannels: tuple[Subchannel, ...]
+    services: tuple[Service, ...] = ()
+    label: str = ""
+
+    def __post_init__(self):
+        ends = [s.start_cu + s.size_cus for s in self.subchannels]
+        if any(e > C.CIF_CUS for e in ends):
+            raise ValueError("sub-channel exceeds CIF capacity")
+
+    def subchannel(self, subchid: int) -> Subchannel:
+        for s in self.subchannels:
+            if s.subchid == subchid:
+                return s
+        raise KeyError(f"no sub-channel {subchid}")
+
+    def sorted_subchannels(self) -> tuple[Subchannel, ...]:
+        return tuple(sorted(self.subchannels, key=lambda s: s.start_cu))

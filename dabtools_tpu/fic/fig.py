@@ -1,0 +1,285 @@
+"""FIG build + parse (ETSI EN 300 401 s5.2, s6, s8).
+
+Reference counterpart: `upstream:dab.c` `fib_parse` (R10) — parse only.
+We implement both directions: the *builder* feeds the golden modulator so
+FIG parsing is tested closed-loop (the reference could only test against
+live broadcasts); the *parser* produces the `Ensemble` config that
+specializes the jitted MSC decode.
+
+Supported FIGs (the MCI/label set dabtools handles [K-med]):
+  0/0 ensemble info, 0/1 sub-channel organization (short+long form),
+  0/2 service organization, 1/0 ensemble label, 1/1 programme service label.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from dabtools_tpu import constants as C
+from dabtools_tpu.fic.config import Ensemble, Service, ServiceComponent, Subchannel
+from dabtools_tpu.utils.crc import crc16_ccitt, crc16_ok
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, value: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def bytes(self) -> bytes:
+        assert len(self.bits) % 8 == 0
+        return np.packbits(np.array(self.bits, dtype=np.uint8)).tobytes()
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def get(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | int(self.bits[self.pos])
+            self.pos += 1
+        return v
+
+
+# ------------------------------------------------------------------ build
+def _fig_0_0(ens: Ensemble, cif_count: int) -> bytes:
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(0, 5)   # CN, OE, PD, ext=0
+    w.put(ens.eid, 16)
+    w.put(0, 2)                    # change flags
+    w.put(0, 1)                    # Al flag
+    w.put((cif_count // 250) % 20, 5)
+    w.put(cif_count % 250, 8)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
+def _fig_0_1(subchannels: tuple[Subchannel, ...]) -> bytes:
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(1, 5)   # ext=1
+    for s in subchannels:
+        w.put(s.subchid, 6)
+        w.put(s.start_cu, 10)
+        if s.protection_type == "UEP":
+            w.put(0, 1)            # short form
+            w.put(0, 1)            # table switch
+            w.put(s.uep_table_index, 6)
+        else:
+            w.put(1, 1)            # long form
+            option = 0 if s.eep_option == "A" else 1
+            w.put(option, 3)
+            w.put(s.protection_level - 1, 2)
+            w.put(s.size_cus, 10)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
+def _fig_0_2(services: tuple[Service, ...]) -> bytes:
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(2, 5)   # ext=2
+    for svc in services:
+        w.put(svc.sid, 16)
+        w.put(0, 1)                # local flag
+        w.put(0, 3)                # CAId
+        w.put(len(svc.components), 4)
+        for comp in svc.components:
+            w.put(comp.tmid, 2)
+            w.put(comp.ascty, 6)
+            w.put(comp.subchid, 6)
+            w.put(1 if comp.primary else 0, 1)
+            w.put(0, 1)            # CA flag
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
+def _fig_1(ext: int, ident: int, label: str) -> bytes:
+    lab = label.encode("latin-1", "replace")[:16].ljust(16)
+    w = _BitWriter()
+    w.put(0, 4)                    # charset: EBU Latin
+    w.put(0, 1)                    # OE / Rfu
+    w.put(ext, 3)
+    w.put(ident, 16)
+    body = w.bytes() + lab + b"\xff\x00"   # char flag field
+    return bytes([0x20 | len(body)]) + body
+
+
+def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
+                            n_fibs: int = C.MODE_I.n_fibs) -> np.ndarray:
+    """Build one transmission frame's FIBs carrying the full MCI.
+
+    Rotates the MCI/label FIGs over the available FIBs; unused space is
+    end-marked (0xFF) and zero-padded, each FIB gets its CRC.  Returns
+    (n_fibs, 32) uint8.
+    """
+    figs = [
+        _fig_0_0(ens, cif_count=frame_idx * C.MODE_I.n_cifs),
+        _fig_0_1(ens.subchannels),
+    ]
+    if ens.services:
+        figs.append(_fig_0_2(ens.services))
+    if ens.label:
+        figs.append(_fig_1(0, ens.eid, ens.label))
+    for svc in ens.services:
+        if svc.label:
+            figs.append(_fig_1(1, svc.sid, svc.label))
+
+    fibs = np.zeros((n_fibs, C.FIB_BYTES), dtype=np.uint8)
+    fib_idx = 0
+    payload = b""
+    for fig in figs:
+        if len(payload) + len(fig) > 30:
+            fibs[fib_idx] = _finish_fib(payload)
+            fib_idx += 1
+            payload = b""
+        if len(fig) > 30:
+            raise ValueError("FIG too large for a FIB")
+        payload += fig
+    fibs[fib_idx] = _finish_fib(payload)
+    for i in range(fib_idx + 1, n_fibs):
+        fibs[i] = _finish_fib(b"")
+    return fibs
+
+
+def _finish_fib(payload: bytes) -> np.ndarray:
+    if len(payload) < 30:
+        payload += b"\xff"          # end marker
+    payload = payload.ljust(30, b"\x00")
+    crc = crc16_ccitt(payload)
+    return np.frombuffer(payload + crc.to_bytes(2, "big"), dtype=np.uint8)
+
+
+# ------------------------------------------------------------------ parse
+@dataclasses.dataclass
+class FigParser:
+    """Accumulates FIG info from FIBs until a complete MCI is available.
+
+    Mirrors the reference's incremental `fib_parse` (R10): feed every
+    CRC-valid FIB; ``ensemble()`` returns a config once FIG 0/1 has been
+    seen (services/labels attached as they arrive).
+    """
+
+    eid: int | None = None
+    cif_count: int | None = None
+    ensemble_label: str = ""
+    subchannels: dict = dataclasses.field(default_factory=dict)
+    services: dict = dataclasses.field(default_factory=dict)
+    service_labels: dict = dataclasses.field(default_factory=dict)
+    fibs_ok: int = 0
+    fibs_bad: int = 0
+
+    def feed_fib(self, fib: bytes | np.ndarray) -> None:
+        fib = bytes(fib)
+        if len(fib) != C.FIB_BYTES:
+            raise ValueError("FIB must be 32 bytes")
+        if not crc16_ok(fib):
+            self.fibs_bad += 1
+            return
+        self.fibs_ok += 1
+        pos = 0
+        data = fib[:30]
+        while pos < 30:
+            header = data[pos]
+            if header == 0xFF:      # end marker
+                break
+            fig_type = header >> 5
+            length = header & 0x1F
+            body = data[pos + 1: pos + 1 + length]
+            if fig_type == 0:
+                self._parse_fig0(body)
+            elif fig_type == 1:
+                self._parse_fig1(body)
+            pos += 1 + length
+
+    def _parse_fig0(self, body: bytes) -> None:
+        r = _BitReader(body)
+        r.get(1); r.get(1); pd = r.get(1)
+        ext = r.get(5)
+        remaining_bits = lambda: len(body) * 8 - r.pos  # noqa: E731
+        if ext == 0:
+            self.eid = r.get(16)
+            r.get(2); r.get(1)
+            hi = r.get(5); lo = r.get(8)
+            self.cif_count = hi * 250 + lo
+        elif ext == 1:
+            while remaining_bits() >= 16:
+                subchid = r.get(6)
+                start = r.get(10)
+                long_form = r.get(1)
+                if long_form:
+                    option = r.get(3)
+                    level = r.get(2) + 1
+                    size = r.get(10)
+                    sub = Subchannel.eep(
+                        subchid, start, level,
+                        "A" if option == 0 else "B",
+                        bitrate_kbps=_eep_bitrate_from_size(
+                            size, level, option))
+                else:
+                    r.get(1)
+                    index = r.get(6)
+                    sub = Subchannel.uep(subchid, start, index)
+                self.subchannels[subchid] = sub
+        elif ext == 2 and pd == 0:
+            while remaining_bits() >= 24:
+                sid = r.get(16)
+                r.get(1); r.get(3)
+                n_comp = r.get(4)
+                comps = []
+                for _ in range(n_comp):
+                    tmid = r.get(2)
+                    ascty = r.get(6)
+                    subchid = r.get(6)
+                    primary = bool(r.get(1))
+                    r.get(1)
+                    comps.append(ServiceComponent(
+                        tmid=tmid, subchid=subchid, ascty=ascty,
+                        primary=primary))
+                self.services[sid] = tuple(comps)
+
+    def _parse_fig1(self, body: bytes) -> None:
+        r = _BitReader(body[:3])
+        r.get(4); r.get(1)
+        ext = r.get(3)
+        ident = r.get(16)
+        label = body[3:19].decode("latin-1", "replace").rstrip()
+        if ext == 0:
+            self.ensemble_label = label
+        elif ext == 1:
+            self.service_labels[ident] = label
+
+    def have_mci(self) -> bool:
+        return bool(self.subchannels)
+
+    def ensemble(self) -> Ensemble | None:
+        if not self.have_mci():
+            return None
+        services = tuple(
+            Service(sid=sid, components=comps,
+                    label=self.service_labels.get(sid, ""))
+            for sid, comps in sorted(self.services.items()))
+        return Ensemble(
+            eid=self.eid or 0,
+            subchannels=tuple(sorted(self.subchannels.values(),
+                                     key=lambda s: s.start_cu)),
+            services=services,
+            label=self.ensemble_label)
+
+
+def _eep_bitrate_from_size(size_cus: int, level: int, option: int) -> int:
+    """Invert the EEP CU tables: sub-channel size -> bitrate."""
+    from dabtools_tpu.tables.puncturing import EEP_CUS_PER_N, EEP_KBPS_PER_N
+
+    opt = "A" if option == 0 else "B"
+    per_n = EEP_CUS_PER_N[(opt, level)]
+    if size_cus % per_n:
+        raise ValueError(
+            f"EEP {level}-{opt} sub-channel size {size_cus} CUs is not a "
+            f"multiple of {per_n}")
+    return (size_cus // per_n) * EEP_KBPS_PER_N[opt]

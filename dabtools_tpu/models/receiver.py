@@ -1,0 +1,276 @@
+"""End-to-end DAB receiver: IQ blocks -> decoded FIC/MSC -> ETI (dab2eti).
+
+Reference counterpart: the `main` loop + `dab_demod` chain of
+`upstream:dab2eti.c` / `upstream:input_sdr.c` (SURVEY.md s3.1) — redesigned
+TPU-first:
+
+* The device program processes a *block* of ``n_frames`` transmission
+  frames per call (host<->device crossing once per block, not per frame).
+* Sync is data, not control flow: coarse null position, per-frame PRS fine
+  offsets and CFO are traced values feeding dynamic gathers.
+* All bit-level control (FIG parse, ETI bytes) stays on host; all signal
+  math (sync, FFT demod, deinterleave, depuncture, Viterbi, descramble)
+  runs in one jit, specialized per ``Ensemble`` config (static arg).
+* Cross-block receiver state (time-deinterleaver rings, CIF counter) is an
+  explicit pytree carried through the jit — also the checkpoint/resume
+  payload (SURVEY.md s5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dabtools_tpu import constants as C
+from dabtools_tpu.eti.assemble import EtiAssembler
+from dabtools_tpu.fic.config import Ensemble
+from dabtools_tpu.fic.fig import FigParser
+from dabtools_tpu.ops.fec import (
+    depuncture,
+    descramble,
+    init_deinterleave_ring,
+    time_deinterleave,
+)
+from dabtools_tpu.ops.ofdm import demod_frames
+from dabtools_tpu.ops.sync import coarse_null_sync, fine_sync_prs, fractional_cfo
+from dabtools_tpu.ops.viterbi import viterbi_decode
+from dabtools_tpu.tables.puncturing import FIC_PROFILE
+from dabtools_tpu.utils.crc import crc16_ok
+
+log = logging.getLogger("dabtools_tpu.receiver")
+
+
+def block_samples(n_frames: int, mode=C.MODE_I, margin: int = 4096) -> int:
+    """Samples the device block function expects per call: ``n_frames``
+    frames + one frame of coarse-sync slack + fine-sync margins."""
+    return (n_frames + 1) * mode.frame_size + margin
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ensemble", "mode", "n_frames", "search", "max_int_cfo"))
+def process_block(x, rings, cif_count, *, ensemble: Ensemble | None,
+                  mode=C.MODE_I, n_frames: int = 8, search: int = 192,
+                  max_int_cfo: int = 8):
+    """Decode ``n_frames`` transmission frames from sample block ``x``.
+
+    Returns ``(out, rings, cif_count')`` where ``out`` contains decoded FIB
+    bits, per-sub-channel logical-frame bits + Viterbi metrics, and sync
+    diagnostics.  ``ensemble=None`` = FIC-only acquisition pass.
+    """
+    sync = coarse_null_sync(x, mode)
+    ns = sync["null_start"]
+    frac = fractional_cfo(x, ns, mode)
+
+    frame_off = jnp.arange(n_frames, dtype=jnp.int32) * mode.frame_size
+    prs_guess = ns + frame_off + mode.null_size + mode.guard
+    fine = jax.vmap(
+        lambda g: fine_sync_prs(x, g, mode, search, max_int_cfo))(prs_guess)
+    frame_starts = ns + frame_off + fine["offset"]
+    cfo = frac + fine["int_cfo"][0].astype(jnp.float32)
+
+    soft, diag = demod_frames(x, frame_starts, mode, cfo)
+
+    # ---- FIC ----------------------------------------------------------
+    n_cw = mode.fic_codewords_per_frame
+    fic_soft = soft[:, : mode.n_fic_syms, :].reshape(
+        n_frames * n_cw, C.FIC_PUNCTURED_BITS)
+    fic_bits, fic_metric = viterbi_decode(depuncture(fic_soft, FIC_PROFILE))
+    fib_bits = descramble(fic_bits).reshape(
+        n_frames, mode.n_fibs, C.FIB_BITS)
+
+    out = {
+        "fib_bits": fib_bits,
+        "fic_metric": fic_metric.reshape(n_frames, n_cw),
+        "null_start": ns,
+        "null_ratio": sync["null_ratio"],
+        "cfo_carriers": cfo,
+        "prs_peak": fine["peak"],
+        "prs_offset": fine["offset"],
+        "carrier_mag_cv": diag["carrier_mag_cv"],
+        "subch": {},
+        "subch_metric": {},
+    }
+
+    # ---- MSC ----------------------------------------------------------
+    new_rings = {}
+    if ensemble is not None:
+        n_cifs = n_frames * mode.n_cifs
+        msc = soft[:, mode.n_fic_syms:, :].reshape(n_cifs, C.CIF_BITS)
+        for s in ensemble.subchannels:
+            key = str(s.subchid)
+            profile = s.profile
+            lo = s.start_cu * C.CU_BITS
+            sub_soft = msc[:, lo: lo + profile.tx_bits]
+            ring, aligned = time_deinterleave(rings[key], cif_count, sub_soft)
+            bits, metric = viterbi_decode(depuncture(aligned, profile))
+            out["subch"][key] = descramble(bits)
+            out["subch_metric"][key] = metric
+            new_rings[key] = ring
+    return out, new_rings, cif_count + n_frames * mode.n_cifs
+
+
+@dataclasses.dataclass
+class FrameStats:
+    """Per-block observability record (SURVEY.md s5.5)."""
+
+    cif_count: int
+    null_start: int
+    null_ratio: float
+    cfo_carriers: float
+    prs_peak_min: float
+    fib_crc_ok: int
+    fib_crc_bad: int
+
+
+class DabReceiver:
+    """Streaming IQ -> ETI receiver with FIC acquisition (host orchestrator).
+
+    Feed complex64 baseband at 2.048 Msps via :meth:`feed`; collect ETI
+    frames from the returned list.  The first blocks run FIC-only until the
+    MCI is parsed; then the pipeline re-specializes to the ensemble and
+    starts emitting ETI once the 16-CIF deinterleaver is primed (the same
+    ~384 ms startup transient the reference has).
+    """
+
+    def __init__(self, n_frames: int = 8, mode=C.MODE_I,
+                 ensemble: Ensemble | None = None, emit_eti: bool = True):
+        self.mode = mode
+        self.n_frames = n_frames
+        self.emit_eti = emit_eti
+        self._buf = np.zeros(0, dtype=np.complex64)
+        self._fig = FigParser()
+        self.ensemble = ensemble
+        self._rings = None
+        self._cif_count = jnp.asarray(0, dtype=jnp.int32)
+        self._fib_fifo: dict[int, list[bytes]] = {}
+        self._assembler: EtiAssembler | None = None
+        self._activation_cif: int | None = None
+        self._subch_fifo: dict[int, dict[int, bytes]] = {}
+        self.stats: list[FrameStats] = []
+        if ensemble is not None:
+            self._activate(ensemble)
+
+    # ------------------------------------------------------------- feed
+    def feed(self, samples: np.ndarray) -> list[bytes]:
+        """Consume samples; return any completed ETI frames."""
+        self._buf = np.concatenate([self._buf,
+                                    np.asarray(samples, dtype=np.complex64)])
+        eti: list[bytes] = []
+        need = block_samples(self.n_frames, self.mode)
+        while self._buf.size >= need:
+            eti.extend(self._process_one_block(self._buf[:need]))
+            self._buf = self._buf[self.n_frames * self.mode.frame_size:]
+        return eti
+
+    # ------------------------------------------------------- internals
+    def _activate(self, ensemble: Ensemble) -> None:
+        self.ensemble = ensemble
+        self._rings = {
+            str(s.subchid): init_deinterleave_ring(s.profile.tx_bits)
+            for s in ensemble.subchannels}
+        self._assembler = EtiAssembler(ensemble, self.mode)
+        self._activation_cif = int(self._cif_count)
+        # First fully-valid logical frame: its 16 interleaved contributions
+        # are received CIFs n..n+15, all >= activation.
+        self._next_eti_cif = self._activation_cif
+        log.info("ensemble activated: eid=0x%04X subchannels=%s",
+                 ensemble.eid,
+                 [(s.subchid, s.size_cus) for s in ensemble.subchannels])
+
+    def _process_one_block(self, x: np.ndarray) -> list[bytes]:
+        cif0 = int(self._cif_count)
+        out, rings, self._cif_count = process_block(
+            jnp.asarray(x), self._rings or {}, self._cif_count,
+            ensemble=self.ensemble, mode=self.mode, n_frames=self.n_frames)
+        out = jax.device_get(out)
+        if self.ensemble is not None:
+            self._rings = rings
+
+        # FIBs: pack, CRC, parse FIGs, enqueue for ETI pairing.
+        fib_bytes = np.packbits(
+            out["fib_bits"].astype(np.uint8), axis=-1)     # (B, 12, 32)
+        n_ok = n_bad = 0
+        fibs_per_cif = self.mode.n_fibs // self.mode.n_cifs
+        for f in range(self.n_frames):
+            for i in range(self.mode.n_fibs):
+                fib = fib_bytes[f, i].tobytes()
+                if crc16_ok(fib):
+                    n_ok += 1
+                    self._fig.feed_fib(fib)
+                else:
+                    n_bad += 1
+            for c in range(self.mode.n_cifs):
+                n = cif0 + f * self.mode.n_cifs + c
+                triplet = [fib_bytes[f, fibs_per_cif * c + k].tobytes()
+                           for k in range(fibs_per_cif)]
+                self._fib_fifo[n] = triplet
+
+        self.stats.append(FrameStats(
+            cif_count=cif0,
+            null_start=int(out["null_start"]),
+            null_ratio=float(out["null_ratio"]),
+            cfo_carriers=float(out["cfo_carriers"]),
+            prs_peak_min=float(np.min(out["prs_peak"])),
+            fib_crc_ok=n_ok, fib_crc_bad=n_bad))
+
+        # Acquisition -> activation.
+        if self.ensemble is None and self._fig.have_mci():
+            self._activate(self._fig.ensemble())
+            return []
+
+        # Sub-channel rows j correspond to logical frames cif0 + j - 15.
+        if self.ensemble is not None:
+            for s in self.ensemble.subchannels:
+                data = np.packbits(out["subch"][str(s.subchid)], axis=-1)
+                for j in range(data.shape[0]):
+                    n = cif0 + j - 15
+                    if n >= 0:
+                        self._subch_fifo.setdefault(
+                            s.subchid, {})[n] = data[j].tobytes()
+        return self._emit_eti() if self.emit_eti else []
+
+    def _emit_eti(self) -> list[bytes]:
+        if self.ensemble is None or self._assembler is None:
+            return []
+        frames = []
+        while True:
+            n = self._next_eti_cif
+            have = (n in self._fib_fifo and all(
+                n in self._subch_fifo.get(s.subchid, {})
+                for s in self.ensemble.subchannels))
+            if not have:
+                break
+            subch_data = {s.subchid: self._subch_fifo[s.subchid].pop(n)
+                          for s in self.ensemble.subchannels}
+            frames.append(self._assembler.frame(
+                self._fib_fifo.pop(n), subch_data))
+            self._next_eti_cif = n + 1
+        return frames
+
+    # --------------------------------------------------- checkpointing
+    def checkpoint(self) -> dict:
+        """Serializable cross-block state (SURVEY.md s5.4)."""
+        return {
+            "cif_count": int(self._cif_count),
+            "rings": None if self._rings is None else
+                     {k: np.asarray(v) for k, v in self._rings.items()},
+            "ensemble": self.ensemble,
+            "activation_cif": self._activation_cif,
+            "next_eti_cif": getattr(self, "_next_eti_cif", None),
+        }
+
+    def restore(self, ckpt: dict) -> None:
+        self._cif_count = jnp.asarray(ckpt["cif_count"], dtype=jnp.int32)
+        if ckpt["ensemble"] is not None:
+            self._activate(ckpt["ensemble"])
+            self._rings = {k: jnp.asarray(v)
+                           for k, v in ckpt["rings"].items()}
+            self._activation_cif = ckpt["activation_cif"]
+            if ckpt["next_eti_cif"] is not None:
+                self._next_eti_cif = ckpt["next_eti_cif"]

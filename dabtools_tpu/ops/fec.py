@@ -1,0 +1,90 @@
+"""Device-side FEC plumbing: depuncture, descramble, time-deinterleave.
+
+Reference counterparts: `upstream:input_sdr.c` depuncture + energy-dispersal
+(R11/R13) and the 16-CIF time deinterleaver (R15).  TPU-first design: every
+table becomes a *static* gather index map built at trace time (N7/N8 in
+SURVEY.md), so XLA sees constant-index gathers and fixed shapes; the
+deinterleaver ring is explicit `scan` carry state that also crosses block
+boundaries (and, under time-block sharding, travels with the halo).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dabtools_tpu import constants as C
+from dabtools_tpu.tables.puncturing import (
+    PuncturingProfile,
+    puncture_mask_for_profile,
+)
+from dabtools_tpu.tables.time_interleave import DELAYS
+from dabtools_tpu.utils.prbs import energy_dispersal_bits
+
+
+@functools.cache
+def depuncture_gather_map(profile: PuncturingProfile) -> np.ndarray:
+    """int32 (mother_bits,): index into the tx-bit stream, or ``tx_bits``
+    (sentinel -> reads a zero pad) for punctured positions."""
+    mask = puncture_mask_for_profile(profile)
+    idx = np.full(mask.size, profile.tx_bits, dtype=np.int32)
+    idx[mask.astype(bool)] = np.arange(int(mask.sum()), dtype=np.int32)
+    return idx
+
+
+def depuncture(soft_tx: jnp.ndarray, profile: PuncturingProfile) -> jnp.ndarray:
+    """(batch, tx_bits) soft bits -> (batch, mother_bits) with 0 erasures."""
+    idx = jnp.asarray(depuncture_gather_map(profile))
+    padded = jnp.concatenate(
+        [soft_tx, jnp.zeros((*soft_tx.shape[:-1], 1), soft_tx.dtype)], axis=-1)
+    return padded[..., idx]
+
+
+def descramble(bits: jnp.ndarray) -> jnp.ndarray:
+    """XOR decoded hard bits (..., n) with the energy-dispersal PRBS."""
+    prbs = jnp.asarray(energy_dispersal_bits(bits.shape[-1]))
+    return jnp.bitwise_xor(bits, prbs)
+
+
+# ------------------------------------------------------------ deinterleave
+@functools.cache
+def _rx_slot_offsets(n_bits: int) -> np.ndarray:
+    """For output CIF n, bit i lives in received CIF ``n - 15 + d(i)``;
+    returns the per-bit offset ``d(i) - 15`` (int32, (n_bits,))."""
+    return (DELAYS[np.arange(n_bits) % 16] - 15).astype(np.int32)
+
+
+def time_deinterleave(ring: jnp.ndarray, cif_count: jnp.ndarray,
+                      coded: jnp.ndarray):
+    """De-interleave a run of received coded CIF contributions.
+
+    ``ring``: (16, n_bits) float32 — the last 16 received CIFs (soft bits),
+    slot ``k`` holding received CIF with global index ``== k (mod 16)``.
+    ``cif_count``: int32 scalar, global index of the first CIF in ``coded``.
+    ``coded``: (n_cifs, n_bits) newly received coded CIFs (soft).
+
+    Returns ``(new_ring, out)`` where ``out[(n_cifs, n_bits)]`` are the
+    re-aligned coded logical frames; ``out[j]`` is logical frame
+    ``cif_count + j - 15`` (garbage for global index < 15 — the unavoidable
+    384 ms startup transient, as in the reference receiver).
+    """
+    n_bits = coded.shape[-1]
+    offsets = jnp.asarray(_rx_slot_offsets(n_bits))
+    lane = jnp.arange(n_bits)
+
+    def step(carry, y):
+        ring, n = carry
+        ring = jax.lax.dynamic_update_index_in_dim(ring, y, n % 16, axis=0)
+        slots = (n + offsets) % 16                     # (n_bits,)
+        out = jnp.take_along_axis(ring, slots[None, :], axis=0)[0]
+        return (ring, n + 1), out
+
+    (ring, _), out = jax.lax.scan(step, (ring, cif_count), coded)
+    return ring, out
+
+
+def init_deinterleave_ring(n_bits: int) -> jnp.ndarray:
+    return jnp.zeros((C.TIME_INTERLEAVE_DEPTH, n_bits), dtype=jnp.float32)

@@ -1,0 +1,89 @@
+"""Batched OFDM demodulation (N4).
+
+Reference counterpart: the per-symbol loop in `upstream:input_sdr.c`
+(`dab_demod`, R7): drop guard, 2048-pt FFT (fftw3f), conjugate multiply
+with the previous symbol, frequency deinterleave, QPSK soft bits.
+
+TPU-first redesign: all symbols of a whole *block* of frames are
+demodulated as one tensor program — a single gather builds the
+(frames, 76, 2048) window tensor (with per-frame traced start offsets, so
+data-dependent sync becomes *data*, not control flow), one batched FFT runs
+on the XLA TPU FFT, and the differential demap + deinterleave + soft-bit
+extraction are fused elementwise/gather ops.  Host<->device crossing happens
+once per block, not per symbol (SURVEY.md s3.4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dabtools_tpu.constants import MODE_I, SAMPLE_RATE, Mode
+from dabtools_tpu.tables.freq_interleave import freq_interleave_map
+
+
+@functools.cache
+def _interleave_idx(mode: Mode) -> np.ndarray:
+    return freq_interleave_map(mode)
+
+
+def gather_symbol_windows(x: jnp.ndarray, frame_starts: jnp.ndarray,
+                          mode: Mode = MODE_I,
+                          cfo_norm: jnp.ndarray | float = 0.0) -> jnp.ndarray:
+    """Gather the useful part of every OFDM symbol of every frame.
+
+    ``x``: (n_samples,) complex64 baseband block.
+    ``frame_starts``: (B,) int32 — index of the first sample of each frame's
+    *null symbol* (may be traced values from the sync engine).
+    ``cfo_norm``: residual CFO in units of the carrier spacing
+    (f_cfo / (fs / T_u)); corrected with a per-sample phase ramp evaluated
+    on the gathered windows.
+
+    Returns (B, n_symbols, T_u) complex64.
+    """
+    sym_idx = jnp.arange(mode.n_symbols, dtype=jnp.int32)
+    starts = (frame_starts[:, None] + mode.null_size
+              + sym_idx[None, :] * mode.symbol_size + mode.guard)
+    idx = starts[:, :, None] + jnp.arange(mode.fft_size, dtype=jnp.int32)
+    win = x[idx]
+    cfo_norm = jnp.asarray(cfo_norm, dtype=jnp.float32)
+    # exp(-j*2*pi*f*t): f in carrier spacings, t in samples / T_u.
+    phase = -2.0 * jnp.pi * jnp.mod(
+        cfo_norm * idx.astype(jnp.float32) / mode.fft_size, 1.0)
+    win = win * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    return win
+
+
+def demod_frames(x: jnp.ndarray, frame_starts: jnp.ndarray,
+                 mode: Mode = MODE_I,
+                 cfo_norm: jnp.ndarray | float = 0.0):
+    """Full-block OFDM demod: samples -> soft bits.
+
+    Returns ``(soft, diag)``: soft (B, n_symbols-1, 2*K) float32 with
+    positive => coded bit 0 (symbol 0 of each frame is the PRS and consumed
+    as the differential reference); ``diag`` holds per-frame magnitudes for
+    observability.
+    """
+    win = gather_symbol_windows(x, frame_starts, mode, cfo_norm)
+    spec = jnp.fft.fft(win, axis=-1)
+    z = spec[:, 1:, :] * jnp.conj(spec[:, :-1, :])
+    q = z[..., jnp.asarray(_interleave_idx(mode))]
+    # Normalize per frame so Viterbi metrics are SNR-comparable.
+    scale = jnp.mean(jnp.abs(q), axis=(1, 2), keepdims=True) + 1e-20
+    qn = q / scale
+    soft = jnp.concatenate([qn.real, qn.imag], axis=-1).astype(jnp.float32)
+    diag = {
+        "carrier_mag_mean": scale[:, 0, 0],
+        # dispersion of |q| around its mean: crude per-frame SNR proxy
+        "carrier_mag_cv": jnp.std(jnp.abs(q), axis=(1, 2)) / scale[:, 0, 0],
+    }
+    return soft, diag
+
+
+def cfo_from_hz(cfo_hz, mode: Mode = MODE_I):
+    """Convert Hz to carrier-spacing units used by ``gather_symbol_windows``."""
+    carrier_spacing = SAMPLE_RATE / mode.fft_size
+    return cfo_hz / carrier_spacing

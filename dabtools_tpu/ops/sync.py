@@ -1,0 +1,107 @@
+"""Sync engine: null-symbol coarse time, guard-interval fractional CFO,
+PRS matched filter for fine time + integer CFO (N3).
+
+Reference counterpart: `upstream:input_sdr.c` `dab_coarse_time_sync` /
+`dab_fine_time_sync` (R5) and the PRS correlation used by the WaveFinder AFC
+(R3).  TPU-first redesign: alignment is computed *as data* inside jit
+(argmin/argmax + dynamic_slice), never as host control flow; the PRS search
+evaluates all (integer-CFO, timing) hypotheses as one batched FFT
+correlation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dabtools_tpu.constants import MODE_I, Mode
+from dabtools_tpu.tables.prs import prs_time
+
+
+def moving_power(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Sliding-window power sum, valid positions only (cumsum trick)."""
+    p = jnp.abs(x) ** 2
+    cs = jnp.concatenate([jnp.zeros(1, p.dtype), jnp.cumsum(p)])
+    return cs[window:] - cs[:-window]
+
+
+def coarse_null_sync(x: jnp.ndarray, mode: Mode = MODE_I) -> dict:
+    """Locate the null symbol inside the first frame-length of ``x``.
+
+    Returns traced scalars: ``null_start`` (int32) and ``null_ratio``
+    (null power / mean power — sync-confidence metric, SURVEY.md s5.3).
+    """
+    n = mode.frame_size + mode.null_size
+    win = moving_power(x[:n], mode.null_size)[: mode.frame_size]
+    null_start = jnp.argmin(win).astype(jnp.int32)
+    ratio = win[null_start] / (jnp.mean(win) + 1e-20)
+    return {"null_start": null_start, "null_ratio": ratio}
+
+
+def fractional_cfo(x: jnp.ndarray, frame_start: jnp.ndarray,
+                   mode: Mode = MODE_I, n_syms: int = 8) -> jnp.ndarray:
+    """Fractional CFO (in carrier spacings, |.| < 0.5) from guard-interval
+    correlation over the first ``n_syms`` symbols of the frame at
+    ``frame_start`` (start of null symbol; traced ok)."""
+    sym0 = frame_start + mode.null_size
+    starts = sym0 + jnp.arange(n_syms, dtype=jnp.int32) * mode.symbol_size
+    idx = starts[:, None] + jnp.arange(mode.guard, dtype=jnp.int32)
+    guard = x[idx]                       # (n_syms, guard)
+    tail = x[idx + mode.fft_size]
+    corr = jnp.sum(jnp.conj(guard) * tail)
+    # phase advance over T_u samples = 2*pi * cfo_norm
+    return jnp.angle(corr) / (2.0 * jnp.pi)
+
+
+@functools.cache
+def _prs_templates(mode: Mode, max_int_cfo: int, fft_len: int) -> np.ndarray:
+    """Conjugated spectra of the PRS shifted by c carriers, zero-padded to
+    ``fft_len``; (2*max_int_cfo+1, fft_len) complex64."""
+    t = prs_time(mode)
+    n = np.arange(mode.fft_size)
+    temps = []
+    for c in range(-max_int_cfo, max_int_cfo + 1):
+        shifted = t * np.exp(2j * np.pi * c * n / mode.fft_size)
+        padded = np.zeros(fft_len, dtype=np.complex64)
+        padded[: mode.fft_size] = shifted
+        temps.append(np.conj(np.fft.fft(padded)))
+    return np.stack(temps).astype(np.complex64)
+
+
+def fine_sync_prs(x: jnp.ndarray, prs_guess: jnp.ndarray,
+                  mode: Mode = MODE_I, search: int = 256,
+                  max_int_cfo: int = 8):
+    """Joint fine-timing + integer-CFO estimate from the PRS.
+
+    ``prs_guess``: traced int32 — estimated start of the PRS *useful* part
+    (i.e. frame_start + null + guard).  Searches timing offsets in
+    [-search, +search) and integer CFOs in [-max_int_cfo, +max_int_cfo]
+    by correlating against precomputed shifted PRS templates (one batched
+    FFT correlation evaluates every hypothesis).
+
+    Returns dict of traced values: ``offset`` (int32, add to prs_guess),
+    ``int_cfo`` (int32, carriers), ``peak`` (float32 normalized 0..1
+    correlation quality).
+    """
+    win_len = mode.fft_size + 2 * search
+    fft_len = int(2 ** np.ceil(np.log2(win_len + mode.fft_size)))
+    win = jax.lax.dynamic_slice(x, (prs_guess - search,), (win_len,))
+    wspec = jnp.fft.fft(win, n=fft_len)
+    temps = jnp.asarray(_prs_templates(mode, max_int_cfo, fft_len))
+    corr = jnp.fft.ifft(wspec[None, :] * temps, axis=-1)
+    mag = jnp.abs(corr[:, : 2 * search])        # lag = offset + search
+    flat = jnp.argmax(mag)
+    n_lags = 2 * search
+    c_idx = flat // n_lags
+    lag = flat % n_lags
+    energy = jnp.sqrt(jnp.sum(jnp.abs(win[search:search + mode.fft_size]) ** 2)
+                      * jnp.sum(jnp.abs(jnp.asarray(prs_time(mode))) ** 2))
+    peak = mag.reshape(-1)[flat] / (energy + 1e-20)
+    return {
+        "offset": (lag - search).astype(jnp.int32),
+        "int_cfo": (c_idx - max_int_cfo).astype(jnp.int32),
+        "peak": peak.astype(jnp.float32),
+    }

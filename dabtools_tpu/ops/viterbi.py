@@ -1,0 +1,127 @@
+"""Batched soft-decision Viterbi for the DAB K=7 rate-1/4 code (N6).
+
+Reference counterpart: `upstream:viterbi.c` (R12, a scalar C ACS loop with
+traceback).  This is NOT a translation — the trellis is reformulated for
+TPU:
+
+* Branch metrics for ALL transitions of ALL time steps are one matmul:
+  a constant ``W in {+1,-1}^(128 x 4)`` maps the 4 soft bits of a step to
+  the 128 (state, input) transition metrics, so the whole codeword's branch
+  metrics are ``soft @ W.T`` — an MXU op, hoisted out of the scan.
+* The ACS recursion needs NO gathers: with path metrics viewed as
+  ``pm[c, b]`` (c = state>>1, b = state&1), the two predecessors of targets
+  ``u*32 + c`` are exactly ``pm[c, 0]`` and ``pm[c, 1]`` — a reshape +
+  transpose, which on TPU is a lane shuffle, not a memory gather.
+* The time recursion is a `lax.scan` carrying ``pm`` (kept in
+  registers/VMEM by XLA); decisions stream out as uint8.
+* Traceback is a second (reverse) scan; the per-step "pick my decision bit"
+  is a one-hot reduction, again gather-free.
+
+Conventions (shared with mod.convcode — see its docstring):
+soft > 0 means coded bit 0; erasures (punctured positions) are exactly 0.
+
+A Pallas kernel with identical semantics lives in ``viterbi_pallas.py``;
+this XLA version is the always-available reference implementation and is
+what the tests pin down.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dabtools_tpu import constants as C
+from dabtools_tpu.mod.convcode import output_table
+
+NEG_INF = -1e30
+
+
+@functools.cache
+def transition_matrix() -> np.ndarray:
+    """W: (128, 4) float32; row ``4*c + 2*b + u`` is the +/-1 pattern of the
+    coded bits on the transition (state=2c+b) --input u--> (u*32 + c)."""
+    table = output_table()  # out[reg] -> 4 bits, reg = (u << 6) | state
+    w = np.empty((128, 4), dtype=np.float32)
+    for c in range(32):
+        for b in range(2):
+            for u in range(2):
+                reg = (u << 6) | (2 * c + b)
+                w[4 * c + 2 * b + u] = 1.0 - 2.0 * table[reg]
+    return w
+
+
+def _acs_scan(bm: jnp.ndarray, pm0: jnp.ndarray):
+    """bm: (T, batch, 32, 2, 2) branch metrics; pm0: (batch, 64).
+
+    Returns (final pm, decisions (T, batch, 64) uint8).
+    """
+
+    def step(pm, bm_t):
+        # pm[batch, 64] viewed as pairs: pred states (2c, 2c+1) -> pm2[c, b]
+        pm2 = pm.reshape(pm.shape[0], 32, 2, 1)
+        cand = pm2 + bm_t                       # [batch, 32, 2(b), 2(u)]
+        take1 = (cand[:, :, 1, :] > cand[:, :, 0, :])
+        new = jnp.max(cand, axis=2)             # [batch, 32, 2(u)]
+        # target state index = u*32 + c  ->  axes (u, c)
+        new = new.transpose(0, 2, 1).reshape(pm.shape[0], 64)
+        dec = take1.transpose(0, 2, 1).reshape(pm.shape[0], 64)
+        return new, dec.astype(jnp.uint8)
+
+    return jax.lax.scan(step, pm0, bm)
+
+
+def _traceback(decisions: jnp.ndarray) -> jnp.ndarray:
+    """decisions: (T, batch, 64) uint8 -> decoded bits (batch, T) uint8.
+
+    Starts from state 0 (the zero tail guarantees it).
+    """
+    batch = decisions.shape[1]
+    state0 = jnp.zeros((batch,), dtype=jnp.int32)
+
+    def step(state, dec_t):
+        bit = (state >> 5).astype(jnp.uint8)
+        onehot = jax.nn.one_hot(state, 64, dtype=dec_t.dtype)
+        d = jnp.sum(onehot * dec_t, axis=-1).astype(jnp.int32)
+        prev = 2 * (state & 31) + d
+        return prev, bit
+
+    _, bits_rev = jax.lax.scan(step, state0, decisions[::-1])
+    return bits_rev[::-1].transpose(1, 0)
+
+
+def viterbi_decode(soft: jnp.ndarray):
+    """Decode a batch of mother codewords.
+
+    ``soft``: (batch, 4*(n+6)) float32, positive => coded bit 0, 0 = erasure.
+    Returns ``(bits, metric)``: bits (batch, n) uint8 information bits (tail
+    stripped); metric (batch,) float32 — the winning path's correlation with
+    the received soft bits (a BER/confidence proxy, SURVEY.md s5.5).
+    """
+    soft = jnp.asarray(soft, dtype=jnp.float32)
+    if soft.ndim == 1:
+        soft = soft[None]
+        squeeze = True
+    else:
+        squeeze = False
+    batch, n4 = soft.shape
+    assert n4 % 4 == 0, "mother codeword length must be a multiple of 4"
+    t_steps = n4 // 4
+
+    w = jnp.asarray(transition_matrix())                     # (128, 4)
+    bm = jnp.einsum("btf,rf->btr", soft.reshape(batch, t_steps, 4), w,
+                    preferred_element_type=jnp.float32)
+    bm = bm.reshape(batch, t_steps, 32, 2, 2).transpose(1, 0, 2, 3, 4)
+
+    pm0 = jnp.full((batch, 64), NEG_INF, dtype=jnp.float32)
+    pm0 = pm0.at[:, 0].set(0.0)
+    pm_final, decisions = _acs_scan(bm, pm0)
+    bits = _traceback(decisions)
+
+    info = bits[:, : t_steps - C.TAIL_BITS]
+    metric = pm_final[:, 0]
+    if squeeze:
+        return info[0], metric[0]
+    return info, metric
