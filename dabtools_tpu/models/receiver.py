@@ -51,27 +51,24 @@ def block_samples(n_frames: int, mode=C.MODE_I, margin: int = 4096) -> int:
     return (n_frames + 1) * mode.frame_size + margin
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("ensemble", "mode", "n_frames", "search", "max_int_cfo"))
-def process_block(x, rings, cif_count, *, ensemble: Ensemble | None,
-                  mode=C.MODE_I, n_frames: int = 8, search: int = 192,
-                  max_int_cfo: int = 8):
-    """Decode ``n_frames`` transmission frames from sample block ``x``.
+def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
+                  ensemble: Ensemble | None, mode=C.MODE_I,
+                  search: int = 192, max_int_cfo: int = 8,
+                  sync_diag: dict | None = None):
+    """The shared demod+decode chain, from per-frame start *guesses*.
 
-    Returns ``(out, rings, cif_count')`` where ``out`` contains decoded FIB
-    bits, per-sub-channel logical-frame bits + Viterbi metrics, and sync
-    diagnostics.  ``ensemble=None`` = FIC-only acquisition pass.
+    Pure traced function (no jit here) so it can be reused under vmap
+    (channel-parallel, N13) and shard_map (time-block parallel, N14).
+    ``frame_start_guesses``: (n_frames,) int32, start of each frame's null
+    symbol — refined per frame by PRS fine sync.
     """
-    sync = coarse_null_sync(x, mode)
-    ns = sync["null_start"]
-    frac = fractional_cfo(x, ns, mode)
+    n_frames = frame_start_guesses.shape[0]
+    frac = fractional_cfo(x, frame_start_guesses[0], mode)
 
-    frame_off = jnp.arange(n_frames, dtype=jnp.int32) * mode.frame_size
-    prs_guess = ns + frame_off + mode.null_size + mode.guard
+    prs_guess = frame_start_guesses + mode.null_size + mode.guard
     fine = jax.vmap(
         lambda g: fine_sync_prs(x, g, mode, search, max_int_cfo))(prs_guess)
-    frame_starts = ns + frame_off + fine["offset"]
+    frame_starts = frame_start_guesses + fine["offset"]
     cfo = frac + fine["int_cfo"][0].astype(jnp.float32)
 
     soft, diag = demod_frames(x, frame_starts, mode, cfo)
@@ -87,8 +84,6 @@ def process_block(x, rings, cif_count, *, ensemble: Ensemble | None,
     out = {
         "fib_bits": fib_bits,
         "fic_metric": fic_metric.reshape(n_frames, n_cw),
-        "null_start": ns,
-        "null_ratio": sync["null_ratio"],
         "cfo_carriers": cfo,
         "prs_peak": fine["peak"],
         "prs_offset": fine["offset"],
@@ -96,6 +91,8 @@ def process_block(x, rings, cif_count, *, ensemble: Ensemble | None,
         "subch": {},
         "subch_metric": {},
     }
+    if sync_diag:
+        out.update(sync_diag)
 
     # ---- MSC ----------------------------------------------------------
     new_rings = {}
@@ -113,6 +110,28 @@ def process_block(x, rings, cif_count, *, ensemble: Ensemble | None,
             out["subch_metric"][key] = metric
             new_rings[key] = ring
     return out, new_rings, cif_count + n_frames * mode.n_cifs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ensemble", "mode", "n_frames", "search", "max_int_cfo"))
+def process_block(x, rings, cif_count, *, ensemble: Ensemble | None,
+                  mode=C.MODE_I, n_frames: int = 8, search: int = 192,
+                  max_int_cfo: int = 8):
+    """Decode ``n_frames`` transmission frames from sample block ``x``.
+
+    Coarse-syncs on the null symbol, then runs :func:`pipeline_core`.
+    Returns ``(out, rings, cif_count')`` where ``out`` contains decoded FIB
+    bits, per-sub-channel logical-frame bits + Viterbi metrics, and sync
+    diagnostics.  ``ensemble=None`` = FIC-only acquisition pass.
+    """
+    sync = coarse_null_sync(x, mode)
+    ns = sync["null_start"]
+    frame_off = jnp.arange(n_frames, dtype=jnp.int32) * mode.frame_size
+    return pipeline_core(
+        x, ns + frame_off, rings, cif_count, ensemble=ensemble, mode=mode,
+        search=search, max_int_cfo=max_int_cfo,
+        sync_diag={"null_start": ns, "null_ratio": sync["null_ratio"]})
 
 
 @dataclasses.dataclass
@@ -185,7 +204,9 @@ class DabReceiver:
 
     def _process_one_block(self, x: np.ndarray) -> list[bytes]:
         cif0 = int(self._cif_count)
-        out, rings, self._cif_count = process_block(
+        from dabtools_tpu.utils.retry import call_with_retries
+        out, rings, self._cif_count = call_with_retries(
+            process_block,
             jnp.asarray(x), self._rings or {}, self._cif_count,
             ensemble=self.ensemble, mode=self.mode, n_frames=self.n_frames)
         out = jax.device_get(out)

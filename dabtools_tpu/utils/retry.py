@@ -1,0 +1,35 @@
+"""Retry guard for transient TPU runtime failures.
+
+The axon-tunnelled TPU backend on this machine intermittently fails a fresh
+compile with ``UNIMPLEMENTED: TPU backend error`` (remote-compile relay
+flakiness); the identical program compiles fine on retry.  Production
+receivers must not drop a stream for that (failure-detection duty,
+SURVEY.md s5.3), so device-step callers wrap with this.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+log = logging.getLogger("dabtools_tpu.retry")
+
+
+def call_with_retries(fn, *args, retries: int = 3, backoff_s: float = 0.5,
+                      **kwargs):
+    """Call ``fn``; on a JAX runtime error, clear its jit cache (if any)
+    and retry up to ``retries`` times with linear backoff."""
+    from jax.errors import JaxRuntimeError
+
+    last = None
+    for attempt in range(retries + 1):
+        try:
+            return fn(*args, **kwargs)
+        except JaxRuntimeError as e:           # pragma: no cover - TPU infra
+            last = e
+            log.warning("device step failed (attempt %d/%d): %s",
+                        attempt + 1, retries + 1, str(e)[:200])
+            if hasattr(fn, "clear_cache"):
+                fn.clear_cache()
+            time.sleep(backoff_s * (attempt + 1))
+    raise last
