@@ -1,0 +1,107 @@
+"""``dab2eti`` equivalent: IQ samples in, ETI(NI) stream out.
+
+Usage:
+  python -m dabtools_tpu.cli.dab2eti capture.iq > out.eti
+  python -m dabtools_tpu.cli.dab2eti --format cf32 - < capture.cf32 > out.eti
+
+Reference surface (`upstream:dab2eti.c`): ``dab2eti <freq_hz> [gain]`` with
+an RTL-SDR/WaveFinder frontend.  This build reads 2.048 Msps IQ from a file
+or stdin (u8 offset-128 interleaved — the RTL-SDR capture format — or
+complex64); ``--frequency`` is accepted for interface parity and logged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+log = logging.getLogger("dabtools_tpu.dab2eti")
+
+CHUNK = 1 << 22
+
+
+def iter_samples(path: str, fmt: str):
+    f = sys.stdin.buffer if path == "-" else open(path, "rb")
+    try:
+        while True:
+            raw = f.read(CHUNK)
+            if not raw:
+                return
+            if fmt == "u8":
+                from dabtools_tpu.mod.impairments import u8_to_complex
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                arr = arr[: arr.size // 2 * 2]
+                yield u8_to_complex(arr)
+            else:
+                arr = np.frombuffer(raw, dtype=np.complex64)
+                yield arr
+    finally:
+        if path != "-":
+            f.close()
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="dab2eti", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("input", help="IQ file path, or '-' for stdin")
+    p.add_argument("--format", choices=("u8", "cf32"), default="u8",
+                   help="u8: RTL-SDR style unsigned 8-bit interleaved IQ; "
+                        "cf32: complex64")
+    p.add_argument("--frequency", type=float, default=None,
+                   help="RF centre frequency in Hz (informational; hardware "
+                        "tuning is out of scope on TPU hosts)")
+    p.add_argument("--gain", type=float, default=None,
+                   help="accepted for dab2eti interface parity")
+    p.add_argument("--frames-per-block", type=int, default=8,
+                   help="transmission frames decoded per device call")
+    p.add_argument("--output", "-o", default="-",
+                   help="ETI output path ('-' = stdout)")
+    p.add_argument("--stats", action="store_true",
+                   help="log per-block sync/CRC stats to stderr")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the JAX CPU backend")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(name)s: %(message)s")
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.frequency:
+        log.info("frequency %.3f MHz (file/stream input; not tuning)",
+                 args.frequency / 1e6)
+
+    from dabtools_tpu.models.receiver import DabReceiver
+
+    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    rx = DabReceiver(n_frames=args.frames_per_block)
+    n_eti = 0
+    try:
+        for chunk in iter_samples(args.input, args.format):
+            for frame in rx.feed(chunk):
+                out.write(frame)
+                n_eti += 1
+            if args.stats and rx.stats:
+                s = rx.stats[-1]
+                log.info("cif=%d null@%d ratio=%.3f cfo=%+.1fHz fib_ok=%d "
+                         "fib_bad=%d", s.cif_count, s.null_start,
+                         s.null_ratio, s.cfo_carriers * 1000.0,
+                         s.fib_crc_ok, s.fib_crc_bad)
+        out.flush()
+    finally:
+        if args.output != "-":
+            out.close()
+    if rx.ensemble is None:
+        log.error("no ensemble acquired (insufficient or undecodable input)")
+        return 1
+    log.info("wrote %d ETI frames; ensemble 0x%04X %r", n_eti,
+             rx.ensemble.eid, rx.ensemble.label)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

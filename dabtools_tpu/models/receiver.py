@@ -240,10 +240,13 @@ class DabReceiver:
             prs_peak_min=float(np.min(out["prs_peak"])),
             fib_crc_ok=n_ok, fib_crc_bad=n_bad))
 
-        # Acquisition -> activation.
+        # Acquisition -> activation: rewind and reprocess the same block
+        # with the MSC decode enabled so its CIFs aren't lost (the reference
+        # simply drops pre-MCI frames; we can afford the recompute).
         if self.ensemble is None and self._fig.have_mci():
+            self._cif_count = jnp.asarray(cif0, dtype=jnp.int32)
             self._activate(self._fig.ensemble())
-            return []
+            return self._process_one_block(x)
 
         # Sub-channel rows j correspond to logical frames cif0 + j - 15.
         if self.ensemble is not None:
@@ -284,6 +287,8 @@ class DabReceiver:
             "ensemble": self.ensemble,
             "activation_cif": self._activation_cif,
             "next_eti_cif": getattr(self, "_next_eti_cif", None),
+            "fib_fifo": dict(self._fib_fifo),
+            "subch_fifo": {k: dict(v) for k, v in self._subch_fifo.items()},
         }
 
     def restore(self, ckpt: dict) -> None:
@@ -295,3 +300,6 @@ class DabReceiver:
             self._activation_cif = ckpt["activation_cif"]
             if ckpt["next_eti_cif"] is not None:
                 self._next_eti_cif = ckpt["next_eti_cif"]
+        self._fib_fifo = dict(ckpt.get("fib_fifo", {}))
+        self._subch_fifo = {k: dict(v)
+                            for k, v in ckpt.get("subch_fifo", {}).items()}

@@ -1,0 +1,199 @@
+"""GF(2^8) arithmetic + RS(120,110) codec (ETSI TS 102 563 / EN 301 234).
+
+Field polynomial 0x11D (x^8+x^4+x^3+x^2+1), generator alpha = 2; the DAB+
+outer code is RS(120,110,t=5), shortened from RS(255,245), generator
+polynomial g(x) = prod_{i=0}^{9} (x - alpha^i).
+
+NumPy reference codec (host).  The receive path also has a batched jnp
+syndrome/decode in ``dabtools_tpu.ops.rs`` built on the same tables; this
+module is the ground truth it is tested against.  No counterpart exists in
+the reference (dabtools is MP2-only, SURVEY.md s2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from dabtools_tpu import constants as C
+
+_POLY = C.GF_POLY
+
+
+@functools.cache
+def _tables():
+    exp = np.zeros(512, dtype=np.int32)
+    log = np.zeros(256, dtype=np.int32)
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x <<= 1
+        if x & 0x100:
+            x ^= _POLY
+    exp[255:510] = exp[:255]
+    return exp, log
+
+
+def gf_mul(a, b):
+    """Element-wise GF(256) multiply (NumPy arrays or ints)."""
+    exp, log = _tables()
+    a = np.asarray(a, dtype=np.int32)
+    b = np.asarray(b, dtype=np.int32)
+    out = exp[log[a] + log[b]]
+    return np.where((a == 0) | (b == 0), 0, out)
+
+
+def gf_pow(a: int, n: int) -> int:
+    exp, log = _tables()
+    if a == 0:
+        return 0
+    return int(exp[(log[a] * n) % 255])
+
+
+def gf_inv(a):
+    exp, log = _tables()
+    a = np.asarray(a, dtype=np.int32)
+    return exp[255 - log[a]]
+
+
+def gf_poly_eval(poly: np.ndarray, x: int) -> int:
+    """Evaluate polynomial (highest-order coefficient first) at x."""
+    y = 0
+    for c in poly:
+        y = int(gf_mul(y, x)) ^ int(c)
+    return y
+
+
+@functools.cache
+def rs_generator(n_roots: int = 2 * C.RS_T) -> np.ndarray:
+    """g(x) coefficients, highest first, roots alpha^0..alpha^{n_roots-1}."""
+    g = np.array([1], dtype=np.int32)
+    for i in range(n_roots):
+        root = gf_pow(2, i)
+        nxt = np.zeros(g.size + 1, dtype=np.int32)
+        nxt[:-1] ^= g
+        nxt[1:] ^= gf_mul(g, root)
+        g = nxt
+    return g
+
+
+def rs_encode(data: np.ndarray) -> np.ndarray:
+    """Systematic RS encode: (..., 110) uint8 -> (..., 120) uint8."""
+    data = np.asarray(data, dtype=np.uint8)
+    single = data.ndim == 1
+    data = np.atleast_2d(data)
+    if data.shape[-1] != C.RS_K:
+        raise ValueError(f"expected {C.RS_K} data bytes")
+    g = rs_generator()[1:]  # monic; keep the low-order 10 coefficients
+    out = np.zeros((data.shape[0], C.RS_N), dtype=np.uint8)
+    out[:, :C.RS_K] = data
+    for row in range(data.shape[0]):
+        rem = np.zeros(2 * C.RS_T, dtype=np.int32)
+        for byte in data[row]:
+            factor = int(byte) ^ int(rem[0])
+            rem[:-1] = rem[1:]
+            rem[-1] = 0
+            if factor:
+                rem ^= gf_mul(g, factor)
+        out[row, C.RS_K:] = rem
+    return out[0] if single else out
+
+
+def rs_decode(codeword: np.ndarray):
+    """Decode one RS(120,110) codeword (may be 2D batch).
+
+    Returns ``(data, n_corrected)``; ``n_corrected = -1`` marks an
+    uncorrectable codeword (data returned as-is).
+    """
+    cw = np.asarray(codeword, dtype=np.uint8)
+    single = cw.ndim == 1
+    cw = np.atleast_2d(cw).copy()
+    counts = np.zeros(cw.shape[0], dtype=np.int32)
+    for row in range(cw.shape[0]):
+        counts[row] = _rs_decode_one(cw[row])
+    data = cw[:, :C.RS_K]
+    return (data[0], int(counts[0])) if single else (data, counts)
+
+
+def _rs_decode_one(cw: np.ndarray) -> int:
+    exp, log = _tables()
+    n, k, t = C.RS_N, C.RS_K, C.RS_T
+    pad = 255 - n  # shortened positions (implicit leading zeros)
+
+    # Syndromes S_j = r(alpha^j), j = 0..2t-1
+    synd = np.array([gf_poly_eval(cw, gf_pow(2, j))
+                     for j in range(2 * t)], dtype=np.int32)
+    if not synd.any():
+        return 0
+
+    # Berlekamp-Massey
+    c_poly = np.zeros(2 * t + 1, dtype=np.int32); c_poly[0] = 1
+    b_poly = np.zeros(2 * t + 1, dtype=np.int32); b_poly[0] = 1
+    l, m, b = 0, 1, 1
+    for i in range(2 * t):
+        d = int(synd[i])
+        for j in range(1, l + 1):
+            d ^= int(gf_mul(c_poly[j], synd[i - j]))
+        if d == 0:
+            m += 1
+        elif 2 * l <= i:
+            tmp = c_poly.copy()
+            coef = int(gf_mul(d, gf_inv(b)))
+            shifted = np.zeros_like(b_poly)
+            shifted[m:] = b_poly[:b_poly.size - m]
+            c_poly = c_poly ^ gf_mul(shifted, coef)
+            b_poly, b, l, m = tmp, d, i + 1 - l, 1
+        else:
+            coef = int(gf_mul(d, gf_inv(b)))
+            shifted = np.zeros_like(b_poly)
+            shifted[m:] = b_poly[:b_poly.size - m]
+            c_poly = c_poly ^ gf_mul(shifted, coef)
+            m += 1
+    if l > t:
+        return -1
+
+    # Chien search over the n valid positions (shortened code).
+    err_pos = []
+    for pos in range(n):
+        # position index in the full 255-symbol code, highest power first:
+        # r(x) = sum cw[i] x^{n-1-i}; root test at x = alpha^{-(pad + ... )}
+        loc = 255 - 1 - (pad + pos)      # power of alpha for this position
+        x_inv = gf_pow(2, 255 - (loc % 255))
+        val = 0
+        for j in range(l + 1):
+            val ^= int(gf_mul(c_poly[j], gf_pow(x_inv, j)))
+        if val == 0:
+            err_pos.append((pos, loc))
+    if len(err_pos) != l:
+        return -1
+
+    # Forney: error magnitudes. Omega = S(x) * C(x) mod x^{2t}
+    s_poly = synd  # S(x) = sum S_j x^j
+    omega = np.zeros(2 * t, dtype=np.int32)
+    for i in range(2 * t):
+        acc = 0
+        for j in range(min(i, l) + 1):
+            acc ^= int(gf_mul(c_poly[j], s_poly[i - j])) if i - j < 2 * t else 0
+        omega[i] = acc
+    # C'(x): formal derivative (odd-power coefficients)
+    for pos, loc in err_pos:
+        x = gf_pow(2, loc % 255)          # X_k = alpha^loc
+        x_inv = gf_inv(x)
+        num = 0
+        for i in range(2 * t):
+            num ^= int(gf_mul(omega[i], gf_pow(int(x_inv), i)))
+        den = 0
+        for j in range(1, l + 1, 2):
+            den ^= int(gf_mul(c_poly[j], gf_pow(int(x_inv), j - 1)))
+        if den == 0:
+            return -1
+        # Forney with first root b=0: e = X * Omega(X^-1) / Lambda'(X^-1)
+        mag = int(gf_mul(x, gf_mul(num, gf_inv(den))))
+        cw[pos] ^= mag
+    # Verify
+    for j in range(2 * t):
+        if gf_poly_eval(cw, gf_pow(2, j)) != 0:
+            return -1
+    return l

@@ -1,0 +1,135 @@
+"""End-to-end CLI tests: IQ capture file -> dab2eti -> eti2audio, driven
+through the real command-line surface (subprocess)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dabtools_tpu import constants as C
+from dabtools_tpu.eti.dabplus import SuperframeBuilder
+from dabtools_tpu.fic.config import Ensemble, Service, ServiceComponent, Subchannel
+from dabtools_tpu.fic.fig import build_fibs_for_ensemble
+from dabtools_tpu.mod.modulator import Modulator, SubchannelSource
+
+
+@pytest.fixture(scope="module")
+def capture(tmp_path_factory):
+    """Modulate an ensemble with one MP2 and one DAB+ service."""
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(0)
+    ens = Ensemble(
+        eid=0xC0DE,
+        label="CLI TEST",
+        subchannels=(Subchannel.eep(1, 0, 3, "A", 64),      # MP2, 48 CUs
+                     Subchannel.eep(2, 48, 3, "B", 64)),    # DAB+, 18 CUs
+        services=(
+            Service(sid=0x1111, label="MP2 SVC", components=(
+                ServiceComponent(tmid=0, subchid=1, ascty=0),)),
+            Service(sid=0x2222, label="AAC SVC", components=(
+                ServiceComponent(tmid=0, subchid=2, ascty=63),)),
+        ),
+    )
+    n_frames = 14
+    n_cifs = n_frames * 4
+
+    mp2 = rng.integers(0, 256, size=(n_cifs, 192), dtype=np.uint8)
+
+    sb = SuperframeBuilder(64)
+    sf_aus, dabplus_frames = [], []
+    for _ in range(n_cifs // 5 + 1):
+        aus = [rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+               for n in sb.au_sizes()]
+        sf_aus.append(aus)
+        dabplus_frames.extend(sb.build(aus))
+    dabplus = np.stack(dabplus_frames[:n_cifs])
+
+    subs = [SubchannelSource(0, ens.subchannels[0].profile),
+            SubchannelSource(48, ens.subchannels[1].profile)]
+    mod = Modulator(subs)
+
+    def payload(f, i):
+        rows = mp2 if i == 0 else dabplus
+        return np.unpackbits(rows[f * 4:(f + 1) * 4], axis=-1)
+
+    x = mod.frames(n_frames, lambda f: build_fibs_for_ensemble(ens, f),
+                   payload)
+    cap = tmp / "capture.cf32"
+    x.astype(np.complex64).tofile(cap)
+    return {"path": cap, "tmp": tmp, "mp2": mp2, "sf_aus": sf_aus,
+            "ens": ens}
+
+
+@pytest.fixture(scope="module")
+def eti_file(capture):
+    out = capture["tmp"] / "out.eti"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dab2eti", "--cpu",
+         "--format", "cf32", str(capture["path"]), "-o", str(out),
+         "--frames-per-block", "4", "--stats"],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "ensemble 0xC0DE" in r.stderr
+    assert out.stat().st_size % C.ETI_FRAME_BYTES == 0
+    return out
+
+
+def test_dab2eti_produces_eti(eti_file, capture):
+    from dabtools_tpu.eti.parse import EtiParser
+    frames = list(EtiParser().feed(eti_file.read_bytes()))
+    # 14 modulated frames = 56 CIFs; acquisition consumes 16, priming 15,
+    # and the last partial block is retained -> 17 emitted is nominal.
+    assert len(frames) >= 16
+    assert all(f.header_crc_ok and f.mst_crc_ok for f in frames)
+    # both sub-channels present
+    assert set(frames[0].streams) == {1, 2}
+
+
+def test_eti2audio_mp2(eti_file, capture):
+    out = capture["tmp"] / "audio.mp2"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--sid", "0x1111", str(eti_file), "-o", str(out)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "sub-channel 1 (DAB/MP2)" in r.stderr
+    got = out.read_bytes()
+    # the output is a contiguous slice of the transmitted MP2 stream
+    full = capture["mp2"].reshape(-1).tobytes()
+    assert len(got) >= 16 * 192
+    assert got in full
+
+
+def test_eti2audio_dabplus(eti_file, capture):
+    out = capture["tmp"] / "audio.aac"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--sid", "0x2222", str(eti_file), "-o", str(out)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "(DAB+)" in r.stderr
+    got = out.read_bytes()
+    all_aus = b"".join(b"".join(aus) for aus in capture["sf_aus"])
+    assert len(got) > 0
+    assert got in all_aus
+
+
+def test_eti2audio_adts(eti_file, capture):
+    out = capture["tmp"] / "audio.adts"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--sid", "0x2222", "--adts", str(eti_file), "-o", str(out)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    got = out.read_bytes()
+    assert got[:2] == b"\xff\xf1"     # ADTS syncword
+
+
+def test_eti2audio_unknown_service(eti_file):
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--sid", "0x9999", str(eti_file)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 1
+    assert "not found" in r.stderr
