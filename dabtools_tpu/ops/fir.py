@@ -1,0 +1,121 @@
+"""Wideband channelizer: one capture -> many DAB blocks (N2; BASELINE
+config #4).
+
+No counterpart exists in the reference (one RTL-SDR tunes one 2.048 Msps
+block); this is the front-end that lets a TPU ingest a wideband SDR capture
+(e.g. 16-20+ Msps spanning several Band III blocks) and feed the
+channel-parallel receiver (N13).
+
+TPU-first design:
+* Per-block mixing uses a *periodic* mixer table (offsets live on a raster,
+  so f/fs = p/q with small q) indexed mod q — exact phase for arbitrarily
+  long streams with no float accumulation error, and a tiny gather instead
+  of a huge phase ramp.
+* The anti-alias FIR + decimation runs as `lax.conv_general_dilated` with
+  window_strides=M (real taps applied to re/im planes), which XLA lowers to
+  MXU matmuls; all K blocks are one batched conv.
+* Streaming uses overlap-save: the shared (taps-1)-sample wideband tail is
+  the carry state; under time-block sharding the same tail rides the
+  ppermute halo (SURVEY.md s5.7).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dabtools_tpu.constants import SAMPLE_RATE
+
+
+def design_lowpass(num_taps: int, cutoff_norm: float,
+                   beta: float = 8.6) -> np.ndarray:
+    """Kaiser-windowed sinc low-pass; ``cutoff_norm`` = cutoff / fs."""
+    n = np.arange(num_taps) - (num_taps - 1) / 2
+    h = 2 * cutoff_norm * np.sinc(2 * cutoff_norm * n)
+    h *= np.kaiser(num_taps, beta)
+    return (h / h.sum()).astype(np.float32)
+
+
+class Channelizer:
+    """Split a wideband IQ stream into DAB baseband blocks.
+
+    ``offsets_hz``: centre-frequency offset of each DAB block relative to
+    the capture centre (integer Hz, on the receiver raster).
+    """
+
+    def __init__(self, fs_in: int, offsets_hz: list[int],
+                 num_taps: int | None = None, out_rate: int = SAMPLE_RATE):
+        if fs_in % out_rate:
+            raise ValueError(
+                f"fs_in ({fs_in}) must be an integer multiple of the DAB "
+                f"rate ({out_rate})")
+        self.fs_in = int(fs_in)
+        self.decim = fs_in // out_rate
+        self.offsets_hz = [int(f) for f in offsets_hz]
+        for f in self.offsets_hz:
+            if abs(f) > fs_in / 2:
+                raise ValueError(f"offset {f} Hz outside capture bandwidth")
+        if num_taps is None:
+            # transition 0.768->0.944 MHz (adjacent-block spacing 1.712 MHz)
+            trans = 0.176e6 / fs_in
+            num_taps = int(np.ceil(5.0 / trans)) | 1
+        self.num_taps = num_taps
+        self.taps = design_lowpass(num_taps, cutoff_norm=0.85e6 / fs_in)
+        self._mixers = [self._mixer_table(f) for f in self.offsets_hz]
+        self._consumed = 0              # wideband samples consumed so far
+        self._tail: np.ndarray | None = None
+        self._jit_fn = jax.jit(functools.partial(
+            _channelize, taps=tuple(self.taps.tolist()), decim=self.decim),
+            static_argnames=("q_list",))
+
+    def _mixer_table(self, f_hz: int) -> np.ndarray:
+        g = math.gcd(abs(f_hz), self.fs_in) or self.fs_in
+        q = self.fs_in // g
+        p = f_hz // g
+        i = np.arange(q, dtype=np.float64)
+        return np.exp(-2j * np.pi * p * i / q).astype(np.complex64)
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        """Feed wideband samples; returns (K, n_out) baseband complex64.
+
+        Streaming: keeps the (taps-1)-sample tail and absolute phase so
+        consecutive calls are seamless.
+        """
+        x = np.asarray(x, dtype=np.complex64)
+        if self._tail is not None:
+            x = np.concatenate([self._tail, x])
+            start = self._consumed - self._tail.size
+        else:
+            start = 0
+        # Output m uses inputs [mM, mM + taps); keep the unfinished tail.
+        n_out = max(0, (x.size - self.num_taps) // self.decim + 1)
+        used = n_out * self.decim
+        self._tail = x[used:].copy()
+        self._consumed = start + used + self._tail.size
+        if n_out == 0:
+            return np.zeros((len(self.offsets_hz), 0), dtype=np.complex64)
+        phases = tuple(int((start) % m.size) for m in self._mixers)
+        y = self._jit_fn(jnp.asarray(x[: used + self.num_taps - 1]),
+                         tuple(jnp.asarray(m) for m in self._mixers),
+                         jnp.asarray(phases, dtype=jnp.int32),
+                         q_list=tuple(m.size for m in self._mixers))
+        return np.asarray(y)
+
+
+def _channelize(x, mixers, phases, *, taps, decim, q_list):
+    h = jnp.asarray(taps, dtype=jnp.float32)[None, None, :]
+    outs = []
+    n = x.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    for k, (mix, q) in enumerate(zip(mixers, q_list)):
+        m = mix[(phases[k] + idx) % q]
+        xm = x * m
+        planes = jnp.stack([xm.real, xm.imag])[:, None, :]   # (2, 1, n)
+        y = jax.lax.conv_general_dilated(
+            planes, h, window_strides=(decim,), padding="VALID")
+        outs.append(jax.lax.complex(y[0, 0], y[1, 0]))
+    return jnp.stack(outs)
