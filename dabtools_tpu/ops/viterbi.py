@@ -53,6 +53,28 @@ def transition_matrix() -> np.ndarray:
     return w
 
 
+@functools.cache
+def acs_matmul_matrices():
+    """Target-major ACS operators for the matmul formulation (Pallas N6).
+
+    ``PU`` (128, 64): rows 0..63 pick predecessor ``2t mod 64`` of target t,
+    rows 64..127 pick ``2t mod 64 + 1`` — so ``PU @ pm`` yields both
+    predecessors' metrics, stacked, with NO gathers/transposes.
+    ``WS`` (128, 4): the +/-1 coded-bit pattern of the corresponding
+    transition, so ``WS @ soft_t`` is the matching branch-metric stack.
+    """
+    table = output_table()
+    pu = np.zeros((128, 64), dtype=np.float32)
+    ws = np.empty((128, 4), dtype=np.float32)
+    for r in range(128):
+        t = r % 64
+        pred = (2 * t) % 64 + (1 if r >= 64 else 0)
+        u = t >> 5
+        pu[r, pred] = 1.0
+        ws[r] = 1.0 - 2.0 * table[(u << 6) | pred]
+    return pu, ws
+
+
 def _acs_scan(bm: jnp.ndarray, pm0: jnp.ndarray):
     """bm: (T, batch, 32, 2, 2) branch metrics; pm0: (batch, 64).
 

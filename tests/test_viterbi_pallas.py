@@ -1,0 +1,58 @@
+"""Pallas Viterbi kernel vs the XLA reference (interpret mode; hermetic).
+
+The compiled-TPU path is exercised by bench.py on the real chip; these
+tests pin the kernel's semantics (bit-identical decisions and metrics).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dabtools_tpu.mod.convcode import conv_encode
+from dabtools_tpu.ops.viterbi import viterbi_decode
+from dabtools_tpu.ops.viterbi_pallas import TC, viterbi_decode_pallas
+from dabtools_tpu.tables.puncturing import FIC_PROFILE
+from dabtools_tpu.ops.fec import depuncture
+
+
+def _noisy_batch(rng, batch, n, scale=0.6):
+    msgs = rng.integers(0, 2, size=(batch, n), dtype=np.uint8)
+    soft = np.stack([1.0 - 2.0 * conv_encode(m) for m in msgs])
+    soft = soft.astype(np.float32)
+    soft += rng.normal(scale=scale, size=soft.shape).astype(np.float32)
+    return msgs, soft
+
+
+@pytest.mark.parametrize("batch,n", [(3, 768), (5, 1536), (1, 250)])
+def test_matches_xla_reference(batch, n):
+    rng = np.random.default_rng(batch * 1000 + n)
+    msgs, soft = _noisy_batch(rng, batch, n)
+    rb, rm = viterbi_decode(jnp.asarray(soft))
+    pb, pm = viterbi_decode_pallas(jnp.asarray(soft), interpret=True)
+    assert (np.asarray(rb) == np.asarray(pb)).all()
+    np.testing.assert_allclose(np.asarray(rm), np.asarray(pm), rtol=1e-5)
+    assert (np.asarray(pb) == msgs).all()
+
+
+def test_t_not_multiple_of_chunk():
+    # T = n + 6 deliberately not a multiple of the kernel's TC
+    n = 4 * TC + 7 - 6
+    rng = np.random.default_rng(1)
+    msgs, soft = _noisy_batch(rng, 2, n)
+    pb, _ = viterbi_decode_pallas(jnp.asarray(soft), interpret=True)
+    assert (np.asarray(pb) == msgs).all()
+
+
+def test_fic_punctured_codewords():
+    rng = np.random.default_rng(2)
+    msgs = rng.integers(0, 2, size=(4, 768), dtype=np.uint8)
+    mask = FIC_PROFILE.mask().astype(bool)
+    tx = np.stack([(1.0 - 2.0 * conv_encode(m))[mask] for m in msgs])
+    tx = tx.astype(np.float32)
+    tx += rng.normal(scale=0.4, size=tx.shape).astype(np.float32)
+    soft = depuncture(jnp.asarray(tx), FIC_PROFILE)
+    rb, _ = viterbi_decode(soft)
+    pb, _ = viterbi_decode_pallas(soft, interpret=True)
+    assert (np.asarray(rb) == np.asarray(pb)).all()
+    assert (np.asarray(pb) == msgs).all()
