@@ -69,6 +69,27 @@ class EtiAssembler:
         fl_words = (4 * nst + 4 + mst_bytes) // 4   # STC + EOH + MST
 
         err = (0xFF, 0x0F, 0x0F, 0x00)[min(error_level, 3)]
+        mid = {"I": 1, "II": 2, "III": 3, "IV": 0}[self.mode.name]
+
+        # Native fast path (dabhost.cc eti_build; bit-identical to the
+        # Python path below, cross-checked in tests/test_native.py).
+        from dabtools_tpu.utils import native
+        if native.lib() is not None:
+            stc = bytearray()
+            sad = fic_len // 8
+            for s, data in streams:
+                stl = len(data) // 8
+                stc.append((s.subchid << 2) | ((sad >> 8) & 0x03))
+                stc.append(sad & 0xFF)
+                stc.append(tpl_for_subchannel(s))
+                stc.append(stl & 0xFF)
+                sad += stl
+            frame = native.eti_build(
+                self.fct % 250, err, mid, bytes(stc), nst, fibs_bytes,
+                b"".join(d for _, d in streams))
+            self.fct = (self.fct + 1) % 250
+            return frame
+
         fsync = C.ETI_FSYNC if self.fct % 2 == 0 else C.ETI_FSYNC_INV
         out = bytearray()
         out.append(err)
