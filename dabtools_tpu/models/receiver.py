@@ -95,20 +95,34 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
         out.update(sync_diag)
 
     # ---- MSC ----------------------------------------------------------
+    # Sub-channels sharing a puncturing profile are decoded as ONE Viterbi
+    # batch (bigger lane occupancy on TPU; a real mux often has many
+    # same-rate services).  Deinterleaver rings stay per-sub-channel.
     new_rings = {}
     if ensemble is not None:
         n_cifs = n_frames * mode.n_cifs
         msc = soft[:, mode.n_fic_syms:, :].reshape(n_cifs, C.CIF_BITS)
+        groups: dict = {}
         for s in ensemble.subchannels:
-            key = str(s.subchid)
-            profile = s.profile
-            lo = s.start_cu * C.CU_BITS
-            sub_soft = msc[:, lo: lo + profile.tx_bits]
-            ring, aligned = time_deinterleave(rings[key], cif_count, sub_soft)
-            bits, metric = viterbi_decode(depuncture(aligned, profile))
-            out["subch"][key] = descramble(bits)
-            out["subch_metric"][key] = metric
-            new_rings[key] = ring
+            groups.setdefault(s.profile, []).append(s)
+        for profile, subs in groups.items():
+            aligned_all = []
+            for s in subs:
+                key = str(s.subchid)
+                lo = s.start_cu * C.CU_BITS
+                sub_soft = msc[:, lo: lo + profile.tx_bits]
+                ring, aligned = time_deinterleave(
+                    rings[key], cif_count, sub_soft)
+                new_rings[key] = ring
+                aligned_all.append(aligned)
+            stacked = jnp.concatenate(aligned_all, axis=0)
+            bits, metric = viterbi_decode(depuncture(stacked, profile))
+            data = descramble(bits)
+            for k, s in enumerate(subs):
+                key = str(s.subchid)
+                sl = slice(k * n_cifs, (k + 1) * n_cifs)
+                out["subch"][key] = data[sl]
+                out["subch_metric"][key] = metric[sl]
     return out, new_rings, cif_count + n_frames * mode.n_cifs
 
 

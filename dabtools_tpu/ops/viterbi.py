@@ -114,14 +114,30 @@ def _traceback(decisions: jnp.ndarray) -> jnp.ndarray:
     return bits_rev[::-1].transpose(1, 0)
 
 
-def viterbi_decode(soft: jnp.ndarray):
+def viterbi_decode(soft: jnp.ndarray, impl: str = "auto"):
     """Decode a batch of mother codewords.
 
     ``soft``: (batch, 4*(n+6)) float32, positive => coded bit 0, 0 = erasure.
     Returns ``(bits, metric)``: bits (batch, n) uint8 information bits (tail
     stripped); metric (batch,) float32 — the winning path's correlation with
     the received soft bits (a BER/confidence proxy, SURVEY.md s5.5).
+
+    ``impl``: "xla" (lax.scan), "pallas" (the N6 kernel), or "auto" —
+    auto resolves via the DABTOOLS_VITERBI env var, defaulting to the XLA
+    path (the Pallas kernel is opt-in until its compiled-TPU output is
+    re-validated against this machine's flaky remote-compile relay; see
+    viterbi_pallas.py).
     """
+    import os
+    if impl == "auto":
+        impl = os.environ.get("DABTOOLS_VITERBI", "xla")
+    if impl == "pallas":
+        from dabtools_tpu.ops.viterbi_pallas import viterbi_decode_pallas
+        soft = jnp.asarray(soft, dtype=jnp.float32)
+        if soft.ndim == 1:
+            bits, metric = viterbi_decode_pallas(soft[None])
+            return bits[0], metric[0]
+        return viterbi_decode_pallas(soft)
     soft = jnp.asarray(soft, dtype=jnp.float32)
     if soft.ndim == 1:
         soft = soft[None]
