@@ -59,9 +59,14 @@ def _acs_kernel(pu_ref, ws_ref, soft_ref, dec_ref, metric_ref, pm_ref,
 
     def step(j, pm):
         gstep = i * TC + j
+        # HIGHEST precision: the MXU's default bf16 pass would round the
+        # path metrics (one-hot selection must be exact; default-precision
+        # rounding compounds over thousands of ACS steps into wrong
+        # decisions - observed as BER ~0.13 on clean input).
         pred = jax.lax.dot_general(
             pu, pm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)    # (128, B)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)   # (128, B)
         cand = pred + bm_ref[j]
         c0, c1 = cand[:64, :], cand[64:, :]
         new = jnp.maximum(c0, c1)
@@ -71,7 +76,12 @@ def _acs_kernel(pu_ref, ws_ref, soft_ref, dec_ref, metric_ref, pm_ref,
         keep = live.astype(jnp.float32)
         return new * keep + pm * (1.0 - keep)
 
-    pm_ref[...] = jax.lax.fori_loop(0, TC, step, pm_ref[...])
+    # Unrolled: lets Mosaic schedule/pipeline across trellis steps instead
+    # of paying loop-dispatch latency 3000+ times.
+    pm = pm_ref[...]
+    for j in range(TC):
+        pm = step(j, pm)
+    pm_ref[...] = pm
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
