@@ -62,6 +62,9 @@ def main(argv=None) -> int:
                    help="ETI output path ('-' = stdout)")
     p.add_argument("--stats", action="store_true",
                    help="log per-block sync/CRC stats to stderr")
+    p.add_argument("--stats-json", default=None, metavar="PATH",
+                   help="append one JSON object per block (sync confidence, "
+                        "CFO, CRC rates, Viterbi metrics) to PATH")
     p.add_argument("--cpu", action="store_true",
                    help="force the JAX CPU backend")
     args = p.parse_args(argv)
@@ -78,7 +81,8 @@ def main(argv=None) -> int:
     from dabtools_tpu.models.receiver import DabReceiver
 
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
-    rx = DabReceiver(n_frames=args.frames_per_block)
+    rx = DabReceiver(n_frames=args.frames_per_block,
+                     stats_jsonl=args.stats_json)
     n_eti = 0
     try:
         for chunk in iter_samples(args.input, args.format):

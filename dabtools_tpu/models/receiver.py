@@ -172,7 +172,8 @@ class DabReceiver:
     """
 
     def __init__(self, n_frames: int = 8, mode=C.MODE_I,
-                 ensemble: Ensemble | None = None, emit_eti: bool = True):
+                 ensemble: Ensemble | None = None, emit_eti: bool = True,
+                 stats_jsonl=None):
         self.mode = mode
         self.n_frames = n_frames
         self.emit_eti = emit_eti
@@ -182,12 +183,31 @@ class DabReceiver:
         self._rings = None
         self._cif_count = jnp.asarray(0, dtype=jnp.int32)
         self._fib_fifo: dict[int, list[bytes]] = {}
+        self._err_level: dict[int, int] = {}
         self._assembler: EtiAssembler | None = None
         self._activation_cif: int | None = None
         self._subch_fifo: dict[int, dict[int, bytes]] = {}
         self.stats: list[FrameStats] = []
+        # Structured observability (SURVEY.md s5.5): a path or file-like
+        # object receiving one JSON object per processed block.
+        self._stats_jsonl = (open(stats_jsonl, "a")
+                             if isinstance(stats_jsonl, (str, bytes))
+                             else stats_jsonl)
         if ensemble is not None:
             self._activate(ensemble)
+
+    def _log_stats_jsonl(self, out: dict) -> None:
+        if self._stats_jsonl is None:
+            return
+        import json
+        s = self.stats[-1]
+        rec = dataclasses.asdict(s)
+        rec["fic_metric_mean"] = float(np.mean(out["fic_metric"]))
+        for key, m in out.get("subch_metric", {}).items():
+            # Viterbi path metric as a per-sub-channel BER proxy
+            rec[f"subch{key}_metric_mean"] = float(np.mean(m))
+        self._stats_jsonl.write(json.dumps(rec) + "\n")
+        self._stats_jsonl.flush()
 
     # ------------------------------------------------------------- feed
     def feed(self, samples: np.ndarray) -> list[bytes]:
@@ -232,7 +252,13 @@ class DabReceiver:
             out["fib_bits"].astype(np.uint8), axis=-1)     # (B, 12, 32)
         n_ok = n_bad = 0
         fibs_per_cif = self.mode.n_fibs // self.mode.n_cifs
+        # Per-frame sync confidence drives the ETI ERR byte (SURVEY.md
+        # s5.3): bad PRS correlation or a vanished null dip degrade the
+        # frame; FIB CRC failures degrade the specific CIF.
+        null_ratio = float(out["null_ratio"])
+        prs_peak = np.asarray(out["prs_peak"])
         for f in range(self.n_frames):
+            frame_sync_bad = (prs_peak[f] < 0.2) or (null_ratio > 0.5)
             for i in range(self.mode.n_fibs):
                 fib = fib_bytes[f, i].tobytes()
                 if crc16_ok(fib):
@@ -244,15 +270,23 @@ class DabReceiver:
                 n = cif0 + f * self.mode.n_cifs + c
                 triplet = [fib_bytes[f, fibs_per_cif * c + k].tobytes()
                            for k in range(fibs_per_cif)]
+                crc_bad = sum(not crc16_ok(t) for t in triplet)
+                level = 0
+                if frame_sync_bad:
+                    level = 2
+                elif crc_bad:
+                    level = 1
                 self._fib_fifo[n] = triplet
+                self._err_level[n] = level
 
         self.stats.append(FrameStats(
             cif_count=cif0,
             null_start=int(out["null_start"]),
-            null_ratio=float(out["null_ratio"]),
+            null_ratio=null_ratio,
             cfo_carriers=float(out["cfo_carriers"]),
-            prs_peak_min=float(np.min(out["prs_peak"])),
+            prs_peak_min=float(np.min(prs_peak)),
             fib_crc_ok=n_ok, fib_crc_bad=n_bad))
+        self._log_stats_jsonl(out)
 
         # Acquisition -> activation: rewind and reprocess the same block
         # with the MSC decode enabled so its CIFs aren't lost (the reference
@@ -287,7 +321,8 @@ class DabReceiver:
             subch_data = {s.subchid: self._subch_fifo[s.subchid].pop(n)
                           for s in self.ensemble.subchannels}
             frames.append(self._assembler.frame(
-                self._fib_fifo.pop(n), subch_data))
+                self._fib_fifo.pop(n), subch_data,
+                error_level=self._err_level.pop(n, 0)))
             self._next_eti_cif = n + 1
         return frames
 
