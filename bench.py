@@ -1,13 +1,15 @@
-"""Headline benchmark: real-time multiple of full-ensemble DAB decode per
-TPU chip (BASELINE config #1 on the flagship 9x128kbit/s mux).
+"""Benchmarks on the real TPU chip (BASELINE.md configs).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline is against the reference's implicit ~1x real-time on a desktop
-CPU core (BASELINE.md: upstream publishes no numbers).
+stdout: ONE JSON line — the headline metric (config #1: real-time multiple
+of full-ensemble decode per chip vs the reference's implicit ~1x on a
+desktop CPU core; upstream publishes no numbers).
+stderr: the full table — batched multi-ensemble (config #3), wideband
+channelizer (config #4), DAB+ RS (config #2), and kernel microbenchmarks
+(FFT / FIR / Viterbi XLA+Pallas).  Config #5 (multi-host) needs >=2 hosts:
+validated structurally via __graft_entry__.dryrun_multichip on a virtual
+mesh; samples/s scaling must be measured on a pod slice.
 
-Run on the real chip: ``python bench.py`` (tests force CPU; this does not).
-Extra per-stage numbers go to stderr so stdout stays one line.
+Usage: python bench.py [n_frames] [--quick]
 """
 
 from __future__ import annotations
@@ -21,9 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _steady_state_time(fn, args, iters=10, warmup=2):
+def _median_time(fn, *args, iters=10, warmup=2):
+    from dabtools_tpu.utils.retry import call_with_retries
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(call_with_retries(fn, *args,
+                                                retries=5, backoff_s=5.0))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -32,22 +36,32 @@ def _steady_state_time(fn, args, iters=10, warmup=2):
     return float(np.median(times))
 
 
+def _noise(n, rng, scale=0.3):
+    z = rng.normal(size=(n, 2)).astype(np.float32) * scale
+    return jnp.asarray(z[:, 0] + 1j * z[:, 1], dtype=jnp.complex64)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     from __graft_entry__ import _flagship_ensemble
     from dabtools_tpu import constants as C
     from dabtools_tpu.models.receiver import block_samples, process_block
     from dabtools_tpu.ops.fec import init_deinterleave_ring
 
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    quick = "--quick" in sys.argv
+    n_frames = int(args[0]) if args else 16
     ens = _flagship_ensemble()
     dev = jax.devices()[0]
-    print(f"# device: {dev.device_kind} ({dev.platform}), "
-          f"block={n_frames} frames", file=sys.stderr)
-
     rng = np.random.default_rng(0)
+    log(f"# device: {dev.device_kind} ({dev.platform}), "
+        f"block={n_frames} frames, mux=9x128kbit/s EEP-3A (864/864 CUs)")
+
     n = block_samples(n_frames)
-    z = rng.normal(size=(n, 2)).astype(np.float32) * 0.3
-    x = jnp.asarray(z[:, 0] + 1j * z[:, 1], dtype=jnp.complex64)
+    x = _noise(n, rng)
     rings = {str(s.subchid): init_deinterleave_ring(s.profile.tx_bits)
              for s in ens.subchannels}
     cif = jnp.asarray(0, dtype=jnp.int32)
@@ -55,20 +69,20 @@ def main():
     def step(x, rings, cif):
         return process_block(x, rings, cif, ensemble=ens, n_frames=n_frames)
 
-    from dabtools_tpu.utils.retry import call_with_retries
     t0 = time.perf_counter()
-    out, rings2, cif2 = call_with_retries(step, x, rings, cif, retries=5,
-                                          backoff_s=5.0)
-    jax.block_until_ready(out)
-    print(f"# compile+first run: {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    from dabtools_tpu.utils.retry import call_with_retries
+    jax.block_until_ready(call_with_retries(step, x, rings, cif,
+                                            retries=5, backoff_s=5.0))
+    log(f"# compile+first run: {time.perf_counter() - t0:.1f}s")
 
-    t = _steady_state_time(step, (x, rings, cif))
+    t = _median_time(step, x, rings, cif)
     samples = n_frames * C.MODE_I.frame_size
-    sps = samples / t
-    rt = sps / C.SAMPLE_RATE
-    print(f"# block time: {t * 1e3:.2f} ms, {sps / 1e6:.1f} Msamples/s, "
-          f"{rt:.1f}x real-time", file=sys.stderr)
+    rt = samples / t / C.SAMPLE_RATE
+    log(f"# [config 1] full-ensemble decode: {t * 1e3:.2f} ms/block, "
+        f"{samples / t / 1e6:.0f} Msamples/s, {rt:.0f}x real-time")
+
+    if not quick:
+        _extras(ens, n_frames, rng, rt)
 
     print(json.dumps({
         "metric": "realtime_multiple_full_ensemble_per_chip",
@@ -76,6 +90,83 @@ def main():
         "unit": "x_realtime_2.048Msps",
         "vs_baseline": round(rt, 2),
     }))
+
+
+def _extras(ens, n_frames, rng, rt1):
+    from dabtools_tpu import constants as C
+    from dabtools_tpu.models.receiver import block_samples
+    from dabtools_tpu.ops.fec import init_deinterleave_ring
+    from dabtools_tpu.parallel.channel import channel_parallel_block
+
+    # ---- config #3: 8 streams batched on one chip --------------------
+    n_ch = 8
+    nf = max(4, n_frames // 2)
+    xb = jnp.stack([_noise(block_samples(nf), rng) for _ in range(n_ch)])
+    rings8 = {str(s.subchid): jnp.tile(
+        init_deinterleave_ring(s.profile.tx_bits)[None], (n_ch, 1, 1))
+        for s in ens.subchannels}
+
+    def step8(xb, rings8):
+        return channel_parallel_block(
+            xb, rings8, jnp.asarray(0, jnp.int32), ensemble=ens,
+            n_frames=nf, mesh=None)
+
+    t = _median_time(step8, xb, rings8, iters=5)
+    sps = n_ch * nf * C.MODE_I.frame_size / t
+    log(f"# [config 3] {n_ch} ensembles batched: {t * 1e3:.2f} ms/block, "
+        f"{sps / 1e6:.0f} Msamples/s aggregate, "
+        f"{sps / C.SAMPLE_RATE:.0f}x real-time "
+        f"({sps / C.SAMPLE_RATE / n_ch:.0f}x per stream)")
+
+    # ---- config #4: wideband channelizer -----------------------------
+    from dabtools_tpu.ops.fir import Channelizer
+    fs = 16_384_000
+    offsets = [(-3 + k) * 1_712_000 for k in range(7)]
+    ch = Channelizer(fs, offsets_hz=offsets)
+    wide = _noise(fs // 4, rng)  # 250 ms of wideband
+
+    def chan(w):
+        return ch._jit_fn(
+            w, tuple(jnp.asarray(m) for m in ch._mixers),
+            jnp.zeros(len(offsets), jnp.int32),
+            q_list=tuple(m.size for m in ch._mixers))
+
+    t = _median_time(chan, wide, iters=5)
+    log(f"# [config 4] channelizer {fs / 1e6:.1f} Msps -> {len(offsets)} "
+        f"DAB blocks ({ch.num_taps} taps): {t * 1e3:.2f} ms per 250 ms "
+        f"capture = {0.25 / t:.0f}x real-time")
+
+    # ---- config #2: DAB+ RS throughput -------------------------------
+    from dabtools_tpu.ops.rs import rs_decode_batch
+    from dabtools_tpu.utils.gf256 import rs_encode
+    data = rng.integers(0, 256, size=(2048, C.RS_K), dtype=np.uint8)
+    cw = jnp.asarray(rs_encode(data))
+    t = _median_time(rs_decode_batch, cw, iters=5)
+    # one 128 kbit/s DAB+ service = 16 columns / 120 ms
+    sf_rate = 2048 / 16 / t
+    log(f"# [config 2] device RS(120,110): {2048 / t:.0f} codewords/s = "
+        f"{sf_rate:.0f} x128kbps-superframes/s ({sf_rate * 0.12:.0f}x "
+        f"real-time per service-equivalent)")
+
+    # ---- kernel microbenchmarks --------------------------------------
+    spec = _noise(16 * 76 * 2048, rng).reshape(16 * 76, 2048)
+    f_fft = jax.jit(lambda a: jnp.fft.fft(a, axis=-1))
+    t = _median_time(f_fft, spec)
+    log(f"# [kernel] batched FFT-2048 x{16 * 76}: {t * 1e6:.0f} us "
+        f"({16 * 76 * 2048 / t / 1e9:.1f} Gsamples/s)")
+
+    from dabtools_tpu.mod.convcode import conv_encode
+    from dabtools_tpu.ops.viterbi import viterbi_decode
+    from dabtools_tpu.ops.viterbi_pallas import viterbi_decode_pallas
+    msgs = rng.integers(0, 2, size=(576, 3072), dtype=np.uint8)
+    soft = np.stack([1.0 - 2.0 * conv_encode(m) for m in msgs])
+    soft = jnp.asarray(soft + rng.normal(scale=0.5, size=soft.shape),
+                       dtype=jnp.float32)
+    steps = 576 * 3078
+    t = _median_time(lambda s: viterbi_decode(s, impl="pallas"), soft,
+                     iters=5)
+    log(f"# [kernel] Pallas Viterbi (576x3078): {t * 1e3:.2f} ms "
+        f"({steps / t / 1e6:.0f} Msteps/s)")
 
 
 if __name__ == "__main__":
