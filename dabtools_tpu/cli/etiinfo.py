@@ -1,0 +1,105 @@
+"""``etiinfo``: inspect an ETI(NI) stream (etisnoop-style summary).
+
+Prints per-stream layout, FIC-derived ensemble info, CRC/continuity
+health.  Useful for validating interop artifacts (SURVEY.md s4 item 3).
+
+Usage: python -m dabtools_tpu.cli.etiinfo mux.eti [--frames N] [--verbose]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from collections import Counter
+
+from dabtools_tpu.eti.parse import EtiParser
+from dabtools_tpu.fic.fig import FigParser
+from dabtools_tpu.utils.crc import crc16_ok
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="etiinfo", description=__doc__)
+    p.add_argument("input", help="ETI file, or '-' for stdin")
+    p.add_argument("--frames", type=int, default=None,
+                   help="stop after N frames")
+    p.add_argument("--verbose", "-v", action="store_true",
+                   help="per-frame lines")
+    args = p.parse_args(argv)
+
+    f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    parser = EtiParser()
+    fig = FigParser()
+    n = 0
+    err_counter: Counter = Counter()
+    hdr_bad = mst_bad = fct_jumps = fib_bad = 0
+    last_fct = None
+    stream_layout = None
+    try:
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            for frame in parser.feed(chunk):
+                n += 1
+                err_counter[frame.err] += 1
+                hdr_bad += not frame.header_crc_ok
+                mst_bad += not frame.mst_crc_ok
+                if last_fct is not None and frame.fct != (last_fct + 1) % 250:
+                    fct_jumps += 1
+                last_fct = frame.fct
+                for i in range(0, len(frame.fic), 32):
+                    fib = frame.fic[i:i + 32]
+                    if crc16_ok(fib):
+                        fig.feed_fib(fib)
+                    else:
+                        fib_bad += 1
+                layout = tuple(sorted(
+                    (s.subchid, s.sad_words, s.stl_words, s.tpl)
+                    for s in frame.streams.values()))
+                if stream_layout is None:
+                    stream_layout = layout
+                elif layout != stream_layout:
+                    print(f"frame {n}: stream layout changed")
+                    stream_layout = layout
+                if args.verbose:
+                    print(f"frame {n - 1}: FCT={frame.fct} FP={frame.fp} "
+                          f"ERR=0x{frame.err:02X} "
+                          f"hdrCRC={'ok' if frame.header_crc_ok else 'BAD'} "
+                          f"mstCRC={'ok' if frame.mst_crc_ok else 'BAD'}")
+                if args.frames and n >= args.frames:
+                    raise StopIteration
+    except StopIteration:
+        pass
+    finally:
+        if args.input != "-":
+            f.close()
+
+    if n == 0:
+        print("no ETI frames found")
+        return 1
+    print(f"frames: {n} ({n * 0.024:.2f} s), resyncs: {parser.resyncs}")
+    errs = ", ".join(f"0x{e:02X} x{c}" for e, c in sorted(err_counter.items()))
+    print(f"ERR bytes: {errs}")
+    print(f"header CRC failures: {hdr_bad}, MST CRC failures: {mst_bad}, "
+          f"FCT discontinuities: {fct_jumps}, bad FIBs: {fib_bad}")
+
+    ens = fig.ensemble()
+    if ens is None:
+        print("no MCI decoded from FIC")
+    else:
+        print(f"ensemble: 0x{ens.eid:04X} {ens.label!r}")
+        for s in ens.sorted_subchannels():
+            print(f"  subch {s.subchid:2d}: CU {s.start_cu:3d}+{s.size_cus:<3d}"
+                  f" {s.protection_type}-{s.protection_level}"
+                  f"{s.eep_option if s.protection_type == 'EEP' else ''}"
+                  f" {s.bitrate_kbps} kbit/s")
+        for svc in ens.services:
+            comps = ", ".join(
+                f"subch {c.subchid} ({'DAB+' if c.is_dabplus else 'MP2'})"
+                for c in svc.components)
+            print(f"  service 0x{svc.sid:04X} {svc.label!r}: {comps}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

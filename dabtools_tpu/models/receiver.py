@@ -71,7 +71,15 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
     frame_starts = frame_start_guesses + fine["offset"]
     cfo = frac + fine["int_cfo"][0].astype(jnp.float32)
 
-    soft, diag = demod_frames(x, frame_starts, mode, cfo)
+    # Sample-clock drift (samples/frame) from consecutive PRS fine offsets;
+    # median makes it robust to one bad correlation.
+    if n_frames > 1:
+        spacing = jnp.diff(frame_starts).astype(jnp.float32)
+        drift = jnp.median(spacing) - mode.frame_size
+    else:
+        drift = jnp.float32(0.0)
+
+    soft, diag = demod_frames(x, frame_starts, mode, cfo, drift)
 
     # ---- FIC ----------------------------------------------------------
     n_cw = mode.fic_codewords_per_frame
@@ -210,6 +218,8 @@ class DabReceiver:
         self._stats_jsonl.flush()
 
     # ------------------------------------------------------------- feed
+    PREROLL = 4096  # samples kept before the next frame's null symbol
+
     def feed(self, samples: np.ndarray) -> list[bytes]:
         """Consume samples; return any completed ETI frames."""
         self._buf = np.concatenate([self._buf,
@@ -218,7 +228,15 @@ class DabReceiver:
         need = block_samples(self.n_frames, self.mode)
         while self._buf.size >= need:
             eti.extend(self._process_one_block(self._buf[:need]))
-            self._buf = self._buf[self.n_frames * self.mode.frame_size:]
+            # Advance relative to the *measured* null position so sample-
+            # clock drift cannot silently skip/repeat a frame (which would
+            # desynchronize the CIF numbering and the deinterleaver); keep
+            # a fixed pre-roll so the next block's coarse argmin lands on
+            # the immediately-next null dip.
+            ns = self.stats[-1].null_start if self.stats else 0
+            advance = max(ns + self.n_frames * self.mode.frame_size
+                          - self.PREROLL, 1)
+            self._buf = self._buf[min(advance, self._buf.size):]
         return eti
 
     # ------------------------------------------------------- internals
@@ -339,6 +357,24 @@ class DabReceiver:
             "fib_fifo": dict(self._fib_fifo),
             "subch_fifo": {k: dict(v) for k, v in self._subch_fifo.items()},
         }
+
+    def save_checkpoint(self, path: str) -> None:
+        """Serialize the resumable state to ``path`` (npz + pickle-free
+        config encoding)."""
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self.checkpoint(), f)
+
+    @classmethod
+    def load_checkpoint(cls, path: str, **kwargs) -> "DabReceiver":
+        import pickle
+
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
+        rx = cls(**kwargs)
+        rx.restore(ckpt)
+        return rx
 
     def restore(self, ckpt: dict) -> None:
         self._cif_count = jnp.asarray(ckpt["cif_count"], dtype=jnp.int32)

@@ -32,7 +32,8 @@ def _interleave_idx(mode: Mode) -> np.ndarray:
 
 def gather_symbol_windows(x: jnp.ndarray, frame_starts: jnp.ndarray,
                           mode: Mode = MODE_I,
-                          cfo_norm: jnp.ndarray | float = 0.0) -> jnp.ndarray:
+                          cfo_norm: jnp.ndarray | float = 0.0,
+                          drift: jnp.ndarray | float = 0.0) -> jnp.ndarray:
     """Gather the useful part of every OFDM symbol of every frame.
 
     ``x``: (n_samples,) complex64 baseband block.
@@ -41,12 +42,25 @@ def gather_symbol_windows(x: jnp.ndarray, frame_starts: jnp.ndarray,
     ``cfo_norm``: residual CFO in units of the carrier spacing
     (f_cfo / (fs / T_u)); corrected with a per-sample phase ramp evaluated
     on the gathered windows.
+    ``drift``: sample-clock drift in samples per frame (traced float ok);
+    symbol windows slide linearly within the frame so a cheap-tuner ppm
+    offset stays within +-0.5 sample at every symbol (the PRS fine sync
+    only corrects the frame *start*).
 
     Returns (B, n_symbols, T_u) complex64.
     """
     sym_idx = jnp.arange(mode.n_symbols, dtype=jnp.int32)
+    sym_pos = (mode.null_size + sym_idx * mode.symbol_size).astype(jnp.float32)
+    drift_adj = jnp.round(
+        jnp.asarray(drift, jnp.float32) * sym_pos / mode.frame_size
+    ).astype(jnp.int32)
+    # NB: a window shifted by `a` samples multiplies FFT bin b by
+    # exp(j*2*pi*a*b/N); demod_frames undoes this so the per-symbol integer
+    # steps don't corrupt the DQPSK differential (a 1-sample step is
+    # 2.4 rad at the band edge!).
     starts = (frame_starts[:, None] + mode.null_size
-              + sym_idx[None, :] * mode.symbol_size + mode.guard)
+              + sym_idx[None, :] * mode.symbol_size + mode.guard
+              + drift_adj[None, :])
     idx = starts[:, :, None] + jnp.arange(mode.fft_size, dtype=jnp.int32)
     win = x[idx]
     cfo_norm = jnp.asarray(cfo_norm, dtype=jnp.float32)
@@ -59,7 +73,8 @@ def gather_symbol_windows(x: jnp.ndarray, frame_starts: jnp.ndarray,
 
 def demod_frames(x: jnp.ndarray, frame_starts: jnp.ndarray,
                  mode: Mode = MODE_I,
-                 cfo_norm: jnp.ndarray | float = 0.0):
+                 cfo_norm: jnp.ndarray | float = 0.0,
+                 drift: jnp.ndarray | float = 0.0):
     """Full-block OFDM demod: samples -> soft bits.
 
     Returns ``(soft, diag)``: soft (B, n_symbols-1, 2*K) float32 with
@@ -67,8 +82,18 @@ def demod_frames(x: jnp.ndarray, frame_starts: jnp.ndarray,
     as the differential reference); ``diag`` holds per-frame magnitudes for
     observability.
     """
-    win = gather_symbol_windows(x, frame_starts, mode, cfo_norm)
+    win = gather_symbol_windows(x, frame_starts, mode, cfo_norm, drift)
     spec = jnp.fft.fft(win, axis=-1)
+    # Undo the per-symbol drift-adjustment window shifts in phase so every
+    # symbol is referenced to one timebase (see gather_symbol_windows).
+    sym_idx = jnp.arange(mode.n_symbols, dtype=jnp.int32)
+    sym_pos = (mode.null_size + sym_idx * mode.symbol_size).astype(jnp.float32)
+    adj = jnp.round(jnp.asarray(drift, jnp.float32) * sym_pos
+                    / mode.frame_size)
+    bins = jnp.arange(mode.fft_size, dtype=jnp.float32)
+    ph = -2.0 * jnp.pi * jnp.mod(
+        adj[:, None] * bins[None, :] / mode.fft_size, 1.0)
+    spec = spec * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))[None]
     z = spec[:, 1:, :] * jnp.conj(spec[:, :-1, :])
     q = z[..., jnp.asarray(_interleave_idx(mode))]
     # Normalize per frame so Viterbi metrics are SNR-comparable.

@@ -76,8 +76,8 @@ class TestChannelizer:
         ens_a = build_ensemble()
         ens_b = Ensemble(eid=0xB10C, label="BLOCK B",
                          subchannels=(Subchannel.eep(4, 0, 2, "B", 64),))
-        xa, pa = modulate(ens_a, 10, seed=11)
-        xb, pb = modulate(ens_b, 10, seed=22)
+        xa, pa = modulate(ens_a, 12, seed=11)
+        xb, pb = modulate(ens_b, 12, seed=22)
         wide = (upconvert(xa, factor, +1_712_000, fs)
                 + upconvert(xb, factor, -1_712_000, fs))
         wide *= 0.5
