@@ -36,6 +36,18 @@ def _median_time(fn, *args, iters=10, warmup=2):
     return float(np.median(times))
 
 
+def _amortized_time(fn, *args, n_queue=20):
+    """Sustained throughput: enqueue n_queue independent executions, block
+    once.  Robust to per-call dispatch/sync overhead."""
+    from dabtools_tpu.utils.retry import call_with_retries
+    jax.block_until_ready(call_with_retries(fn, *args,
+                                            retries=5, backoff_s=5.0))
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(n_queue)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / n_queue
+
+
 def _noise(n, rng, scale=0.3):
     z = rng.normal(size=(n, 2)).astype(np.float32) * scale
     return jnp.asarray(z[:, 0] + 1j * z[:, 1], dtype=jnp.complex64)
@@ -75,13 +87,25 @@ def main():
                                             retries=5, backoff_s=5.0))
     log(f"# compile+first run: {time.perf_counter() - t0:.1f}s")
 
-    t = _median_time(step, x, rings, cif)
+    t = _amortized_time(step, x, rings, cif)
     samples = n_frames * C.MODE_I.frame_size
     rt = samples / t / C.SAMPLE_RATE
-    log(f"# [config 1] full-ensemble decode: {t * 1e3:.2f} ms/block, "
-        f"{samples / t / 1e6:.0f} Msamples/s, {rt:.0f}x real-time")
+    log(f"# [config 1] full-ensemble decode: {t * 1e3:.2f} ms/block "
+        f"(sustained), {samples / t / 1e6:.0f} Msamples/s, "
+        f"{rt:.0f}x real-time")
 
     if not quick:
+        # throughput-optimal operating point: bigger blocks
+        nf2 = 64
+        x2 = _noise(block_samples(nf2), rng)
+
+        def step64(x, rings, cif):
+            return process_block(x, rings, cif, ensemble=ens, n_frames=nf2)
+
+        t2 = _amortized_time(step64, x2, rings, cif)
+        rt2 = nf2 * C.MODE_I.frame_size / t2 / C.SAMPLE_RATE
+        log(f"# [config 1b] 64-frame blocks: {t2 * 1e3:.2f} ms/block, "
+            f"{rt2:.0f}x real-time (6.1 s latency operating point)")
         _extras(ens, n_frames, rng, rt)
 
     print(json.dumps({
