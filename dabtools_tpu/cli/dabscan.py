@@ -1,0 +1,89 @@
+"""``dabscan``: find DAB ensembles in a wideband capture.
+
+Channelizes every Band III block that fits inside the capture bandwidth
+(N2) and runs FIC acquisition on each candidate (capability beyond the
+single-block reference — one TPU pass scans a whole band segment).
+
+Usage:
+  python -m dabtools_tpu.cli.dabscan --center 184.5e6 --rate 8.192e6 cap.cf32
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+log = logging.getLogger("dabtools_tpu.dabscan")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="dabscan", description=__doc__)
+    p.add_argument("input", help="wideband IQ capture (u8 or cf32), '-' stdin")
+    p.add_argument("--center", type=float, required=True,
+                   help="capture centre frequency, Hz")
+    p.add_argument("--rate", type=float, required=True,
+                   help="capture sample rate, Hz (integer multiple of "
+                        "2.048 MHz)")
+    p.add_argument("--format", choices=("u8", "cf32"), default="cf32")
+    p.add_argument("--seconds", type=float, default=2.0,
+                   help="how much capture to scan")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.WARNING, stream=sys.stderr)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from dabtools_tpu.models.receiver import DabReceiver
+    from dabtools_tpu.ops.fir import Channelizer
+    from dabtools_tpu.tables.bandiii import blocks_within
+
+    fs = int(args.rate)
+    candidates = blocks_within(args.center, fs)
+    if not candidates:
+        print("no Band III blocks inside the capture bandwidth")
+        return 1
+    offsets = [int(f - args.center) for _, f in candidates]
+    print(f"scanning {len(candidates)} blocks: "
+          f"{', '.join(l for l, _ in candidates)}", file=sys.stderr)
+
+    n = int(args.seconds * fs)
+    f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    if args.format == "u8":
+        from dabtools_tpu.mod.impairments import u8_to_complex
+        raw = f.read(2 * n)
+        x = u8_to_complex(np.frombuffer(raw, dtype=np.uint8))
+    else:
+        x = np.frombuffer(f.read(8 * n), dtype=np.complex64)
+    if args.input != "-":
+        f.close()
+
+    ch = Channelizer(fs, offsets_hz=offsets)
+    streams = ch(x)
+
+    found = 0
+    for (label, freq), stream in zip(candidates, streams):
+        rx = DabReceiver(n_frames=4, emit_eti=False)
+        rx.feed(np.asarray(stream))
+        if rx.ensemble is None:
+            quality = rx.stats[-1].null_ratio if rx.stats else 1.0
+            print(f"{label} {freq / 1e6:8.3f} MHz: -- "
+                  f"(null ratio {quality:.2f})")
+            continue
+        found += 1
+        ens = rx.ensemble
+        svcs = ", ".join(
+            f"{s.label or hex(s.sid)}"
+            f"[{'DAB+' if any(c.is_dabplus for c in s.components) else 'MP2'}]"
+            for s in ens.services) or "(no services signalled yet)"
+        print(f"{label} {freq / 1e6:8.3f} MHz: ensemble 0x{ens.eid:04X} "
+              f"{ens.label!r} — {len(ens.subchannels)} subch — {svcs}")
+    print(f"{found} ensemble(s) found", file=sys.stderr)
+    return 0 if found else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
