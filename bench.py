@@ -65,6 +65,10 @@ def main():
 
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     quick = "--quick" in sys.argv
+    profile_dir = None
+    if "--profile" in sys.argv:      # device timeline (SURVEY.md s5.1)
+        profile_dir = "/tmp/dabtools_profile"
+        jax.profiler.start_trace(profile_dir)
     n_frames = int(args[0]) if args else 16
     ens = _flagship_ensemble()
     dev = jax.devices()[0]
@@ -107,6 +111,10 @@ def main():
         log(f"# [config 1b] 64-frame blocks: {t2 * 1e3:.2f} ms/block, "
             f"{rt2:.0f}x real-time (6.1 s latency operating point)")
         _extras(ens, n_frames, rng, rt)
+
+    if profile_dir:
+        jax.profiler.stop_trace()
+        log(f"# profiler trace written to {profile_dir} (Perfetto/XProf)")
 
     print(json.dumps({
         "metric": "realtime_multiple_full_ensemble_per_chip",

@@ -60,6 +60,9 @@ class SubchannelSource:
         mother = conv_encode(scrambled)
         mask = puncture_mask_for_profile(self.profile).astype(bool)
         coded = mother[mask]
+        if self.profile.padding_bits:
+            coded = np.concatenate(
+                [coded, np.zeros(self.profile.padding_bits, dtype=np.uint8)])
         slot = self._cif_index % C.TIME_INTERLEAVE_DEPTH
         self._history[slot] = coded
         delays = tx_delay_for_bits(self.tx_bits)

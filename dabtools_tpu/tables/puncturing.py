@@ -190,13 +190,43 @@ UEP_TABLE_31: tuple[tuple[int, int, int], ...] = (
 UEP_PROFILES: dict[tuple[int, int], PuncturingProfile] = {}
 
 
+def register_uep_profile(bitrate_kbps: int, level: int,
+                         regions: tuple[tuple[int, int], ...],
+                         padding_bits: int = 0) -> PuncturingProfile:
+    """Register a UEP protection profile (EN 300 401 Table 33 row).
+
+    The 64-row data table is not bundled (offline build); users with the
+    standard text supply rows here — the 4-region mechanism, padding,
+    modulator, and receiver all support them (tested with synthetic rows).
+    The profile must fit the Table 31 sub-channel size for the
+    (bitrate, level) pair.
+    """
+    prof = PuncturingProfile(f"UEP-{bitrate_kbps}k-P{level}",
+                             regions=tuple(regions),
+                             padding_bits=padding_bits)
+    if prof.data_bits != bitrate_kbps * 24:
+        raise ValueError(
+            f"regions carry {prof.data_bits} bits per logical frame; "
+            f"{bitrate_kbps} kbit/s requires {bitrate_kbps * 24}")
+    expect = next((size for size, lv, kb in UEP_TABLE_31
+                   if lv == level and kb == bitrate_kbps), None)
+    if expect is not None and prof.tx_bits != expect * 64:
+        raise ValueError(
+            f"profile transmits {prof.tx_bits} bits but Table 31 gives "
+            f"{expect} CUs = {expect * 64} bits for "
+            f"{bitrate_kbps} kbit/s P{level}")
+    UEP_PROFILES[(bitrate_kbps, level)] = prof
+    return prof
+
+
 def uep_profile(bitrate_kbps: int, level: int) -> PuncturingProfile:
     try:
         return UEP_PROFILES[(bitrate_kbps, level)]
     except KeyError:
         raise NotImplementedError(
             f"UEP profile data for {bitrate_kbps} kbit/s P{level} is not "
-            "bundled (EN 300 401 Table 33 unavailable offline). EEP "
+            "bundled (EN 300 401 Table 33 unavailable offline); register "
+            "the standard's row via register_uep_profile(). EEP "
             "sub-channels are fully supported; see tables/puncturing.py."
         ) from None
 
