@@ -173,6 +173,12 @@ class FigParser:
     service_labels: dict = dataclasses.field(default_factory=dict)
     fibs_ok: int = 0
     fibs_bad: int = 0
+    # Mux reconfiguration support: FIG 0/1 entries must be re-signalled to
+    # stay live (real multiplexes repeat the MCI every frame); stale
+    # sub-channels age out so a reconfigured ensemble replaces, not merges.
+    max_subch_age_fibs: int = 36
+    _tick: int = 0
+    _subch_seen: dict = dataclasses.field(default_factory=dict)
 
     def feed_fib(self, fib: bytes | np.ndarray) -> None:
         fib = bytes(fib)
@@ -182,6 +188,7 @@ class FigParser:
             self.fibs_bad += 1
             return
         self.fibs_ok += 1
+        self._tick += 1
         pos = 0
         data = fib[:30]
         while pos < 30:
@@ -226,6 +233,7 @@ class FigParser:
                     index = r.get(6)
                     sub = Subchannel.uep(subchid, start, index)
                 self.subchannels[subchid] = sub
+                self._subch_seen[subchid] = self._tick
         elif ext == 2 and pd == 0:
             while remaining_bits() >= 24:
                 sid = r.get(16)
@@ -254,19 +262,26 @@ class FigParser:
         elif ext == 1:
             self.service_labels[ident] = label
 
+    def _live_subchannels(self) -> dict:
+        horizon = self._tick - self.max_subch_age_fibs
+        return {sc: sub for sc, sub in self.subchannels.items()
+                if self._subch_seen.get(sc, 0) > horizon}
+
     def have_mci(self) -> bool:
-        return bool(self.subchannels)
+        return bool(self._live_subchannels())
 
     def ensemble(self) -> Ensemble | None:
-        if not self.have_mci():
+        live = self._live_subchannels()
+        if not live:
             return None
         services = tuple(
             Service(sid=sid, components=comps,
                     label=self.service_labels.get(sid, ""))
-            for sid, comps in sorted(self.services.items()))
+            for sid, comps in sorted(self.services.items())
+            if all(c.subchid in live for c in comps if c.tmid == 0))
         return Ensemble(
             eid=self.eid or 0,
-            subchannels=tuple(sorted(self.subchannels.values(),
+            subchannels=tuple(sorted(live.values(),
                                      key=lambda s: s.start_cu)),
             services=services,
             label=self.ensemble_label)

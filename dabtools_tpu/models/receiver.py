@@ -250,6 +250,9 @@ class DabReceiver:
         # First fully-valid logical frame: its 16 interleaved contributions
         # are received CIFs n..n+15, all >= activation.
         self._next_eti_cif = self._activation_cif
+        for n in [k for k in self._fib_fifo if k < self._activation_cif]:
+            self._fib_fifo.pop(n)
+            self._err_level.pop(n, None)
         log.info("ensemble activated: eid=0x%04X subchannels=%s",
                  ensemble.eid,
                  [(s.subchid, s.size_cus) for s in ensemble.subchannels])
@@ -313,6 +316,21 @@ class DabReceiver:
             self._cif_count = jnp.asarray(cif0, dtype=jnp.int32)
             self._activate(self._fig.ensemble())
             return self._process_one_block(x)
+
+        # Ensemble reconfiguration (multiplex changes signalled via FIG):
+        # re-specialize the pipeline on the new MCI.  In-flight CIFs of the
+        # old configuration that haven't fully deinterleaved are dropped
+        # (the mux rearranged the CUs under them anyway).
+        if self.ensemble is not None and self._fig.have_mci():
+            new_ens = self._fig.ensemble()
+            if new_ens != self.ensemble:
+                log.info("ensemble reconfiguration detected "
+                         "(0x%04X): re-specializing", new_ens.eid)
+                pending = self._emit_eti() if self.emit_eti else []
+                self._cif_count = jnp.asarray(cif0, dtype=jnp.int32)
+                self._subch_fifo.clear()
+                self._activate(new_ens)
+                return pending + self._process_one_block(x)
 
         # Sub-channel rows j correspond to logical frames cif0 + j - 15.
         if self.ensemble is not None:
