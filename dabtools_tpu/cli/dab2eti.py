@@ -25,19 +25,23 @@ CHUNK = 1 << 22
 
 def iter_samples(path: str, fmt: str):
     f = sys.stdin.buffer if path == "-" else open(path, "rb")
+    itemsize = 2 if fmt == "u8" else 8
+    carry = b""   # pipes deliver arbitrary read sizes; keep partial samples
     try:
         while True:
             raw = f.read(CHUNK)
             if not raw:
                 return
+            raw = carry + raw
+            usable = len(raw) // itemsize * itemsize
+            raw, carry = raw[:usable], raw[usable:]
+            if not raw:
+                continue
             if fmt == "u8":
                 from dabtools_tpu.mod.impairments import u8_to_complex
-                arr = np.frombuffer(raw, dtype=np.uint8)
-                arr = arr[: arr.size // 2 * 2]
-                yield u8_to_complex(arr)
+                yield u8_to_complex(np.frombuffer(raw, dtype=np.uint8))
             else:
-                arr = np.frombuffer(raw, dtype=np.complex64)
-                yield arr
+                yield np.frombuffer(raw, dtype=np.complex64)
     finally:
         if path != "-":
             f.close()

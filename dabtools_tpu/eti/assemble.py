@@ -40,7 +40,11 @@ class EtiAssembler:
         self.ensemble = ensemble
         self.mode = mode
         self.subs = ensemble.sorted_subchannels()
-        self.fct = 0
+        self.frame_count = 0
+
+    @property
+    def fct(self) -> int:
+        return self.frame_count % 250
 
     def frame(self, fibs: list[bytes], subch_data: dict[int, bytes],
               error_level: int = 0) -> bytes:
@@ -70,53 +74,44 @@ class EtiAssembler:
 
         err = (0xFF, 0x0F, 0x0F, 0x00)[min(error_level, 3)]
         mid = {"I": 1, "II": 2, "III": 3, "IV": 0}[self.mode.name]
+        count = self.frame_count
+        self.frame_count += 1
+        fct = count % 250
+        fp = count % 8        # continuous mod-8 phase (NOT fct%8: 250%8!=0)
+
+        # STC; SAD/STL in 64-bit (8-byte) words so 10/8 bits cover the MST.
+        # Built once; shared by the native and Python paths.
+        sad = fic_len // 8  # sub-channel data starts after the FIC
+        stc = bytearray()
+        for s, data in streams:
+            stl = len(data) // 8
+            stc.append((s.subchid << 2) | ((sad >> 8) & 0x03))
+            stc.append(sad & 0xFF)
+            stc.append(tpl_for_subchannel(s))
+            stc.append(stl & 0xFF)
+            sad += stl
+        subch_bytes = b"".join(d for _, d in streams)
 
         # Native fast path (dabhost.cc eti_build; bit-identical to the
         # Python path below, cross-checked in tests/test_native.py).
         from dabtools_tpu.utils import native
         if native.lib() is not None:
-            stc = bytearray()
-            sad = fic_len // 8
-            for s, data in streams:
-                stl = len(data) // 8
-                stc.append((s.subchid << 2) | ((sad >> 8) & 0x03))
-                stc.append(sad & 0xFF)
-                stc.append(tpl_for_subchannel(s))
-                stc.append(stl & 0xFF)
-                sad += stl
-            frame = native.eti_build(
-                self.fct % 250, err, mid, bytes(stc), nst, fibs_bytes,
-                b"".join(d for _, d in streams))
-            self.fct = (self.fct + 1) % 250
-            return frame
+            return native.eti_build(fct, fp, err, mid, bytes(stc), nst,
+                                    fibs_bytes, subch_bytes)
 
-        fsync = C.ETI_FSYNC if self.fct % 2 == 0 else C.ETI_FSYNC_INV
+        fsync = C.ETI_FSYNC if count % 2 == 0 else C.ETI_FSYNC_INV
         out = bytearray()
         out.append(err)
         out += fsync.to_bytes(3, "big")
 
         # FC
         fc = bytearray(4)
-        fc[0] = self.fct % 250
+        fc[0] = fct
         ficf = 1
-        fp = self.fct % 8
-        mid = {"I": 1, "II": 2, "III": 3, "IV": 0}[self.mode.name]
         fc[1] = (ficf << 7) | nst
         fc[2] = (fp << 5) | (mid << 3) | ((fl_words >> 8) & 0x07)
         fc[3] = fl_words & 0xFF
         out += fc
-
-        # STC; SAD/STL in 64-bit (8-byte) words so 10/8 bits cover the MST
-        sad = fic_len // 8  # sub-channel data starts after the FIC
-        stc = bytearray()
-        for s, data in streams:
-            stl = len(data) // 8
-            tpl = tpl_for_subchannel(s)
-            stc.append((s.subchid << 2) | ((sad >> 8) & 0x03))
-            stc.append(sad & 0xFF)
-            stc.append(tpl)
-            stc.append(stl & 0xFF)
-            sad += stl
         out += stc
 
         # EOH: MNSC + header CRC over FC+STC+MNSC
@@ -125,7 +120,7 @@ class EtiAssembler:
         out += mnsc + crc.to_bytes(2, "big")
 
         # MST
-        mst = fibs_bytes + b"".join(d for _, d in streams)
+        mst = fibs_bytes + subch_bytes
         out += mst
 
         # EOF: CRC over MST + RFU
@@ -136,5 +131,4 @@ class EtiAssembler:
         if len(out) > C.ETI_FRAME_BYTES:
             raise ValueError("ETI frame overflow")
         out += b"\x55" * (C.ETI_FRAME_BYTES - len(out))
-        self.fct = (self.fct + 1) % 250
         return bytes(out)

@@ -99,6 +99,15 @@ class Ensemble:
         if any(e > C.CIF_CUS for e in ends):
             raise ValueError("sub-channel exceeds CIF capacity")
 
+    def decode_config(self) -> "Ensemble":
+        """The jit-relevant projection: sub-channel organization only.
+
+        Labels/services/eid don't shape the device program; keying the jit
+        on this stripped config avoids retraces (and spurious pipeline
+        resets) when mux metadata arrives late or changes.
+        """
+        return Ensemble(eid=0, subchannels=self.subchannels)
+
     def subchannel(self, subchid: int) -> Subchannel:
         for s in self.subchannels:
             if s.subchid == subchid:

@@ -61,42 +61,55 @@ def _fig_0_0(ens: Ensemble, cif_count: int) -> bytes:
     return bytes([0x00 | len(body)]) + body
 
 
-def _fig_0_1(subchannels: tuple[Subchannel, ...]) -> bytes:
-    w = _BitWriter()
-    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(1, 5)   # ext=1
-    for s in subchannels:
-        w.put(s.subchid, 6)
-        w.put(s.start_cu, 10)
-        if s.protection_type == "UEP":
-            w.put(0, 1)            # short form
-            w.put(0, 1)            # table switch
-            w.put(s.uep_table_index, 6)
-        else:
-            w.put(1, 1)            # long form
-            option = 0 if s.eep_option == "A" else 1
-            w.put(option, 3)
-            w.put(s.protection_level - 1, 2)
-            w.put(s.size_cus, 10)
-    body = w.bytes()
-    return bytes([0x00 | len(body)]) + body
+def _chunks(seq, n):
+    for i in range(0, len(seq), n):
+        yield seq[i:i + n]
 
 
-def _fig_0_2(services: tuple[Service, ...]) -> bytes:
-    w = _BitWriter()
-    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(2, 5)   # ext=2
-    for svc in services:
-        w.put(svc.sid, 16)
-        w.put(0, 1)                # local flag
-        w.put(0, 3)                # CAId
-        w.put(len(svc.components), 4)
-        for comp in svc.components:
-            w.put(comp.tmid, 2)
-            w.put(comp.ascty, 6)
-            w.put(comp.subchid, 6)
-            w.put(1 if comp.primary else 0, 1)
-            w.put(0, 1)            # CA flag
-    body = w.bytes()
-    return bytes([0x00 | len(body)]) + body
+def _fig_0_1(subchannels: tuple[Subchannel, ...]) -> list[bytes]:
+    # A FIB carries <= 30 bytes; long-form entries are 4 bytes, so split
+    # the sub-channel org over multiple FIG 0/1s (as real muxes do).
+    figs = []
+    for group in _chunks(subchannels, 6):
+        w = _BitWriter()
+        w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(1, 5)   # ext=1
+        for s in group:
+            w.put(s.subchid, 6)
+            w.put(s.start_cu, 10)
+            if s.protection_type == "UEP":
+                w.put(0, 1)            # short form
+                w.put(0, 1)            # table switch
+                w.put(s.uep_table_index, 6)
+            else:
+                w.put(1, 1)            # long form
+                option = 0 if s.eep_option == "A" else 1
+                w.put(option, 3)
+                w.put(s.protection_level - 1, 2)
+                w.put(s.size_cus, 10)
+        body = w.bytes()
+        figs.append(bytes([0x00 | len(body)]) + body)
+    return figs
+
+
+def _fig_0_2(services: tuple[Service, ...]) -> list[bytes]:
+    figs = []
+    for group in _chunks(services, 4):
+        w = _BitWriter()
+        w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(2, 5)   # ext=2
+        for svc in group:
+            w.put(svc.sid, 16)
+            w.put(0, 1)                # local flag
+            w.put(0, 3)                # CAId
+            w.put(len(svc.components), 4)
+            for comp in svc.components:
+                w.put(comp.tmid, 2)
+                w.put(comp.ascty, 6)
+                w.put(comp.subchid, 6)
+                w.put(1 if comp.primary else 0, 1)
+                w.put(0, 1)            # CA flag
+        body = w.bytes()
+        figs.append(bytes([0x00 | len(body)]) + body)
+    return figs
 
 
 def _fig_1(ext: int, ident: int, label: str) -> bytes:
@@ -118,17 +131,22 @@ def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
     end-marked (0xFF) and zero-padded, each FIB gets its CRC.  Returns
     (n_fibs, 32) uint8.
     """
-    figs = [
-        _fig_0_0(ens, cif_count=frame_idx * C.MODE_I.n_cifs),
-        _fig_0_1(ens.subchannels),
-    ]
+    figs = [_fig_0_0(ens, cif_count=frame_idx * C.MODE_I.n_cifs)]
+    figs += _fig_0_1(ens.subchannels)
     if ens.services:
-        figs.append(_fig_0_2(ens.services))
+        figs += _fig_0_2(ens.services)
+    # Labels are rotated across frames (each is ~21 B, most of a FIB; real
+    # muxes repeat them at low rate).  Up to 3 label FIGs per frame.
+    labels = []
     if ens.label:
-        figs.append(_fig_1(0, ens.eid, ens.label))
+        labels.append(_fig_1(0, ens.eid, ens.label))
     for svc in ens.services:
         if svc.label:
-            figs.append(_fig_1(1, svc.sid, svc.label))
+            labels.append(_fig_1(1, svc.sid, svc.label))
+    if labels:
+        start = (3 * frame_idx) % len(labels)
+        rotated = (labels[start:] + labels[:start])[:3]
+        figs += rotated
 
     fibs = np.zeros((n_fibs, C.FIB_BYTES), dtype=np.uint8)
     fib_idx = 0
@@ -137,6 +155,10 @@ def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
         if len(payload) + len(fig) > 30:
             fibs[fib_idx] = _finish_fib(payload)
             fib_idx += 1
+            if fib_idx >= n_fibs:
+                raise ValueError(
+                    "MCI does not fit one frame's FIBs; reduce services "
+                    "or labels per frame")
             payload = b""
         if len(fig) > 30:
             raise ValueError("FIG too large for a FIB")
@@ -173,10 +195,11 @@ class FigParser:
     service_labels: dict = dataclasses.field(default_factory=dict)
     fibs_ok: int = 0
     fibs_bad: int = 0
+    figs_malformed: int = 0
     # Mux reconfiguration support: FIG 0/1 entries must be re-signalled to
     # stay live (real multiplexes repeat the MCI every frame); stale
     # sub-channels age out so a reconfigured ensemble replaces, not merges.
-    max_subch_age_fibs: int = 36
+    max_subch_age_fibs: int = 120
     _tick: int = 0
     _subch_seen: dict = dataclasses.field(default_factory=dict)
 
@@ -198,10 +221,16 @@ class FigParser:
             fig_type = header >> 5
             length = header & 0x1F
             body = data[pos + 1: pos + 1 + length]
-            if fig_type == 0:
-                self._parse_fig0(body)
-            elif fig_type == 1:
-                self._parse_fig1(body)
+            try:
+                if fig_type == 0:
+                    self._parse_fig0(body)
+                elif fig_type == 1:
+                    self._parse_fig1(body)
+            except Exception:
+                # A corrupt FIB can pass CRC16 (~2^-16), and real muxes may
+                # signal combinations we don't model; a malformed FIG must
+                # degrade to a counter, never kill the stream.
+                self.figs_malformed += 1
             pos += 1 + length
 
     def _parse_fig0(self, body: bytes) -> None:
@@ -215,10 +244,12 @@ class FigParser:
             hi = r.get(5); lo = r.get(8)
             self.cif_count = hi * 250 + lo
         elif ext == 1:
-            while remaining_bits() >= 16:
+            while remaining_bits() >= 24:   # smallest complete entry
                 subchid = r.get(6)
                 start = r.get(10)
                 long_form = r.get(1)
+                if long_form and remaining_bits() < 15:
+                    break
                 if long_form:
                     option = r.get(3)
                     level = r.get(2) + 1

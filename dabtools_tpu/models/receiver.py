@@ -196,6 +196,7 @@ class DabReceiver:
         self._activation_cif: int | None = None
         self._subch_fifo: dict[int, dict[int, bytes]] = {}
         self.stats: list[FrameStats] = []
+        self._reconfig_candidate = None
         # Structured observability (SURVEY.md s5.5): a path or file-like
         # object receiving one JSON object per processed block.
         self._stats_jsonl = (open(stats_jsonl, "a")
@@ -263,7 +264,9 @@ class DabReceiver:
         out, rings, self._cif_count = call_with_retries(
             process_block,
             jnp.asarray(x), self._rings or {}, self._cif_count,
-            ensemble=self.ensemble, mode=self.mode, n_frames=self.n_frames)
+            ensemble=(self.ensemble.decode_config()
+                      if self.ensemble is not None else None),
+            mode=self.mode, n_frames=self.n_frames)
         out = jax.device_get(out)
         if self.ensemble is not None:
             self._rings = rings
@@ -317,20 +320,29 @@ class DabReceiver:
             self._activate(self._fig.ensemble())
             return self._process_one_block(x)
 
-        # Ensemble reconfiguration (multiplex changes signalled via FIG):
-        # re-specialize the pipeline on the new MCI.  In-flight CIFs of the
-        # old configuration that haven't fully deinterleaved are dropped
-        # (the mux rearranged the CUs under them anyway).
+        # Ensemble reconfiguration (multiplex changes signalled via FIG).
+        # Metadata-only changes (labels/services/eid) update in place; a
+        # changed SUB-CHANNEL ORG re-specializes the pipeline — but only
+        # after being seen in two consecutive blocks, so FIB losses under
+        # marginal SNR can't trigger spurious resets (which drop >=384 ms).
         if self.ensemble is not None and self._fig.have_mci():
             new_ens = self._fig.ensemble()
-            if new_ens != self.ensemble:
-                log.info("ensemble reconfiguration detected "
+            if new_ens.subchannels == self.ensemble.subchannels:
+                self._reconfig_candidate = None
+                if new_ens != self.ensemble:
+                    self.ensemble = new_ens
+                    self._assembler.ensemble = new_ens
+            elif self._reconfig_candidate == new_ens.subchannels:
+                log.info("ensemble reconfiguration confirmed "
                          "(0x%04X): re-specializing", new_ens.eid)
+                self._reconfig_candidate = None
                 pending = self._emit_eti() if self.emit_eti else []
                 self._cif_count = jnp.asarray(cif0, dtype=jnp.int32)
                 self._subch_fifo.clear()
                 self._activate(new_ens)
                 return pending + self._process_one_block(x)
+            else:
+                self._reconfig_candidate = new_ens.subchannels
 
         # Sub-channel rows j correspond to logical frames cif0 + j - 15.
         if self.ensemble is not None:
@@ -341,7 +353,29 @@ class DabReceiver:
                     if n >= 0:
                         self._subch_fifo.setdefault(
                             s.subchid, {})[n] = data[j].tobytes()
-        return self._emit_eti() if self.emit_eti else []
+        eti = self._emit_eti() if self.emit_eti else []
+        self._prune(cif0)
+        return eti
+
+    # Bound host-side state so long undecodable or non-emitting runs don't
+    # grow without limit (review finding: ~42 FIB triplets/s otherwise).
+    MAX_PENDING_CIFS = 256
+    MAX_STATS = 4096
+
+    def _prune(self, cif0: int) -> None:
+        horizon = cif0 - self.MAX_PENDING_CIFS
+        for fifo in (self._fib_fifo, self._err_level, *(
+                self._subch_fifo.values())):
+            for n in [k for k in fifo if k < horizon]:
+                del fifo[n]
+        if len(self.stats) > self.MAX_STATS:
+            del self.stats[: len(self.stats) - self.MAX_STATS]
+        if self.emit_eti and self.ensemble is not None:
+            # emission can never progress past dropped entries; skip ahead
+            if self._next_eti_cif < horizon:
+                log.warning("ETI emission fell behind; skipping CIFs "
+                            "%d..%d", self._next_eti_cif, horizon - 1)
+                self._next_eti_cif = horizon
 
     def _emit_eti(self) -> list[bytes]:
         if self.ensemble is None or self._assembler is None:

@@ -91,7 +91,7 @@ int64_t dabhost_eti_find_fsync(const uint8_t *buf, size_t len, size_t start) {
 // 4-byte STC entries (already encoded); sub-channel payloads are
 // concatenated in `mst_data` (after the FIC).  Returns frame length (6144)
 // or -1 on overflow.
-int64_t dabhost_eti_build(uint8_t fct, uint8_t err, uint8_t mid,
+int64_t dabhost_eti_build(uint8_t fct, uint8_t fp, uint8_t err, uint8_t mid,
                           const uint8_t *stc, size_t n_streams,
                           const uint8_t *fic, size_t fic_len,
                           const uint8_t *subch, size_t subch_len,
@@ -113,7 +113,10 @@ int64_t dabhost_eti_build(uint8_t fct, uint8_t err, uint8_t mid,
   uint8_t *fc = p;
   *p++ = fct;
   *p++ = (uint8_t)(0x80 | (n_streams & 0x7F));  // FICF=1 | NST
-  *p++ = (uint8_t)(((fct % 8) << 5) | ((mid & 3) << 3)
+  // FP is a continuous mod-8 counter maintained by the caller (FCT wraps
+  // mod 250, which is not a multiple of 8; FCT parity == frame parity
+  // though, so FSYNC alternation from fct%2 is exact).
+  *p++ = (uint8_t)(((fp & 7) << 5) | ((mid & 3) << 3)
                    | ((fl_words >> 8) & 0x07));
   *p++ = (uint8_t)(fl_words & 0xFF);
 

@@ -57,7 +57,7 @@ def lib() -> ctypes.CDLL | None:
                                           ctypes.c_size_t]
     so.dabhost_eti_build.restype = ctypes.c_int64
     so.dabhost_eti_build.argtypes = [
-        ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
+        ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
         u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, u8p, ctypes.c_size_t,
         u8p]
     so.dabhost_u8_to_cf32.restype = None
@@ -106,14 +106,14 @@ def eti_find_fsync(buf, start: int = 0) -> int:
     return int(lib().dabhost_eti_find_fsync(p, n, start))
 
 
-def eti_build(fct: int, err: int, mid: int, stc: bytes, n_streams: int,
-              fic: bytes, subch: bytes) -> bytes:
+def eti_build(fct: int, fp: int, err: int, mid: int, stc: bytes,
+              n_streams: int, fic: bytes, subch: bytes) -> bytes:
     out = np.zeros(6144, dtype=np.uint8)
     sp, _ = _u8(stc)
-    fp, fl = _u8(fic)
+    fic_p, fic_l = _u8(fic)
     dp, dl = _u8(subch)
     r = lib().dabhost_eti_build(
-        fct, err, mid, sp, n_streams, fp, fl, dp, dl,
+        fct, fp, err, mid, sp, n_streams, fic_p, fic_l, dp, dl,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if r != 6144:
         raise ValueError("ETI frame overflow")

@@ -131,3 +131,54 @@ class TestEtiRoundtrip:
         fibs = [b"\x00" * 32] * 3
         with pytest.raises(ValueError):
             asm.frame(fibs, {1: b"\x00" * 10, 5: b"\x00" * 288})
+
+
+def test_fp_counter_continuous_across_fct_wrap():
+    """FP is mod-8 continuous even when FCT wraps at 250 (ETS 300 799)."""
+    ens = Ensemble(eid=1, subchannels=(Subchannel.eep(1, 0, 3, "A", 8),))
+    asm = EtiAssembler(ens)
+    fibs = [b"\x00" * 32] * 3
+    data = {1: b"\x00" * 24}
+    fps, fcts = [], []
+    for _ in range(252):
+        f = next(iter(EtiParser().feed(asm.frame(fibs, data))))
+        fps.append(f.fp)
+        fcts.append(f.fct)
+    assert fcts[249] == 249 and fcts[250] == 0
+    for i in range(1, 252):
+        assert fps[i] == (fps[i - 1] + 1) % 8, f"FP discontinuity at {i}"
+
+
+def test_fig_splitting_supports_flagship_mux():
+    """9 sub-channels + 9 services need multiple FIG 0/1 / 0/2 per frame."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    from __graft_entry__ import _flagship_ensemble
+    ens = _flagship_ensemble()
+    fibs = build_fibs_for_ensemble(ens, 0)
+    parser = FigParser()
+    for i in range(12):
+        parser.feed_fib(fibs[i].tobytes())
+    got = parser.ensemble()
+    assert got.subchannels == ens.subchannels
+    assert len(got.services) == 9
+
+
+def test_malformed_fig_does_not_crash_parser():
+    """CRC-valid but semantically invalid FIGs must degrade to a counter
+    (a corrupt FIB passes CRC16 with p~2^-16; real muxes may signal
+    combinations we don't model)."""
+    from dabtools_tpu.utils.crc import crc16_ccitt
+    # FIG 0/1 long form with size 7 CUs, level 1-A: no valid EEP bitrate
+    body = bytes([0x01,                      # CN/OE/PD=0, ext=1
+                  (9 << 2) | 0,              # subchid=9, start hi
+                  0,                         # start lo
+                  0b10000000 | 0b0000000,    # long form, option 0, lvl...
+                  7])                        # size=7 (invalid for EEP 1-A)
+    fig = bytes([0x00 | len(body)]) + body
+    payload = (fig + b"\xff").ljust(30, b"\x00")
+    fib = payload + crc16_ccitt(payload).to_bytes(2, "big")
+    p = FigParser()
+    p.feed_fib(fib)                          # must not raise
+    assert p.figs_malformed == 1
+    assert p.ensemble() is None

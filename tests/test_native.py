@@ -67,8 +67,8 @@ def test_eti_build_matches_python_assembler():
         stc.append(stl & 0xFF)
         sad += stl
         subch += data[s.subchid]
-    c_frame = native.eti_build(0, 0xFF, 1, bytes(stc), len(ens.subchannels),
-                               b"".join(fibs), subch)
+    c_frame = native.eti_build(0, 0, 0xFF, 1, bytes(stc),
+                               len(ens.subchannels), b"".join(fibs), subch)
     assert c_frame == py_frame
 
 
