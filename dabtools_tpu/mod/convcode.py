@@ -40,16 +40,23 @@ def output_table() -> np.ndarray:
 
 
 def conv_encode(bits: np.ndarray) -> np.ndarray:
-    """Encode 0/1 ``bits`` (+6 zero tail) -> mother codeword, len 4*(n+6)."""
+    """Encode 0/1 ``bits`` (+6 zero tail) -> mother codeword, len 4*(n+6).
+
+    Vectorized: output i at step n is the XOR of the delayed input taps of
+    generator i — computed for all n at once with shifted views.
+    """
     bits = np.asarray(bits, dtype=np.uint8).reshape(-1)
-    padded = np.concatenate([bits, np.zeros(C.TAIL_BITS, dtype=np.uint8)])
-    table = output_table()
-    out = np.empty((padded.size, 4), dtype=np.uint8)
-    state = 0
-    for n, u in enumerate(padded):
-        reg = (int(u) << 6) | state
-        out[n] = table[reg]
-        state = reg >> 1
+    n = bits.size + C.TAIL_BITS
+    # delayed[d, t] = u_{t-d} (zeros before the start / in the tail)
+    hist = np.zeros(n + C.CONV_K - 1, dtype=np.uint8)
+    hist[C.CONV_K - 1: C.CONV_K - 1 + bits.size] = bits
+    out = np.empty((n, 4), dtype=np.uint8)
+    for i, poly in enumerate(C.CONV_POLYS):
+        acc = np.zeros(n, dtype=np.uint8)
+        for d in range(C.CONV_K):
+            if (poly >> (C.CONV_K - 1 - d)) & 1:   # coeff of D^d
+                acc ^= hist[C.CONV_K - 1 - d: C.CONV_K - 1 - d + n]
+        out[:, i] = acc
     return out.reshape(-1)
 
 
