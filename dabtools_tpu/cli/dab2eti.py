@@ -58,6 +58,10 @@ def main(argv=None) -> int:
     p.add_argument("--frequency", type=float, default=None,
                    help="RF centre frequency in Hz (informational; hardware "
                         "tuning is out of scope on TPU hosts)")
+    p.add_argument("--rate", type=float, default=2_048_000,
+                   help="input sample rate; rates rationally related to "
+                        "2.048 Msps (e.g. the RTL-SDR-native 2.4 Msps) are "
+                        "converted by the polyphase resampler")
     p.add_argument("--gain", type=float, default=None,
                    help="accepted for dab2eti interface parity")
     p.add_argument("--frames-per-block", type=int, default=8,
@@ -87,9 +91,19 @@ def main(argv=None) -> int:
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     rx = DabReceiver(n_frames=args.frames_per_block,
                      stats_jsonl=args.stats_json)
+    resampler = None
+    if int(args.rate) != 2_048_000:
+        from dabtools_tpu.ops.resample import Resampler
+        resampler = Resampler(int(args.rate))
+        log.info("resampling %.4f Msps -> 2.048 Msps (L/M = %d/%d)",
+                 args.rate / 1e6, resampler.up, resampler.down)
     n_eti = 0
     try:
         for chunk in iter_samples(args.input, args.format):
+            if resampler is not None:
+                chunk = resampler(chunk)
+                if chunk.size == 0:
+                    continue
             for frame in rx.feed(chunk):
                 out.write(frame)
                 n_eti += 1
