@@ -203,15 +203,24 @@ class FigParser:
     _tick: int = 0
     _subch_seen: dict = dataclasses.field(default_factory=dict)
 
-    def feed_fib(self, fib: bytes | np.ndarray) -> None:
+    def tick(self, subchids: tuple[int, ...] = ()) -> None:
+        """Advance the staleness clock for a FIB known to repeat earlier
+        content (dedup fast path), refreshing the given sub-channels."""
+        self._tick += 1
+        for sc in subchids:
+            self._subch_seen[sc] = self._tick
+
+    def feed_fib(self, fib: bytes | np.ndarray) -> tuple[int, ...]:
+        """Parse one FIB; returns the sub-channel ids it (re)signalled."""
         fib = bytes(fib)
         if len(fib) != C.FIB_BYTES:
             raise ValueError("FIB must be 32 bytes")
         if not crc16_ok(fib):
             self.fibs_bad += 1
-            return
+            return ()
         self.fibs_ok += 1
         self._tick += 1
+        self._touched: list[int] = []
         pos = 0
         data = fib[:30]
         while pos < 30:
@@ -232,6 +241,7 @@ class FigParser:
                 # degrade to a counter, never kill the stream.
                 self.figs_malformed += 1
             pos += 1 + length
+        return tuple(self._touched)
 
     def _parse_fig0(self, body: bytes) -> None:
         r = _BitReader(body)
@@ -265,6 +275,7 @@ class FigParser:
                     sub = Subchannel.uep(subchid, start, index)
                 self.subchannels[subchid] = sub
                 self._subch_seen[subchid] = self._tick
+                self._touched.append(subchid)
         elif ext == 2 and pd == 0:
             while remaining_bits() >= 24:
                 sid = r.get(16)

@@ -197,6 +197,9 @@ class DabReceiver:
         self._subch_fifo: dict[int, dict[int, bytes]] = {}
         self.stats: list[FrameStats] = []
         self._reconfig_candidate = None
+        # MCI FIBs repeat identically frame after frame; skip re-parsing
+        # duplicates (but still tick the parser's staleness clock).
+        self._fib_cache: dict[bytes, None] = {}
         # Structured observability (SURVEY.md s5.5): a path or file-like
         # object receiving one JSON object per processed block.
         self._stats_jsonl = (open(stats_jsonl, "a")
@@ -287,7 +290,13 @@ class DabReceiver:
                 fib = fib_bytes[f, i].tobytes()
                 if crc16_ok(fib):
                     n_ok += 1
-                    self._fig.feed_fib(fib)
+                    if fib in self._fib_cache:
+                        self._fig.tick(self._fib_cache[fib])
+                    else:
+                        n_figs = self._fig.feed_fib(fib)
+                        self._fib_cache[fib] = n_figs
+                        if len(self._fib_cache) > 4096:
+                            self._fib_cache.clear()
                 else:
                     n_bad += 1
             for c in range(self.mode.n_cifs):

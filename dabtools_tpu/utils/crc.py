@@ -39,9 +39,33 @@ def _crc16(data: bytes | np.ndarray, table: np.ndarray, init: int) -> int:
     return crc
 
 
+def _native():
+    # The per-FIB CRC rate at 1000x+ real-time makes the Python loop a
+    # host bottleneck; route through dabhost.cc when available (identical
+    # tables, cross-checked in tests/test_native.py).
+    try:
+        from dabtools_tpu.utils import native
+        return native.lib()
+    except Exception:  # pragma: no cover
+        return None
+
+
+def crc16_ccitt_py(data: bytes | np.ndarray) -> int:
+    """Pure-Python CRC (the cross-check reference for the native path)."""
+    return _crc16(data, _CCITT_TABLE, 0xFFFF) ^ 0xFFFF
+
+
+def firecode_py(data: bytes | np.ndarray) -> int:
+    return _crc16(data, _FIRECODE_TABLE, 0x0000)
+
+
 def crc16_ccitt(data: bytes | np.ndarray) -> int:
     """CRC-16/CCITT with init 0xFFFF and final complement (DAB convention)."""
-    return _crc16(data, _CCITT_TABLE, 0xFFFF) ^ 0xFFFF
+    lib = _native()
+    if lib is not None:
+        from dabtools_tpu.utils import native
+        return native.crc16_ccitt(data)
+    return crc16_ccitt_py(data)
 
 
 def crc16_ok(block: bytes | np.ndarray) -> bool:
@@ -52,4 +76,8 @@ def crc16_ok(block: bytes | np.ndarray) -> bool:
 
 def firecode(data: bytes | np.ndarray) -> int:
     """DAB+ firecode CRC over ``data`` (init 0, no complement)."""
-    return _crc16(data, _FIRECODE_TABLE, 0x0000)
+    lib = _native()
+    if lib is not None:
+        from dabtools_tpu.utils import native
+        return native.firecode(data)
+    return firecode_py(data)

@@ -132,3 +132,18 @@ def test_closed_loop_two_subchannels_and_checkpoint():
         for sc in (1, 9):
             assert f.subchannel_data(sc) == payload_bytes[sc][n].tobytes(), \
                 f"subch {sc} mismatch at CIF {n}"
+
+
+def test_low_latency_single_frame_blocks():
+    """n_frames=1 (96 ms latency mode) works: drift estimation degrades
+    gracefully and payloads stay bit-exact."""
+    ens = build_ensemble()
+    x, payload_bytes = modulate(ens, 10, seed=77)
+    rx = DabReceiver(n_frames=1)
+    eti = rx.feed(x)
+    assert rx.ensemble is not None
+    assert len(eti) >= 4
+    frames = list(EtiParser().feed(b"".join(eti)))
+    a = rx._activation_cif
+    for k, f in enumerate(frames):
+        assert f.subchannel_data(1) == payload_bytes[1][a + k].tobytes(), k

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from dabtools_tpu.utils import native
-from dabtools_tpu.utils.crc import crc16_ccitt, firecode
+from dabtools_tpu.utils.crc import crc16_ccitt_py as crc16_ccitt, firecode_py as firecode
 from dabtools_tpu.utils.prbs import energy_dispersal_bits
 
 pytestmark = pytest.mark.skipif(native.lib() is None,
