@@ -54,6 +54,33 @@ def transition_matrix() -> np.ndarray:
 
 
 @functools.cache
+def acs_radix4_matrices():
+    """Radix-4 ACS operators: two trellis steps fused (Pallas N6 fast path).
+
+    After inputs (u1, u2), state s reaches t = u2<<5 | u1<<4 | s>>2, so
+    target t has 4 predecessors ``4*(t&15)+p``.  ``PU4`` (256, 64) row
+    ``p*64+t`` picks predecessor p of target t; ``WS4`` (256, 8) holds the
+    +/-1 pattern of the 8 coded bits along that 2-step path (first step's
+    4 bits, then the second's).
+    """
+    table = output_table()
+    pu4 = np.zeros((256, 64), dtype=np.float32)
+    ws4 = np.empty((256, 8), dtype=np.float32)
+    for t in range(64):
+        u2, u1 = t >> 5, (t >> 4) & 1
+        for p in range(4):
+            pred = 4 * (t & 15) + p
+            mid = (u1 << 5) | (pred >> 1)
+            reg1 = (u1 << 6) | pred
+            reg2 = (u2 << 6) | mid
+            r = p * 64 + t
+            pu4[r, pred] = 1.0
+            ws4[r, :4] = 1.0 - 2.0 * table[reg1]
+            ws4[r, 4:] = 1.0 - 2.0 * table[reg2]
+    return pu4, ws4
+
+
+@functools.cache
 def acs_matmul_matrices():
     """Target-major ACS operators for the matmul formulation (Pallas N6).
 
@@ -132,12 +159,17 @@ def viterbi_decode(soft: jnp.ndarray, impl: str = "auto"):
     if impl == "auto":
         impl = os.environ.get("DABTOOLS_VITERBI", "xla")
     if impl == "pallas":
-        from dabtools_tpu.ops.viterbi_pallas import viterbi_decode_pallas
         soft = jnp.asarray(soft, dtype=jnp.float32)
-        if soft.ndim == 1:
-            bits, metric = viterbi_decode_pallas(soft[None])
-            return bits[0], metric[0]
-        return viterbi_decode_pallas(soft)
+        squeeze1 = soft.ndim == 1
+        if squeeze1:
+            soft = soft[None]
+        if (soft.shape[-1] // 4) % 2 == 0:
+            from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+            bits, metric = viterbi_decode_pallas4(soft)
+        else:
+            from dabtools_tpu.ops.viterbi_pallas import viterbi_decode_pallas
+            bits, metric = viterbi_decode_pallas(soft)
+        return (bits[0], metric[0]) if squeeze1 else (bits, metric)
     soft = jnp.asarray(soft, dtype=jnp.float32)
     if soft.ndim == 1:
         soft = soft[None]

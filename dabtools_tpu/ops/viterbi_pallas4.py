@@ -1,0 +1,168 @@
+"""Radix-4 Pallas Viterbi: two trellis steps fused per iteration (N6).
+
+Halves the sequential chain of the radix-2 kernel (`viterbi_pallas.py`):
+each iteration selects among 4 predecessors over a fused 2-step path using
+the constant operators from ``ops.viterbi.acs_radix4_matrices``.  Same
+conventions, bit-identical output (tests compare against the XLA scan).
+
+DAB codeword lengths are always even (T = data_bits + 6, data_bits even),
+which radix-4 requires.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dabtools_tpu import constants as C
+from dabtools_tpu.ops.viterbi import NEG_INF, acs_radix4_matrices
+
+TC2 = 8  # double-steps (= 16 trellis steps) per grid iteration
+
+
+def _acs4_kernel(pu_ref, ws_ref, soft_ref, dec_ref, metric_ref, pm_ref,
+                 bm_ref, *, t2_real):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        b = pm_ref.shape[-1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
+        pm_ref[...] = jnp.where(rows == 0, 0.0, NEG_INF).astype(jnp.float32)
+
+    b = pm_ref.shape[-1]
+    # This chunk's fused branch metrics in one MXU pass, step-major.
+    bm_ref[...] = jax.lax.dot_general(
+        ws_ref[...], soft_ref[...],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).swapaxes(0, 1)  # (TC2, 256, B)
+    pu = pu_ref[...]
+
+    def step(j, pm):
+        g2 = i * TC2 + j
+        pred = jax.lax.dot_general(
+            pu, pm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)   # (256, B)
+        cand = (pred + bm_ref[j]).reshape(4, 64, b)
+        m01 = jnp.maximum(cand[0], cand[1])
+        d01 = (cand[1] > cand[0]).astype(jnp.int32)
+        m23 = jnp.maximum(cand[2], cand[3])
+        d23 = (cand[3] > cand[2]).astype(jnp.int32)
+        hi = (m23 > m01).astype(jnp.int32)
+        new = jnp.maximum(m01, m23)
+        d = hi * (2 + d23) + (1 - hi) * d01
+        live = (g2 < t2_real).astype(jnp.int32)
+        dec_ref[j] = (d * live).astype(jnp.int8)
+        keep = live.astype(jnp.float32)
+        return new * keep + pm * (1.0 - keep)
+
+    pm = pm_ref[...]
+    for j in range(TC2):
+        pm = step(j, pm)
+    pm_ref[...] = pm
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        metric_ref[0, :] = pm_ref[0, :]
+
+
+def _traceback4_kernel(dec_ref, bits_ref, oh_ref):
+    i = pl.program_id(0)
+    b = oh_ref.shape[-1]
+
+    @pl.when(i == 0)
+    def _():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
+        oh_ref[...] = jnp.where(rows == 0, 1.0, 0.0).astype(jnp.float32)
+
+    def step(k, _):
+        j = TC2 - 1 - k
+        oh = oh_ref[...]
+        dec = dec_ref[j].astype(jnp.float32)        # values 0..3, (64, B)
+        u2 = jnp.sum(oh[32:, :], axis=0)            # bit 5 of the state
+        u1 = (jnp.sum(oh[16:32, :], axis=0)
+              + jnp.sum(oh[48:, :], axis=0))        # bit 4
+        d_sel = jnp.sum(oh * dec, axis=0)           # (B,)
+        oh16 = (oh[0:16, :] + oh[16:32, :]
+                + oh[32:48, :] + oh[48:64, :])      # fold away u1,u2
+        branches = [oh16 * (jnp.abs(d_sel - p) < 0.5).astype(jnp.float32)
+                    for p in range(4)]
+        oh_ref[...] = (jnp.stack(branches, axis=1)  # (16, 4, B)
+                       .reshape(64, b))
+        bits_ref[2 * j, :] = u1                     # earlier input bit
+        bits_ref[2 * j + 1, :] = u2
+        return 0
+
+    jax.lax.fori_loop(0, TC2, step, 0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False):
+    """Radix-4 drop-in for ``viterbi_decode_pallas`` (same contract)."""
+    b0, n4 = soft.shape
+    t_real = n4 // 4
+    if t_real % 2:
+        raise ValueError("radix-4 kernel requires an even codeword length")
+    t2_real = t_real // 2
+    b = _round_up(max(b0, 1), 128)
+    t2_pad = _round_up(t2_real, TC2)
+    n_chunks = t2_pad // TC2
+
+    softp = jnp.zeros((b, t2_pad, 8), dtype=jnp.float32)
+    softp = softp.at[:b0, :t2_real, :].set(
+        soft.reshape(b0, t2_real, 8).astype(jnp.float32))
+    soft_t = softp.transpose(1, 2, 0)              # (T2, 8, B)
+
+    pu4, ws4 = acs_radix4_matrices()
+    dec, metric = pl.pallas_call(
+        functools.partial(_acs4_kernel, t2_real=t2_real),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((256, 64), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TC2, 8, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TC2, 64, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t2_pad, 64, b), jnp.int8),
+            jax.ShapeDtypeStruct((1, b), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((64, b), jnp.float32),
+                        pltpu.VMEM((TC2, 256, b), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(pu4), jnp.asarray(ws4), soft_t)
+
+    bits_t = pl.pallas_call(
+        _traceback4_kernel,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(
+            (TC2, 64, b), lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (2 * TC2, b), lambda i: (pl.num_programs(0) - 1 - i, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * t2_pad, b), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((64, b), jnp.float32)],
+        interpret=interpret,
+    )(dec)
+
+    bits = (bits_t.transpose(1, 0)[:b0, : t_real - C.TAIL_BITS]
+            .astype(jnp.uint8))
+    return bits, metric[0, :b0]

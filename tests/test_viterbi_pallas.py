@@ -56,3 +56,28 @@ def test_fic_punctured_codewords():
     pb, _ = viterbi_decode_pallas(soft, interpret=True)
     assert (np.asarray(rb) == np.asarray(pb)).all()
     assert (np.asarray(pb) == msgs).all()
+
+
+class TestRadix4:
+    @pytest.mark.parametrize("batch,n", [(3, 768), (2, 3072)])
+    def test_matches_xla_reference(self, batch, n):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        rng = np.random.default_rng(batch * 77 + n)
+        msgs, soft = _noisy_batch(rng, batch, n)
+        rb, rm = viterbi_decode(jnp.asarray(soft))
+        pb, pm = viterbi_decode_pallas4(jnp.asarray(soft), interpret=True)
+        assert (np.asarray(rb) == np.asarray(pb)).all()
+        np.testing.assert_allclose(np.asarray(rm), np.asarray(pm),
+                                   rtol=1e-5)
+        assert (np.asarray(pb) == msgs).all()
+
+    def test_odd_length_rejected(self):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        with pytest.raises(ValueError):
+            viterbi_decode_pallas4(jnp.zeros((1, 4 * 9)), interpret=True)
+
+    def test_dispatch_prefers_radix4(self):
+        rng = np.random.default_rng(3)
+        msgs, soft = _noisy_batch(rng, 2, 768)
+        bits, _ = viterbi_decode(jnp.asarray(soft), impl="pallas")
+        assert (np.asarray(bits) == msgs).all()
