@@ -163,12 +163,13 @@ def viterbi_decode(soft: jnp.ndarray, impl: str = "auto"):
         squeeze1 = soft.ndim == 1
         if squeeze1:
             soft = soft[None]
+        interp = jax.default_backend() != "tpu"   # Mosaic needs real HW
         if (soft.shape[-1] // 4) % 2 == 0:
             from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
-            bits, metric = viterbi_decode_pallas4(soft)
+            bits, metric = viterbi_decode_pallas4(soft, interpret=interp)
         else:
             from dabtools_tpu.ops.viterbi_pallas import viterbi_decode_pallas
-            bits, metric = viterbi_decode_pallas(soft)
+            bits, metric = viterbi_decode_pallas(soft, interpret=interp)
         return (bits[0], metric[0]) if squeeze1 else (bits, metric)
     soft = jnp.asarray(soft, dtype=jnp.float32)
     if soft.ndim == 1:
