@@ -28,6 +28,8 @@ def main(argv=None) -> int:
     sel.add_argument("--sid", type=lambda s: int(s, 0),
                      help="service id (hex ok); default: first audio service")
     sel.add_argument("--subch", type=int, help="sub-channel id")
+    p.add_argument("--list", action="store_true",
+                   help="list the ensemble's services and exit")
     p.add_argument("--adts", action="store_true",
                    help="wrap DAB+ AAC AUs in ADTS headers")
     p.add_argument("--dabplus", action="store_true",
@@ -60,6 +62,19 @@ def main(argv=None) -> int:
         log.error("no ETI frames found")
         return 1
     ens = fig.ensemble()
+
+    if args.list:
+        if ens is None:
+            print("no MCI decoded")
+            return 1
+        print(f"ensemble 0x{ens.eid:04X} {ens.label!r}")
+        for svc in ens.services:
+            for c in svc.components:
+                sub = ens.subchannel(c.subchid)
+                print(f"  0x{svc.sid:04X} {svc.label or '':16s} subch "
+                      f"{c.subchid:2d}  {sub.bitrate_kbps:3d} kbit/s  "
+                      f"{'DAB+' if c.is_dabplus else 'MP2'}")
+        return 0
 
     # Resolve target sub-channel + audio type.
     subchid, is_dabplus = args.subch, args.dabplus

@@ -133,3 +133,14 @@ def test_eti2audio_unknown_service(eti_file):
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 1
     assert "not found" in r.stderr
+
+
+def test_eti2audio_list(eti_file):
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio", "--list",
+         str(eti_file)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "ensemble 0xC0DE 'CLI TEST'" in r.stdout
+    assert "0x1111" in r.stdout and "MP2" in r.stdout
+    assert "0x2222" in r.stdout and "DAB+" in r.stdout

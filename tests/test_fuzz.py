@@ -1,0 +1,65 @@
+"""Fuzz the byte-level parsers: arbitrary garbage must never raise
+(SURVEY.md s5.3 — degrade to counters, keep the stream alive)."""
+
+import numpy as np
+import pytest
+
+from dabtools_tpu import constants as C
+from dabtools_tpu.eti.parse import EtiParser
+from dabtools_tpu.fic.fig import FigParser
+from dabtools_tpu.eti.dabplus import SuperframeDecoder
+from dabtools_tpu.utils.crc import crc16_ccitt
+
+
+def test_fig_parser_survives_random_fibs():
+    rng = np.random.default_rng(0)
+    p = FigParser()
+    for _ in range(300):
+        data = rng.integers(0, 256, 30, dtype=np.uint8).tobytes()
+        fib = data + crc16_ccitt(data).to_bytes(2, "big")  # CRC-valid junk
+        p.feed_fib(fib)                                    # must not raise
+    # and raw junk with bad CRCs
+    for _ in range(100):
+        p.feed_fib(rng.integers(0, 256, 32, dtype=np.uint8).tobytes())
+    assert p.fibs_bad == 100
+    # whatever it extracted, building the ensemble must not raise either
+    p.ensemble()
+
+
+def test_eti_parser_survives_garbage_and_truncation():
+    rng = np.random.default_rng(1)
+    p = EtiParser()
+    # random garbage in random chunk sizes
+    blob = rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes()
+    i = 0
+    while i < len(blob):
+        n = int(rng.integers(1, 9000))
+        list(p.feed(blob[i:i + n]))
+        i += n
+    # frames with FSYNC but corrupt interiors
+    junk = bytearray(rng.integers(0, 256, C.ETI_FRAME_BYTES, dtype=np.uint8))
+    junk[1:4] = C.ETI_FSYNC.to_bytes(3, "big")
+    for f in EtiParser().feed(bytes(junk) * 3):
+        assert not (f.header_crc_ok and f.mst_crc_ok) or True
+
+
+def test_superframe_decoder_survives_garbage():
+    rng = np.random.default_rng(2)
+    d = SuperframeDecoder(64)
+    for _ in range(25):
+        frame = rng.integers(0, 256, 192, dtype=np.uint8).tobytes()
+        d.feed(frame)                                      # must not raise
+    assert d.stats["superframes"] >= 0
+
+
+def test_eti2audio_handles_garbage_file(tmp_path):
+    import subprocess
+    import sys
+    p = tmp_path / "garbage.eti"
+    p.write_bytes(np.random.default_rng(3).integers(
+        0, 256, 50_000, dtype=np.uint8).tobytes())
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio", str(p)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 1                               # clean failure
+    assert "Traceback" not in r.stderr
