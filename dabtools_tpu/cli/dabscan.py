@@ -37,7 +37,6 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    from dabtools_tpu.models.receiver import DabReceiver
     from dabtools_tpu.ops.fir import Channelizer
     from dabtools_tpu.tables.bandiii import blocks_within
 
@@ -64,17 +63,41 @@ def main(argv=None) -> int:
     ch = Channelizer(fs, offsets_hz=offsets)
     streams = ch(x)
 
+    # All candidate blocks run FIC acquisition as ONE channel-parallel
+    # device call (N13), then the per-block FIG parse happens on host.
+    from dabtools_tpu.models.receiver import block_samples
+    from dabtools_tpu.parallel.channel import channel_parallel_block
+    from dabtools_tpu.fic.fig import FigParser
+    from dabtools_tpu.utils.crc import crc16_ok
+    import jax.numpy as jnp
+
+    n_frames = max(1, min(8, streams.shape[1] // (2 * 196608) - 1))
+    need = block_samples(n_frames)
+    if streams.shape[1] < need:
+        print(f"capture too short: need {need} samples per block after "
+              f"channelization, have {streams.shape[1]}", file=sys.stderr)
+        return 1
+    out, _, _ = channel_parallel_block(
+        jnp.asarray(streams[:, :need]), {}, jnp.asarray(0, jnp.int32),
+        ensemble=None, n_frames=n_frames)
+    fib_bits = np.asarray(out["fib_bits"])          # (C, B, 12, 256)
+    null_ratio = np.asarray(out["null_ratio"])
+
     found = 0
-    for (label, freq), stream in zip(candidates, streams):
-        rx = DabReceiver(n_frames=4, emit_eti=False)
-        rx.feed(np.asarray(stream))
-        if rx.ensemble is None:
-            quality = rx.stats[-1].null_ratio if rx.stats else 1.0
+    for c, (label, freq) in enumerate(candidates):
+        fig = FigParser()
+        fibs = np.packbits(fib_bits[c].astype(np.uint8), axis=-1)
+        for f in range(fibs.shape[0]):
+            for i in range(fibs.shape[1]):
+                fib = fibs[f, i].tobytes()
+                if crc16_ok(fib):
+                    fig.feed_fib(fib)
+        ens = fig.ensemble()
+        if ens is None:
             print(f"{label} {freq / 1e6:8.3f} MHz: -- "
-                  f"(null ratio {quality:.2f})")
+                  f"(null ratio {float(null_ratio[c]):.2f})")
             continue
         found += 1
-        ens = rx.ensemble
         svcs = ", ".join(
             f"{s.label or hex(s.sid)}"
             f"[{'DAB+' if any(c.is_dabplus for c in s.components) else 'MP2'}]"
