@@ -99,17 +99,21 @@ def main():
         f"{rt:.0f}x real-time")
 
     if not quick:
-        # throughput-optimal operating point: bigger blocks
-        nf2 = 64
-        x2 = _noise(block_samples(nf2), rng)
+        try:
+            # throughput-optimal operating point: bigger blocks
+            nf2 = 64
+            x2 = _noise(block_samples(nf2), rng)
 
-        def step64(x, rings, cif):
-            return process_block(x, rings, cif, ensemble=ens, n_frames=nf2)
+            def step64(x, rings, cif):
+                return process_block(x, rings, cif, ensemble=ens,
+                                     n_frames=nf2)
 
-        t2 = _amortized_time(step64, x2, rings, cif)
-        rt2 = nf2 * C.MODE_I.frame_size / t2 / C.SAMPLE_RATE
-        log(f"# [config 1b] 64-frame blocks: {t2 * 1e3:.2f} ms/block, "
-            f"{rt2:.0f}x real-time (6.1 s latency operating point)")
+            t2 = _amortized_time(step64, x2, rings, cif)
+            rt2 = nf2 * C.MODE_I.frame_size / t2 / C.SAMPLE_RATE
+            log(f"# [config 1b] 64-frame blocks: {t2 * 1e3:.2f} ms/block, "
+                f"{rt2:.0f}x real-time (6.1 s latency operating point)")
+        except Exception as e:  # noqa: BLE001
+            log(f"# [config 1b] SKIPPED: {str(e)[:120]}")
         _extras(ens, n_frames, rng, rt)
 
     if profile_dir:
@@ -125,6 +129,17 @@ def main():
 
 
 def _extras(ens, n_frames, rng, rt1):
+    """Each section independently guarded: an extras failure (this
+    machine's TPU relay is flaky) must never cost the headline line."""
+    for section in (_extra_batched, _extra_channelizer, _extra_rs,
+                    _extra_kernels):
+        try:
+            section(ens, n_frames, rng)
+        except Exception as e:  # noqa: BLE001
+            log(f"# [{section.__name__}] SKIPPED: {str(e)[:120]}")
+
+
+def _extra_batched(ens, n_frames, rng):
     from dabtools_tpu import constants as C
     from dabtools_tpu.models.receiver import block_samples
     from dabtools_tpu.ops.fec import init_deinterleave_ring
@@ -150,25 +165,29 @@ def _extras(ens, n_frames, rng, rt1):
         f"{sps / C.SAMPLE_RATE:.0f}x real-time "
         f"({sps / C.SAMPLE_RATE / n_ch:.0f}x per stream)")
 
-    # ---- config #4: wideband channelizer -----------------------------
+
+def _extra_channelizer(ens, n_frames, rng):
     from dabtools_tpu.ops.fir import Channelizer
     fs = 16_384_000
     offsets = [(-3 + k) * 1_712_000 for k in range(7)]
-    ch = Channelizer(fs, offsets_hz=offsets)
-    wide = _noise(fs // 4, rng)  # 250 ms of wideband
+    wide_np = np.asarray(_noise(fs // 4, rng))  # 250 ms of wideband
+    for method in ("fft", "direct"):
+        ch = Channelizer(fs, offsets_hz=offsets, method=method)
 
-    def chan(w):
-        return ch._jit_fn(
-            w, tuple(jnp.asarray(m) for m in ch._mixers),
-            jnp.zeros(len(offsets), jnp.int32),
-            q_list=tuple(m.size for m in ch._mixers))
+        def chan(_w=wide_np, _ch=ch):
+            # public streaming path; state reset so each call is identical
+            _ch._tail, _ch._consumed = None, 0
+            return jnp.asarray(_ch(_w))
 
-    t = _median_time(chan, wide, iters=5)
-    log(f"# [config 4] channelizer {fs / 1e6:.1f} Msps -> {len(offsets)} "
-        f"DAB blocks ({ch.num_taps} taps): {t * 1e3:.2f} ms per 250 ms "
-        f"capture = {0.25 / t:.0f}x real-time")
+        t = _median_time(chan, iters=5)
+        log(f"# [config 4] channelizer[{method}] {fs / 1e6:.1f} Msps -> "
+            f"{len(offsets)} DAB blocks ({ch.num_taps} taps): "
+            f"{t * 1e3:.2f} ms per 250 ms capture = "
+            f"{0.25 / t:.0f}x real-time")
 
-    # ---- config #2: DAB+ RS throughput -------------------------------
+
+def _extra_rs(ens, n_frames, rng):
+    from dabtools_tpu import constants as C
     from dabtools_tpu.ops.rs import rs_decode_batch
     from dabtools_tpu.utils.gf256 import rs_encode
     data = rng.integers(0, 256, size=(2048, C.RS_K), dtype=np.uint8)
@@ -180,7 +199,8 @@ def _extras(ens, n_frames, rng, rt1):
         f"{sf_rate:.0f} x128kbps-superframes/s ({sf_rate * 0.12:.0f}x "
         f"real-time per service-equivalent)")
 
-    # ---- kernel microbenchmarks --------------------------------------
+
+def _extra_kernels(ens, n_frames, rng):
     spec = _noise(16 * 76 * 2048, rng).reshape(16 * 76, 2048)
     f_fft = jax.jit(lambda a: jnp.fft.fft(a, axis=-1))
     t = _median_time(f_fft, spec)
