@@ -98,6 +98,26 @@ def main():
         f"(sustained), {samples / t / 1e6:.0f} Msamples/s, "
         f"{rt:.0f}x real-time")
 
+    if "--section" not in sys.argv and "--once" not in sys.argv:
+        # The compile relay serves differently-optimized executables per
+        # process (observed 2x spread); report the median of three
+        # independent process measurements.
+        import subprocess
+        rts = [rt]
+        for _ in range(2):
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__, str(n_frames), "--quick",
+                     "--once"],
+                    capture_output=True, text=True, timeout=420)
+                rts.append(json.loads(r.stdout.strip().splitlines()[-1])
+                           ["value"])
+            except Exception:  # noqa: BLE001
+                pass
+        log(f"# [config 1] per-process measurements: "
+            f"{[round(v) for v in rts]} -> median")
+        rt = float(np.median(rts))
+
     if not quick:
         try:
             # throughput-optimal operating point: bigger blocks
@@ -128,15 +148,39 @@ def main():
     }))
 
 
+SECTIONS = ("batched", "e2e", "channelizer", "rs", "kernels")
+
+
 def _extras(ens, n_frames, rng, rt1):
-    """Each section independently guarded: an extras failure (this
-    machine's TPU relay is flaky) must never cost the headline line."""
-    for section in (_extra_batched, _extra_channelizer, _extra_rs,
-                    _extra_kernels):
+    """Each section runs in its OWN subprocess: this machine's TPU relay
+    wedges a process after a handful of fresh compiles, and a fresh
+    process gets a fresh budget.  A section failure can never cost the
+    driver's headline line."""
+    import subprocess
+    for name in SECTIONS:
         try:
-            section(ens, n_frames, rng)
-        except Exception as e:  # noqa: BLE001
-            log(f"# [{section.__name__}] SKIPPED: {str(e)[:120]}")
+            r = subprocess.run(
+                [sys.executable, __file__, "--section", name],
+                capture_output=True, text=True, timeout=420)
+            for line in r.stderr.splitlines():
+                if line.startswith("# ["):
+                    log(line)
+            if r.returncode != 0:
+                log(f"# [{name}] SKIPPED (rc={r.returncode}): "
+                    f"{r.stderr.strip().splitlines()[-1][:120] if r.stderr.strip() else ''}")
+        except subprocess.TimeoutExpired:
+            log(f"# [{name}] SKIPPED: timeout")
+
+
+def run_section(name: str) -> int:
+    from __graft_entry__ import _flagship_ensemble
+    ens = _flagship_ensemble()
+    rng = np.random.default_rng(0)
+    fn = {"batched": _extra_batched, "e2e": _extra_e2e,
+          "channelizer": _extra_channelizer, "rs": _extra_rs,
+          "kernels": _extra_kernels}[name]
+    fn(ens, 16, rng)
+    return 0
 
 
 def _extra_batched(ens, n_frames, rng):
@@ -164,6 +208,36 @@ def _extra_batched(ens, n_frames, rng):
         f"{sps / 1e6:.0f} Msamples/s aggregate, "
         f"{sps / C.SAMPLE_RATE:.0f}x real-time "
         f"({sps / C.SAMPLE_RATE / n_ch:.0f}x per stream)")
+
+
+def _extra_e2e(ens, n_frames, rng):
+    """End-to-end including ALL host work: modulated signal -> DabReceiver
+    -> ETI bytes (acquisition, FIG parse, CRCs, pairing, assembly)."""
+    import time as _time
+    from dabtools_tpu import constants as C
+    from dabtools_tpu.fic.config import Ensemble, Service, ServiceComponent, Subchannel
+    from dabtools_tpu.models.receiver import DabReceiver
+    import sys as _sys
+    import pathlib
+    _sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from tests.test_closed_loop import modulate
+
+    small = Ensemble(
+        eid=0x4FFF, label="E2E",
+        subchannels=tuple(Subchannel.eep(i, 96 * i, 3, "A", 128)
+                          for i in range(9)))
+    n_mod = 20
+    x, _ = modulate(small, n_mod, seed=0)
+    rx = DabReceiver(n_frames=16)
+    rx.feed(x[: x.size // 2])            # compile + acquire
+    seg = x[x.size // 2:]
+    t0 = _time.perf_counter()
+    eti = rx.feed(seg)
+    t = _time.perf_counter() - t0
+    rt = seg.size / t / C.SAMPLE_RATE
+    log(f"# [e2e] IQ->ETI incl. all host work: {rt:.0f}x real-time "
+        f"({len(eti)} ETI frames from {seg.size / C.MODE_I.frame_size:.0f} "
+        f"frames)")
 
 
 def _extra_channelizer(ens, n_frames, rng):
@@ -222,4 +296,7 @@ def _extra_kernels(ens, n_frames, rng):
 
 
 if __name__ == "__main__":
+    if "--section" in sys.argv:
+        name = sys.argv[sys.argv.index("--section") + 1]
+        sys.exit(run_section(name))
     main()

@@ -124,3 +124,18 @@ class TestTimeInterleave:
                                    1, 9, 5, 13, 3, 11, 7, 15]
         assert (DELAYS + RX_DELAYS == 15).all()
         assert sorted(DELAYS.tolist()) == list(range(16))
+
+
+class TestFreqInterleaveOtherModes:
+    @pytest.mark.parametrize("mode", [C.MODE_II, C.MODE_III, C.MODE_IV])
+    def test_generalized_rule_yields_carrier_count(self, mode):
+        """R(i) = (13 R + T_u/4 - 1) mod T_u keeping [T_u/8, 7T_u/8]\\{DC}
+        must yield exactly K carriers for every transmission mode."""
+        m = freq_interleave_map(mode)
+        assert m.shape == (mode.n_carriers,)
+        assert len(set(m.tolist())) == mode.n_carriers
+        k = ((m.astype(int) + mode.fft_size // 2) % mode.fft_size
+             - mode.fft_size // 2)
+        assert k.min() == -mode.n_carriers // 2
+        assert k.max() == mode.n_carriers // 2
+        assert 0 not in k.tolist()
