@@ -98,7 +98,7 @@ def main():
         f"(sustained), {samples / t / 1e6:.0f} Msamples/s, "
         f"{rt:.0f}x real-time")
 
-    if "--section" not in sys.argv and "--once" not in sys.argv:
+    if not quick and "--section" not in sys.argv and "--once" not in sys.argv:
         # The compile relay serves differently-optimized executables per
         # process (observed 2x spread); report the median of three
         # independent process measurements.
@@ -226,11 +226,16 @@ def _extra_e2e(ens, n_frames, rng):
         eid=0x4FFF, label="E2E",
         subchannels=tuple(Subchannel.eep(i, 96 * i, 3, "A", 128)
                           for i in range(9)))
-    n_mod = 20
+    n_mod = 30
     x, _ = modulate(small, n_mod, seed=0)
-    rx = DabReceiver(n_frames=16)
-    rx.feed(x[: x.size // 2])            # compile + acquire
-    seg = x[x.size // 2:]
+    rx = DabReceiver(n_frames=8)
+    # warmup must cover >= one full block so both jits compile and the
+    # MCI activates before the timed segment
+    from dabtools_tpu.models.receiver import block_samples as _bs
+    warm = _bs(8) + 2 * C.MODE_I.frame_size
+    rx.feed(x[:warm])
+    assert rx.ensemble is not None, "warmup did not acquire"
+    seg = x[warm:]
     t0 = _time.perf_counter()
     eti = rx.feed(seg)
     t = _time.perf_counter() - t0

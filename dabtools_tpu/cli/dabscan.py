@@ -71,7 +71,9 @@ def main(argv=None) -> int:
     from dabtools_tpu.utils.crc import crc16_ok
     import jax.numpy as jnp
 
-    n_frames = max(1, min(8, streams.shape[1] // (2 * 196608) - 1))
+    from dabtools_tpu import constants as C
+    n_frames = max(1, min(8, streams.shape[1]
+                          // (2 * C.MODE_I.frame_size) - 1))
     need = block_samples(n_frames)
     if streams.shape[1] < need:
         print(f"capture too short: need {need} samples per block after "

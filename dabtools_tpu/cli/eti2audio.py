@@ -70,9 +70,12 @@ def main(argv=None) -> int:
         print(f"ensemble 0x{ens.eid:04X} {ens.label!r}")
         for svc in ens.services:
             for c in svc.components:
-                sub = ens.subchannel(c.subchid)
+                try:
+                    rate = f"{ens.subchannel(c.subchid).bitrate_kbps:3d} kbit/s"
+                except KeyError:
+                    rate = "(unsignalled)"   # e.g. packet-data component
                 print(f"  0x{svc.sid:04X} {svc.label or '':16s} subch "
-                      f"{c.subchid:2d}  {sub.bitrate_kbps:3d} kbit/s  "
+                      f"{c.subchid:2d}  {rate}  "
                       f"{'DAB+' if c.is_dabplus else 'MP2'}")
         return 0
 

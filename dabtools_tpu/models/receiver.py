@@ -199,7 +199,8 @@ class DabReceiver:
         self._reconfig_candidate = None
         # MCI FIBs repeat identically frame after frame; skip re-parsing
         # duplicates (but still tick the parser's staleness clock).
-        self._fib_cache: dict[bytes, None] = {}
+        # Cleared on every (re)activation — see _activate.
+        self._fib_cache: dict[bytes, tuple] = {}
         # Structured observability (SURVEY.md s5.5): a path or file-like
         # object receiving one JSON object per processed block.
         self._stats_jsonl = (open(stats_jsonl, "a")
@@ -251,6 +252,10 @@ class DabReceiver:
             for s in ensemble.subchannels}
         self._assembler = EtiAssembler(ensemble, self.mode)
         self._activation_cif = int(self._cif_count)
+        # Any (re)activation invalidates the FIB parse cache: rows parsed
+        # under the previous config must be re-learnable (an A->B->A mux
+        # revert would otherwise freeze on cached A FIBs forever).
+        self._fib_cache.clear()
         # First fully-valid logical frame: its 16 interleaved contributions
         # are received CIFs n..n+15, all >= activation.
         self._next_eti_cif = self._activation_cif

@@ -85,6 +85,8 @@ class Channelizer:
 
         bin_hz = fs_in / self.N_FFT
         aligned = all(f % bin_hz == 0 for f in self.offsets_hz)
+        if method not in ("auto", "fft", "direct"):
+            raise ValueError(f"unknown channelizer method {method!r}")
         if method == "auto":
             method = "fft" if aligned and num_taps < self.N_FFT else "direct"
         if method == "fft" and not aligned:

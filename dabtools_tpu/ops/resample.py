@@ -80,16 +80,14 @@ class Resampler:
         n = np.arange(n0, n1 + 1)
         newest = n * self.down // self.up          # global input index
         starts = (newest - base) - (t - 1)
-        valid = starts >= 0
-        n, starts = n[valid], starts[valid]
+        # warmup is covered by the zero-filled initial tail, so starts is
+        # always non-negative (the first call's base is -(t-1))
+        assert starts.min() >= 0, "resampler window before buffer start"
         phases = (n * self.down) % self.up
-        if n.size == 0:
-            y = np.zeros(0, dtype=np.complex64)
-        else:
-            y = np.asarray(self._fn(jnp.asarray(x),
-                                    jnp.asarray(phases, jnp.int32),
-                                    jnp.asarray(starts, jnp.int32)))
-            self._next_out = int(n[-1]) + 1
+        y = np.asarray(self._fn(jnp.asarray(x),
+                                jnp.asarray(phases, jnp.int32),
+                                jnp.asarray(starts, jnp.int32)))
+        self._next_out = int(n[-1]) + 1
         self._tail = x[-(t - 1):].copy()
         self._consumed = base + x.size
         return y

@@ -103,3 +103,24 @@ class TestChannelizer:
         off = round(rx_a.stats[0].null_start / C.MODE_I.frame_size) * 4
         for k, f in enumerate(frames):
             assert f.subchannel_data(1) == pa[1][a + k + off].tobytes(), k
+
+
+class TestMethodEquivalence:
+    def test_fft_matches_direct(self):
+        rng = np.random.default_rng(9)
+        fs = 16_384_000
+        x = (rng.normal(size=fs // 16) + 1j * rng.normal(size=fs // 16)
+             ).astype(np.complex64)
+        offs = [3_424_000, -1_712_000, 0]
+        yd = Channelizer(fs, offs, method="direct")(x)
+        yf = Channelizer(fs, offs, method="fft")(x)
+        n = min(yd.shape[1], yf.shape[1])
+        np.testing.assert_allclose(yf[:, :n], yd[:, :n], atol=2e-5)
+
+    def test_unknown_method_rejected(self):
+        with pytest.raises(ValueError):
+            Channelizer(8_192_000, [0], method="FFT")
+
+    def test_unaligned_offset_falls_back_to_direct(self):
+        ch = Channelizer(8_192_000, [1_712_000 + 1000], method="auto")
+        assert ch.method == "direct"

@@ -45,3 +45,26 @@ def test_mux_reconfiguration():
     idxs = [expect_rows[f.subchannel_data(3)] for f in phase2
             if f.subchannel_data(3) in expect_rows]
     assert idxs == sorted(idxs)
+
+
+def test_mux_revert_a_b_a():
+    """A -> B -> A: the FIB dedup cache must not freeze the parser on B
+    (cache is cleared at every activation)."""
+    ens_a = build_ensemble()
+    ens_b = Ensemble(eid=ens_a.eid, label="TPU DAB",
+                     subchannels=(Subchannel.eep(3, 96, 2, "B", 64),))
+    xa1, _ = modulate(ens_a, 10, seed=50)
+    xb, _ = modulate(ens_b, 12, seed=51)
+    xa2, pa2 = modulate(ens_a, 14, seed=52)
+
+    rx = DabReceiver(n_frames=4)
+    eti = rx.feed(np.concatenate([xa1, xb, xa2]))
+    assert rx.ensemble is not None
+    assert rx.ensemble.subchannels == ens_a.subchannels, \
+        "receiver failed to revert to config A"
+    frames = list(EtiParser().feed(b"".join(eti)))
+    assert set(frames[-1].streams) == {1}
+    # the tail of the stream decodes config A bit-exactly
+    expect_rows = {pa2[1][n].tobytes() for n in range(56)}
+    tail = [f for f in frames[-6:] if set(f.streams) == {1}]
+    assert tail and all(f.subchannel_data(1) in expect_rows for f in tail)
