@@ -148,7 +148,7 @@ def main():
     }))
 
 
-SECTIONS = ("batched", "e2e", "channelizer", "rs", "kernels")
+SECTIONS = ("closedloop", "batched", "e2e", "channelizer", "rs", "kernels")
 
 
 def _extras(ens, n_frames, rng, rt1):
@@ -176,9 +176,9 @@ def run_section(name: str) -> int:
     from __graft_entry__ import _flagship_ensemble
     ens = _flagship_ensemble()
     rng = np.random.default_rng(0)
-    fn = {"batched": _extra_batched, "e2e": _extra_e2e,
-          "channelizer": _extra_channelizer, "rs": _extra_rs,
-          "kernels": _extra_kernels}[name]
+    fn = {"closedloop": _extra_closedloop, "batched": _extra_batched,
+          "e2e": _extra_e2e, "channelizer": _extra_channelizer,
+          "rs": _extra_rs, "kernels": _extra_kernels}[name]
     fn(ens, 16, rng)
     return 0
 
@@ -208,6 +208,31 @@ def _extra_batched(ens, n_frames, rng):
         f"{sps / 1e6:.0f} Msamples/s aggregate, "
         f"{sps / C.SAMPLE_RATE:.0f}x real-time "
         f"({sps / C.SAMPLE_RATE / n_ch:.0f}x per stream)")
+
+
+def _extra_closedloop(ens, n_frames, rng):
+    """Hardware correctness: a modulated ensemble decodes BIT-EXACT on the
+    real chip (the CPU suite proves the math; this proves the TPU path)."""
+    import sys as _sys
+    import pathlib
+    _sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from dabtools_tpu.eti.parse import EtiParser
+    from dabtools_tpu.models.receiver import DabReceiver
+    from tests.test_closed_loop import build_ensemble, modulate
+
+    ens1 = build_ensemble()
+    x, payload_bytes = modulate(ens1, 12, seed=0)
+    rx = DabReceiver(n_frames=4)
+    eti = rx.feed(x)
+    frames = list(EtiParser().feed(b"".join(eti)))
+    a = rx._activation_cif
+    good = sum(f.subchannel_data(1) == payload_bytes[1][a + k].tobytes()
+               for k, f in enumerate(frames))
+    status = "BIT-EXACT" if good == len(frames) and frames else "MISMATCH"
+    log(f"# [closedloop] TPU decode of modulated ensemble: {status} "
+        f"({good}/{len(frames)} ETI frames)")
+    if status != "BIT-EXACT":
+        raise AssertionError("hardware closed loop mismatch")
 
 
 def _extra_e2e(ens, n_frames, rng):
