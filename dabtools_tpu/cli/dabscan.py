@@ -82,13 +82,13 @@ def main(argv=None) -> int:
     out, _, _ = channel_parallel_block(
         jnp.asarray(streams[:, :need]), {}, jnp.asarray(0, jnp.int32),
         ensemble=None, n_frames=n_frames)
-    fib_bits = np.asarray(out["fib_bits"])          # (C, B, 12, 256)
+    fib_bytes_all = np.asarray(out["fib_bytes"])    # (C, B, 12, 32)
     null_ratio = np.asarray(out["null_ratio"])
 
     found = 0
     for c, (label, freq) in enumerate(candidates):
         fig = FigParser()
-        fibs = np.packbits(fib_bits[c].astype(np.uint8), axis=-1)
+        fibs = fib_bytes_all[c]
         for f in range(fibs.shape[0]):
             for i in range(fibs.shape[1]):
                 fib = fibs[f, i].tobytes()

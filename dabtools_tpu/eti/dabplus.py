@@ -37,10 +37,15 @@ def _rs_decode_columns(table: np.ndarray):
     codec as fallback/reference.
     """
     try:
+        import jax
         import jax.numpy as jnp
         from dabtools_tpu.ops.rs import rs_decode_batch
-        data, counts = rs_decode_batch(jnp.asarray(table))
-        return np.asarray(data), np.asarray(counts)
+        # Pin to the CPU backend: this is a host byte-stream stage (the
+        # data rate is kB/120ms), and the accelerator backend may belong
+        # to the main pipeline or be unavailable.
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            data, counts = rs_decode_batch(jnp.asarray(table))
+            return np.asarray(data), np.asarray(counts)
     except Exception:  # pragma: no cover - jax unavailable/backend broken
         return rs_decode(table)
 

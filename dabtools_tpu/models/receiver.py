@@ -86,11 +86,12 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
     fic_soft = soft[:, : mode.n_fic_syms, :].reshape(
         n_frames * n_cw, C.FIC_PUNCTURED_BITS)
     fic_bits, fic_metric = viterbi_decode(depuncture(fic_soft, FIC_PROFILE))
-    fib_bits = descramble(fic_bits).reshape(
-        n_frames, mode.n_fibs, C.FIB_BITS)
+    from dabtools_tpu.ops.bits import pack_bits
+    fib_bytes = pack_bits(descramble(fic_bits)).reshape(
+        n_frames, mode.n_fibs, C.FIB_BYTES)
 
     out = {
-        "fib_bits": fib_bits,
+        "fib_bytes": fib_bytes,
         "fic_metric": fic_metric.reshape(n_frames, n_cw),
         "cfo_carriers": cfo,
         "prs_peak": fine["peak"],
@@ -125,7 +126,7 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
                 aligned_all.append(aligned)
             stacked = jnp.concatenate(aligned_all, axis=0)
             bits, metric = viterbi_decode(depuncture(stacked, profile))
-            data = descramble(bits)
+            data = pack_bits(descramble(bits))   # (batch, data_bytes)
             for k, s in enumerate(subs):
                 key = str(s.subchid)
                 sl = slice(k * n_cifs, (k + 1) * n_cifs)
@@ -279,9 +280,8 @@ class DabReceiver:
         if self.ensemble is not None:
             self._rings = rings
 
-        # FIBs: pack, CRC, parse FIGs, enqueue for ETI pairing.
-        fib_bytes = np.packbits(
-            out["fib_bits"].astype(np.uint8), axis=-1)     # (B, 12, 32)
+        # FIBs arrive packed from the device: (B, 12, 32) uint8.
+        fib_bytes = np.asarray(out["fib_bytes"])
         n_ok = n_bad = 0
         fibs_per_cif = self.mode.n_fibs // self.mode.n_cifs
         # Per-frame sync confidence drives the ETI ERR byte (SURVEY.md
@@ -361,7 +361,7 @@ class DabReceiver:
         # Sub-channel rows j correspond to logical frames cif0 + j - 15.
         if self.ensemble is not None:
             for s in self.ensemble.subchannels:
-                data = np.packbits(out["subch"][str(s.subchid)], axis=-1)
+                data = np.asarray(out["subch"][str(s.subchid)])
                 for j in range(data.shape[0]):
                     n = cif0 + j - 15
                     if n >= 0:

@@ -53,7 +53,7 @@ def timeblock_receiver(mesh: jax.sharding.Mesh, ensemble: Ensemble,
       * ``prefix``: (n_channels, LH) samples preceding the span;
       * ``suffix``: (n_channels, RH) samples following it;
       * ``g0``: int32 global frame index of the span's first frame;
-      * ``out``: global pytree — fib_bits (C, n_shards*F, 12, 256),
+      * ``out``: global pytree — fib_bytes (C, n_shards*F, 12, 32),
         subch[id] (C, n_shards*F*n_cifs, data_bits), metrics, diagnostics.
     """
     n_shards = mesh.shape["time"]
@@ -96,7 +96,7 @@ def timeblock_receiver(mesh: jax.sharding.Mesh, ensemble: Ensemble,
         out = jax.vmap(one_channel)(xe)
         own_cifs = slice(w * mode.n_cifs, None)
         return {
-            "fib_bits": out["fib_bits"][:, w:],
+            "fib_bytes": out["fib_bytes"][:, w:],
             "fic_metric": out["fic_metric"][:, w:],
             "prs_peak": out["prs_peak"][:, w:],
             "prs_offset": out["prs_offset"][:, w:],
@@ -110,7 +110,7 @@ def timeblock_receiver(mesh: jax.sharding.Mesh, ensemble: Ensemble,
         local_fn, mesh=mesh,
         in_specs=(P("channels", "time"), P("channels"), P("channels"), P()),
         out_specs={
-            "fib_bits": P("channels", "time"),
+            "fib_bytes": P("channels", "time"),
             "fic_metric": P("channels", "time"),
             "prs_peak": P("channels", "time"),
             "prs_offset": P("channels", "time"),

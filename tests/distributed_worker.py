@@ -65,7 +65,7 @@ def main():
     sub = ens.subchannels[0]
     got = multihost_utils.process_allgather(
         out["subch"][str(sub.subchid)], tiled=True)
-    got = np.packbits(np.asarray(got), axis=-1)
+    got = np.asarray(got)
 
     n_rows = n_time * f_own * 4
     assert got.shape[0] == 2

@@ -57,8 +57,8 @@ def test_channel_parallel_matches_sequential(ensemble):
         ref, _, _ = process_block(
             xb[c], ring1, jnp.asarray(0, jnp.int32), ensemble=ensemble,
             n_frames=4)
-        np.testing.assert_array_equal(np.asarray(out["fib_bits"][c]),
-                                      np.asarray(ref["fib_bits"]))
+        np.testing.assert_array_equal(np.asarray(out["fib_bytes"][c]),
+                                      np.asarray(ref["fib_bytes"]))
         for k in ref["subch"]:
             np.testing.assert_array_equal(np.asarray(out["subch"][k][c]),
                                           np.asarray(ref["subch"][k]))
@@ -90,11 +90,11 @@ def test_timeblock_matches_sequential(ensemble):
              jnp.asarray(np.stack([suffix, suffix])),
              g0)
 
-    assert out["fib_bits"].shape == (2, n_time * f_own, 12, 256)
+    assert out["fib_bytes"].shape == (2, n_time * f_own, 12, 32)
 
     # Sequential ground truth: payload bytes straight from the modulator.
     sub = ensemble.subchannels[0]
-    got = np.packbits(np.asarray(out["subch"][str(sub.subchid)]), axis=-1)
+    got = np.asarray(out["subch"][str(sub.subchid)])
     for c in range(2):
         for j in range(n_time * f_own * 4):
             n = g0 * 4 + j - 15           # logical frame of output row j
@@ -105,7 +105,7 @@ def test_timeblock_matches_sequential(ensemble):
 
     # FIBs decoded on every shard match the modulated FIBs.
     from dabtools_tpu.utils.crc import crc16_ok
-    fib_bytes = np.packbits(np.asarray(out["fib_bits"]), axis=-1)
+    fib_bytes = np.asarray(out["fib_bytes"])
     for c in range(2):
         for f in range(n_time * f_own):
             for i in range(12):
@@ -135,7 +135,7 @@ def test_timeblock_cold_start_transient_is_local(ensemble):
     out = fn(xb, zeros, jnp.asarray(np.stack([suffix, suffix])), g0)
 
     sub = ensemble.subchannels[0]
-    got = np.packbits(np.asarray(out["subch"][str(sub.subchid)]), axis=-1)
+    got = np.asarray(out["subch"][str(sub.subchid)])
     # Shards 1..3 (rows >= f_own*4) are still bit-exact.
     for j in range(f_own * 4, n_time * f_own * 4):
         n = g0 * 4 + j - 15
