@@ -34,6 +34,8 @@ def main(argv=None) -> int:
                    help="wrap DAB+ AAC AUs in ADTS headers")
     p.add_argument("--dabplus", action="store_true",
                    help="force DAB+ decoding even without FIG 0/2 info")
+    p.add_argument("--labels", action="store_true",
+                   help="decode PAD dynamic labels (DLS) to stderr")
     p.add_argument("--output", "-o", default="-")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
@@ -116,9 +118,20 @@ def main(argv=None) -> int:
         log.error("sub-channel %d not present in ETI", subchid)
         return 1
 
+    pad = None
+    if args.labels:
+        from dabtools_tpu.eti.pad import PadDecoder
+        pad = PadDecoder()
+
+    def show(labels):
+        for lab in labels:
+            log.info("dynamic label: %r (charset %d)", lab.text, lab.charset)
+
     if not is_dabplus:
         for d in data:                       # the eti2mpa path
             out.write(d)
+            if pad is not None:
+                show(pad.feed_mp2_frame(d))
         log.info("wrote %d bytes MP2 from %d frames",
                  sum(len(d) for d in data), len(data))
     else:
@@ -132,10 +145,14 @@ def main(argv=None) -> int:
                     n_bad += 1
                     continue
                 n_aus += 1
+                if pad is not None:
+                    show(pad.feed_dabplus_au(au.data))
                 out.write(adts_wrap(au.data, dec.config)
                           if args.adts else au.data)
         log.info("wrote %d AAC AUs (%d failed CRC); stats=%s",
                  n_aus, n_bad, dec.stats)
+    if pad is not None:
+        log.info("DLS stats: %s", pad.dls.stats)
     out.flush()
     if args.output != "-":
         out.close()

@@ -34,13 +34,33 @@ def capture(tmp_path_factory):
     n_frames = 14
     n_cifs = n_frames * 4
 
-    mp2 = rng.integers(0, 256, size=(n_cifs, 192), dtype=np.uint8)
+    from dabtools_tpu.eti.pad import (APP_DLS_START, attach_pad_mp2,
+                                      build_xpad, dls_data_groups,
+                                      wrap_pad_dse)
 
+    # MP2 rows: random audio bytes + a DLS group in each frame's X-PAD.
+    mp2_groups = dls_data_groups("Now Playing: CLI TEST", toggle=0)
+    mp2 = rng.integers(0, 256, size=(n_cifs, 192), dtype=np.uint8)
+    for i in range(n_cifs):
+        row = bytearray(mp2[i].tobytes())
+        xpad, fpad = build_xpad(
+            [(APP_DLS_START, mp2_groups[i % len(mp2_groups)])])
+        attach_pad_mp2(row, xpad, fpad)
+        mp2[i] = np.frombuffer(bytes(row), dtype=np.uint8)
+
+    # DAB+ AUs: first AU of each superframe starts with a PAD DSE.
+    aac_groups = dls_data_groups("DAB+ LABEL", toggle=1)
     sb = SuperframeBuilder(64)
     sf_aus, dabplus_frames = [], []
-    for _ in range(n_cifs // 5 + 1):
-        aus = [rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
-               for n in sb.au_sizes()]
+    for k in range(n_cifs // 5 + 1):
+        sizes = sb.au_sizes()
+        xpad, fpad = build_xpad(
+            [(APP_DLS_START, aac_groups[k % len(aac_groups)])])
+        dse = wrap_pad_dse(xpad, fpad)
+        aus = [dse + rng.integers(
+                   0, 256, size=sizes[0] - len(dse), dtype=np.uint8).tobytes()]
+        aus += [rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+                for n in sizes[1:]]
         sf_aus.append(aus)
         dabplus_frames.extend(sb.build(aus))
     dabplus = np.stack(dabplus_frames[:n_cifs])
@@ -124,6 +144,26 @@ def test_eti2audio_adts(eti_file, capture):
     assert r.returncode == 0, r.stderr
     got = out.read_bytes()
     assert got[:2] == b"\xff\xf1"     # ADTS syncword
+
+
+def test_eti2audio_mp2_labels(eti_file, capture):
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--sid", "0x1111", "--labels", str(eti_file),
+         "-o", str(capture["tmp"] / "lbl.mp2")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "dynamic label: 'Now Playing: CLI TEST'" in r.stderr
+
+
+def test_eti2audio_dabplus_labels(eti_file, capture):
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--sid", "0x2222", "--labels", str(eti_file),
+         "-o", str(capture["tmp"] / "lbl.aac")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "dynamic label: 'DAB+ LABEL'" in r.stderr
 
 
 def test_eti2audio_unknown_service(eti_file):
