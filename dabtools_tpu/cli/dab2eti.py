@@ -73,6 +73,9 @@ def main(argv=None) -> int:
     p.add_argument("--stats-json", default=None, metavar="PATH",
                    help="append one JSON object per block (sync confidence, "
                         "CFO, CRC rates, Viterbi metrics) to PATH")
+    p.add_argument("--tii", action="store_true",
+                   help="detect transmitter identification (TII) from the "
+                        "null symbol and report it at exit")
     p.add_argument("--cpu", action="store_true",
                    help="force the JAX CPU backend")
     args = p.parse_args(argv)
@@ -90,7 +93,7 @@ def main(argv=None) -> int:
 
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     rx = DabReceiver(n_frames=args.frames_per_block,
-                     stats_jsonl=args.stats_json)
+                     stats_jsonl=args.stats_json, tii=args.tii)
     resampler = None
     if int(args.rate) != 2_048_000:
         from dabtools_tpu.ops.resample import Resampler
@@ -117,6 +120,13 @@ def main(argv=None) -> int:
     finally:
         if args.output != "-":
             out.close()
+    if args.tii:
+        det = rx.tii()
+        if det is None:
+            log.info("TII: none detected")
+        else:
+            log.info("TII: main id %d, sub id %d (snr %.1f)",
+                     det.main_id, det.sub_id, det.snr)
     if rx.ensemble is None:
         log.error("no ensemble acquired (insufficient or undecodable input)")
         return 1

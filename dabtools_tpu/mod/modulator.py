@@ -78,12 +78,20 @@ class Modulator:
     """Mode I ensemble modulator producing 2.048 Msps complex baseband."""
 
     def __init__(self, subchannels: list[SubchannelSource],
-                 mode=C.MODE_I, gain: float = 1.0):
+                 mode=C.MODE_I, gain: float = 1.0,
+                 tii: tuple[int, int] | None = None, tii_amp: float = 0.5):
+        """``tii=(sub_id, main_id)`` radiates TII carrier pairs in the
+        null symbol (EN 300 401 s14.8; closed-loop fixture for ops.tii)."""
         if mode.name != "I":
             raise NotImplementedError("modulator fixture supports Mode I")
         self.mode = mode
         self.subchannels = subchannels
         self.gain = gain
+        self._null = np.zeros(mode.null_size, dtype=np.complex64)
+        if tii is not None:
+            from dabtools_tpu.ops.tii import tii_null_symbol
+            c, p = tii
+            self._null = tii_null_symbol(c, p, mode, amp=tii_amp) * gain
         occupied = np.zeros(C.CIF_CUS, dtype=bool)
         for s in subchannels:
             span = occupied[s.start_cu:s.start_cu + s.size_cus]
@@ -124,8 +132,7 @@ class Modulator:
         time = np.fft.ifft(carriers, axis=-1).astype(np.complex64)
         time *= self.gain * mode.fft_size / np.sqrt(mode.n_carriers)
         with_guard = np.concatenate([time[:, -mode.guard:], time], axis=-1)
-        null = np.zeros(mode.null_size, dtype=np.complex64)
-        return np.concatenate([null, with_guard.reshape(-1)])
+        return np.concatenate([self._null, with_guard.reshape(-1)])
 
     @staticmethod
     def _diff_encode(carriers: np.ndarray) -> np.ndarray:

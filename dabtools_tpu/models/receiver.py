@@ -182,9 +182,13 @@ class DabReceiver:
 
     def __init__(self, n_frames: int = 8, mode=C.MODE_I,
                  ensemble: Ensemble | None = None, emit_eti: bool = True,
-                 stats_jsonl=None):
+                 stats_jsonl=None, tii: bool = False):
         self.mode = mode
         self.n_frames = n_frames
+        # TII accumulation across blocks (EN 300 401 s14.8; ops/tii.py).
+        self._tii_enabled = tii
+        self._tii_powers = np.zeros((24, 8), dtype=np.float64)
+        self._tii_floor = 0.0
         self.emit_eti = emit_eti
         self._buf = np.zeros(0, dtype=np.complex64)
         self._fig = FigParser()
@@ -245,6 +249,17 @@ class DabReceiver:
             self._buf = self._buf[min(advance, self._buf.size):]
         return eti
 
+    def tii(self, min_snr: float = 3.0):
+        """Best transmitter identification accumulated so far, or None.
+
+        Requires ``tii=True`` at construction; returns
+        :class:`dabtools_tpu.ops.tii.TiiDetection`.
+        """
+        from dabtools_tpu.ops.tii import solve_tii
+        if not self._tii_enabled or self._tii_floor == 0.0:
+            return None
+        return solve_tii(self._tii_powers, self._tii_floor, min_snr)
+
     # ------------------------------------------------------- internals
     def _activate(self, ensemble: Ensemble) -> None:
         self.ensemble = ensemble
@@ -279,6 +294,15 @@ class DabReceiver:
         out = jax.device_get(out)
         if self.ensemble is not None:
             self._rings = rings
+
+        if self._tii_enabled:
+            from dabtools_tpu.ops.tii import tii_powers_at
+            t = jax.device_get(call_with_retries(
+                tii_powers_at, jnp.asarray(x),
+                jnp.asarray(out["null_start"], jnp.int32), self.n_frames,
+                mode=self.mode))
+            self._tii_powers += np.asarray(t["powers"], dtype=np.float64)
+            self._tii_floor += float(t["floor"])
 
         # FIBs arrive packed from the device: (B, 12, 32) uint8.
         fib_bytes = np.asarray(out["fib_bytes"])
