@@ -73,6 +73,9 @@ def main(argv=None) -> int:
     p.add_argument("--stats-json", default=None, metavar="PATH",
                    help="append one JSON object per block (sync confidence, "
                         "CFO, CRC rates, Viterbi metrics) to PATH")
+    p.add_argument("--tist", action="store_true",
+                   help="stamp ETI frames with TIST timestamps "
+                        "(stream-relative, 24 ms per frame)")
     p.add_argument("--tii", action="store_true",
                    help="detect transmitter identification (TII) from the "
                         "null symbol and report it at exit")
@@ -93,7 +96,8 @@ def main(argv=None) -> int:
 
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     rx = DabReceiver(n_frames=args.frames_per_block,
-                     stats_jsonl=args.stats_json, tii=args.tii)
+                     stats_jsonl=args.stats_json, tii=args.tii,
+                     tist=args.tist)
     resampler = None
     if int(args.rate) != 2_048_000:
         from dabtools_tpu.ops.resample import Resampler

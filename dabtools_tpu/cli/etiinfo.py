@@ -32,7 +32,8 @@ def main(argv=None) -> int:
     n = 0
     err_counter: Counter = Counter()
     hdr_bad = mst_bad = fct_jumps = fib_bad = 0
-    last_fct = None
+    tist_seen = tist_jumps = 0
+    last_fct = last_tist = None
     stream_layout = None
     try:
         while True:
@@ -47,6 +48,14 @@ def main(argv=None) -> int:
                 if last_fct is not None and frame.fct != (last_fct + 1) % 250:
                     fct_jumps += 1
                 last_fct = frame.fct
+                if frame.tist is not None:
+                    from dabtools_tpu.eti.assemble import (
+                        TIST_TICKS_PER_FRAME, TIST_TICKS_PER_SEC)
+                    tist_seen += 1
+                    if last_tist is not None and frame.tist != (
+                            last_tist + TIST_TICKS_PER_FRAME) % TIST_TICKS_PER_SEC:
+                        tist_jumps += 1
+                    last_tist = frame.tist
                 for i in range(0, len(frame.fic), 32):
                     fib = frame.fic[i:i + 32]
                     if crc16_ok(fib):
@@ -65,7 +74,9 @@ def main(argv=None) -> int:
                     print(f"frame {n - 1}: FCT={frame.fct} FP={frame.fp} "
                           f"ERR=0x{frame.err:02X} "
                           f"hdrCRC={'ok' if frame.header_crc_ok else 'BAD'} "
-                          f"mstCRC={'ok' if frame.mst_crc_ok else 'BAD'}")
+                          f"mstCRC={'ok' if frame.mst_crc_ok else 'BAD'}"
+                          + (f" TIST={frame.tist_seconds*1e3:.3f}ms"
+                             if frame.tist is not None else ""))
                 if args.frames and n >= args.frames:
                     raise StopIteration
     except StopIteration:
@@ -82,6 +93,11 @@ def main(argv=None) -> int:
     print(f"ERR bytes: {errs}")
     print(f"header CRC failures: {hdr_bad}, MST CRC failures: {mst_bad}, "
           f"FCT discontinuities: {fct_jumps}, bad FIBs: {fib_bad}")
+    if tist_seen:
+        print(f"TIST: {tist_seen}/{n} frames stamped, "
+              f"{tist_jumps} discontinuities")
+    else:
+        print("TIST: not in use")
 
     ens = fig.ensemble()
     if ens is None:

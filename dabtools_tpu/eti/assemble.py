@@ -33,14 +33,41 @@ def tpl_for_subchannel(s: Subchannel) -> int:
     return 0x40 | (option << 4) | (s.protection_level - 1)
 
 
-class EtiAssembler:
-    """Builds the 6144-byte ETI(NI) stream for a fixed ensemble config."""
+TIST_TICKS_PER_SEC = 16_384_000   # ETS 300 799 annex: 1/16.384 MHz [K-med]
+TIST_TICKS_PER_FRAME = TIST_TICKS_PER_SEC * 24 // 1000     # = 393216 exactly
+TIST_NONE = 0xFFFFFFFF
 
-    def __init__(self, ensemble: Ensemble, mode=C.MODE_I):
+
+class EtiAssembler:
+    """Builds the 6144-byte ETI(NI) stream for a fixed ensemble config.
+
+    ``tist_start``: seconds-within-second phase of frame 0; enables TIST
+    timestamping (each frame advances 24 ms, wrapping at 1 s).  ``None``
+    emits the 0xFFFFFFFF "timestamp not in use" marker.  No CRC covers
+    TIST, so it is patched into the frame after assembly (shared by the
+    native and Python paths).
+    """
+
+    def __init__(self, ensemble: Ensemble, mode=C.MODE_I,
+                 tist_start: float | None = None):
         self.ensemble = ensemble
         self.mode = mode
         self.subs = ensemble.sorted_subchannels()
         self.frame_count = 0
+        self._tist0 = (None if tist_start is None
+                       else int(tist_start * TIST_TICKS_PER_SEC))
+
+    def _tist(self, count: int) -> bytes:
+        if self._tist0 is None:
+            return TIST_NONE.to_bytes(4, "big")
+        ticks = (self._tist0 + count * TIST_TICKS_PER_FRAME) % TIST_TICKS_PER_SEC
+        return ticks.to_bytes(4, "big")
+
+    @staticmethod
+    def _patch_tist(frame: bytes, nst: int, mst_bytes: int,
+                    tist: bytes) -> bytes:
+        pos = 8 + 4 * nst + 4 + mst_bytes + 4      # after EOF
+        return frame[:pos] + tist + frame[pos + 4:]
 
     @property
     def fct(self) -> int:
@@ -96,8 +123,12 @@ class EtiAssembler:
         # Python path below, cross-checked in tests/test_native.py).
         from dabtools_tpu.utils import native
         if native.lib() is not None:
-            return native.eti_build(fct, fp, err, mid, bytes(stc), nst,
-                                    fibs_bytes, subch_bytes)
+            frame = native.eti_build(fct, fp, err, mid, bytes(stc), nst,
+                                     fibs_bytes, subch_bytes)
+            if self._tist0 is not None:
+                frame = self._patch_tist(frame, nst, mst_bytes,
+                                         self._tist(count))
+            return frame
 
         fsync = C.ETI_FSYNC if count % 2 == 0 else C.ETI_FSYNC_INV
         out = bytearray()
@@ -125,8 +156,7 @@ class EtiAssembler:
 
         # EOF: CRC over MST + RFU
         out += crc16_ccitt(mst).to_bytes(2, "big") + b"\xff\xff"
-        # TIST: unused
-        out += b"\xff\xff\xff\xff"
+        out += self._tist(count)
 
         if len(out) > C.ETI_FRAME_BYTES:
             raise ValueError("ETI frame overflow")

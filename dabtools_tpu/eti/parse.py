@@ -33,6 +33,12 @@ class EtiFrame:
     streams: dict[int, EtiStream]
     header_crc_ok: bool
     mst_crc_ok: bool
+    tist: int | None = None     # ticks of 1/16.384 MHz within the second
+
+    @property
+    def tist_seconds(self) -> float | None:
+        from dabtools_tpu.eti.assemble import TIST_TICKS_PER_SEC
+        return None if self.tist is None else self.tist / TIST_TICKS_PER_SEC
 
     def subchannel_data(self, subchid: int) -> bytes:
         return self.streams[subchid].data
@@ -92,6 +98,9 @@ class EtiParser:
         mst = raw[mst_start: mst_start + mst_len]
         eof = raw[mst_start + mst_len: mst_start + mst_len + 4]
         mst_crc_ok = crc16_ok(mst + eof[:2])
+        tist_raw = int.from_bytes(
+            raw[mst_start + mst_len + 4: mst_start + mst_len + 8], "big")
+        tist = None if tist_raw == 0xFFFFFFFF else tist_raw
 
         fic_len = (self.mode.n_fibs // self.mode.n_cifs * C.FIB_BYTES
                    if ficf else 0)
@@ -107,7 +116,7 @@ class EtiParser:
             streams[subchid] = EtiStream(subchid, sad, tpl, stl, data)
         return EtiFrame(err=err, fct=fct, fp=fp, mid=mid, fic=fic,
                         streams=streams, header_crc_ok=header_crc_ok,
-                        mst_crc_ok=mst_crc_ok)
+                        mst_crc_ok=mst_crc_ok, tist=tist)
 
 
 def _find_fsync(buf: bytearray, start: int) -> int:

@@ -182,9 +182,11 @@ class DabReceiver:
 
     def __init__(self, n_frames: int = 8, mode=C.MODE_I,
                  ensemble: Ensemble | None = None, emit_eti: bool = True,
-                 stats_jsonl=None, tii: bool = False):
+                 stats_jsonl=None, tii: bool = False, tist: bool = False):
         self.mode = mode
         self.n_frames = n_frames
+        # TIST: stamp ETI frames with their stream-relative time.
+        self._tist_enabled = tist
         # TII accumulation across blocks (EN 300 401 s14.8; ops/tii.py).
         self._tii_enabled = tii
         self._tii_powers = np.zeros((24, 8), dtype=np.float64)
@@ -266,7 +268,12 @@ class DabReceiver:
         self._rings = {
             str(s.subchid): init_deinterleave_ring(s.profile.tx_bits)
             for s in ensemble.subchannels}
-        self._assembler = EtiAssembler(ensemble, self.mode)
+        # TIST phase continues across (re)activations: frame N of the ETI
+        # output corresponds to received CIF N, 24 ms apart.
+        tist_start = ((int(self._cif_count) * 24e-3) % 1.0
+                      if self._tist_enabled else None)
+        self._assembler = EtiAssembler(ensemble, self.mode,
+                                       tist_start=tist_start)
         self._activation_cif = int(self._cif_count)
         # Any (re)activation invalidates the FIB parse cache: rows parsed
         # under the previous config must be re-learnable (an A->B->A mux

@@ -182,3 +182,51 @@ def test_malformed_fig_does_not_crash_parser():
     p.feed_fib(fib)                          # must not raise
     assert p.figs_malformed == 1
     assert p.ensemble() is None
+
+
+class TestTist:
+    """TIST timestamping (ETS 300 799; 1/16.384 MHz ticks, 24 ms/frame)."""
+
+    def _frames(self, asm, n):
+        ens = asm.ensemble
+        rng = np.random.default_rng(1)
+        raw = b""
+        for _ in range(n):
+            fibs = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
+                    for _ in range(3)]
+            data = {s.subchid: rng.integers(0, 256, s.data_bytes,
+                                            dtype=np.uint8).tobytes()
+                    for s in ens.subchannels}
+            raw += asm.frame(fibs, data)
+        return list(EtiParser().feed(raw))
+
+    def test_disabled_by_default(self):
+        frames = self._frames(EtiAssembler(example_ensemble()), 2)
+        assert all(f.tist is None and f.tist_seconds is None for f in frames)
+
+    def test_ticks_advance_24ms(self):
+        from dabtools_tpu.eti.assemble import TIST_TICKS_PER_FRAME
+        frames = self._frames(
+            EtiAssembler(example_ensemble(), tist_start=0.1), 4)
+        assert frames[0].tist == int(0.1 * 16_384_000)
+        for a, b in zip(frames, frames[1:]):
+            assert b.tist - a.tist == TIST_TICKS_PER_FRAME
+        assert all(f.header_crc_ok and f.mst_crc_ok for f in frames)
+
+    def test_wraps_at_one_second(self):
+        from dabtools_tpu.eti.assemble import (TIST_TICKS_PER_FRAME,
+                                               TIST_TICKS_PER_SEC)
+        frames = self._frames(
+            EtiAssembler(example_ensemble(), tist_start=0.99), 2)
+        assert frames[1].tist == (frames[0].tist
+                                  + TIST_TICKS_PER_FRAME) % TIST_TICKS_PER_SEC
+        assert frames[1].tist < frames[0].tist
+
+    def test_python_and_native_paths_agree(self):
+        from dabtools_tpu.utils import native
+        if native.lib() is None:
+            import pytest
+            pytest.skip("native library unavailable")
+        frames = self._frames(
+            EtiAssembler(example_ensemble(), tist_start=0.5), 1)
+        assert abs(frames[0].tist_seconds - 0.5) < 1e-6
