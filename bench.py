@@ -222,7 +222,10 @@ def _extra_closedloop(ens, n_frames, rng):
 
     ens1 = build_ensemble()
     x, payload_bytes = modulate(ens1, 12, seed=0)
-    rx = DabReceiver(n_frames=4)
+    # Pre-set the ensemble so this section needs ONE fresh compile (the
+    # relay on this machine wedges processes after multiple compiles —
+    # the acquisition trace is exercised on HW by the e2e section).
+    rx = DabReceiver(n_frames=4, ensemble=ens1)
     eti = rx.feed(x)
     frames = list(EtiParser().feed(b"".join(eti)))
     a = rx._activation_cif
