@@ -64,8 +64,12 @@ def main(argv=None) -> int:
                         "converted by the polyphase resampler")
     p.add_argument("--gain", type=float, default=None,
                    help="accepted for dab2eti interface parity")
-    p.add_argument("--frames-per-block", type=int, default=8,
-                   help="transmission frames decoded per device call")
+    p.add_argument("--mode", choices=("I", "II", "III", "IV"), default="I",
+                   help="DAB transmission mode (Mode III requires "
+                        "--frames-per-block to be a multiple of 3)")
+    p.add_argument("--frames-per-block", type=int, default=None,
+                   help="transmission frames decoded per device call "
+                        "(default 8; 6 in Mode III)")
     p.add_argument("--output", "-o", default="-",
                    help="ETI output path ('-' = stdout)")
     p.add_argument("--stats", action="store_true",
@@ -92,10 +96,13 @@ def main(argv=None) -> int:
         log.info("frequency %.3f MHz (file/stream input; not tuning)",
                  args.frequency / 1e6)
 
+    from dabtools_tpu import constants as C
     from dabtools_tpu.models.receiver import DabReceiver
 
+    mode = C.MODES[args.mode]
+    n_frames = args.frames_per_block or (6 if args.mode == "III" else 8)
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
-    rx = DabReceiver(n_frames=args.frames_per_block,
+    rx = DabReceiver(n_frames=n_frames, mode=mode,
                      stats_jsonl=args.stats_json, tii=args.tii,
                      tist=args.tist)
     resampler = None

@@ -36,6 +36,8 @@ def main(argv=None) -> int:
                    help="force DAB+ decoding even without FIG 0/2 info")
     p.add_argument("--labels", action="store_true",
                    help="decode PAD dynamic labels (DLS) to stderr")
+    p.add_argument("--mode", choices=("I", "II", "III", "IV"), default="I",
+                   help="DAB transmission mode of the ETI source")
     p.add_argument("--output", "-o", default="-")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
@@ -47,7 +49,8 @@ def main(argv=None) -> int:
     f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
 
-    parser = EtiParser()
+    from dabtools_tpu import constants as C
+    parser = EtiParser(mode=C.MODES[args.mode])
     fig = FigParser()
     frames = []
     while True:

@@ -24,10 +24,13 @@ def main(argv=None) -> int:
                    help="stop after N frames")
     p.add_argument("--verbose", "-v", action="store_true",
                    help="per-frame lines")
+    p.add_argument("--mode", choices=("I", "II", "III", "IV"), default="I",
+                   help="DAB transmission mode of the ETI source")
     args = p.parse_args(argv)
 
     f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
-    parser = EtiParser()
+    from dabtools_tpu import constants as C
+    parser = EtiParser(mode=C.MODES[args.mode])
     fig = FigParser()
     n = 0
     err_counter: Counter = Counter()

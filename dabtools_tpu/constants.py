@@ -63,6 +63,11 @@ class Mode:
     @property
     def fic_codewords_per_frame(self) -> int:
         # Each punctured FIC codeword is 2304 bits (EN 300 401 s11.2).
+        # In Mode III codewords span frames (4 FIBs/frame, 3/codeword);
+        # use block-level counts there (see models/receiver.py).
+        if self.fic_bits_per_frame % FIC_PUNCTURED_BITS:
+            raise ValueError(
+                f"Mode {self.name}: FIC codewords span frames")
         return self.fic_bits_per_frame // FIC_PUNCTURED_BITS
 
 

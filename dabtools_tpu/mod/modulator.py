@@ -1,4 +1,4 @@
-"""Standard-exact DAB Mode I modulator (NumPy, test fixture N17).
+"""Standard-exact DAB modulator, Modes I-IV (NumPy, test fixture N17).
 
 Implements the full EN 300 401 transmitter chain so every receiver stage has
 an exact inverse test: energy dispersal -> convolutional encoding ->
@@ -75,15 +75,20 @@ class SubchannelSource:
 
 
 class Modulator:
-    """Mode I ensemble modulator producing 2.048 Msps complex baseband."""
+    """Ensemble modulator producing 2.048 Msps complex baseband.
+
+    Mode I is the primary (verified-details) path; Modes II-IV share the
+    same chain with their own numerology and PRS tables (the latter
+    placeholder-valued, docs/INTEROP.md row 18).  In Mode III the FIC
+    codewords span transmission frames (4 FIBs/frame vs 3 FIBs/codeword),
+    so use :meth:`frames` with ``n_frames`` a multiple of 3 there.
+    """
 
     def __init__(self, subchannels: list[SubchannelSource],
                  mode=C.MODE_I, gain: float = 1.0,
                  tii: tuple[int, int] | None = None, tii_amp: float = 0.5):
         """``tii=(sub_id, main_id)`` radiates TII carrier pairs in the
         null symbol (EN 300 401 s14.8; closed-loop fixture for ops.tii)."""
-        if mode.name != "I":
-            raise NotImplementedError("modulator fixture supports Mode I")
         self.mode = mode
         self.subchannels = subchannels
         self.gain = gain
@@ -102,18 +107,34 @@ class Modulator:
         self._prs_spec = prs_spectrum(mode)
 
     # ------------------------------------------------------------- FIC
-    def _fic_bits(self, fibs: np.ndarray) -> np.ndarray:
-        """12 FIBs (12, 32) uint8 bytes -> 9216 coded FIC bits."""
-        if fibs.shape != (self.mode.n_fibs, C.FIB_BYTES):
-            raise ValueError(f"expected {(self.mode.n_fibs, C.FIB_BYTES)} FIBs")
+    def _fic_stream(self, fibs_all: np.ndarray) -> np.ndarray:
+        """FIBs (n_frames, n_fibs, 32) -> (n_frames, fic_bits_per_frame).
+
+        Codewords protect FIB triplets; in Mode III (4 FIBs/frame) they
+        straddle frame boundaries, so the whole run is encoded as one
+        codeword stream and re-sliced per frame.
+        """
+        n_frames = fibs_all.shape[0]
+        if fibs_all.shape[1:] != (self.mode.n_fibs, C.FIB_BYTES):
+            raise ValueError(
+                f"expected (*, {self.mode.n_fibs}, {C.FIB_BYTES}) FIBs")
+        total_fibs = n_frames * self.mode.n_fibs
+        if total_fibs % C.FIBS_PER_CODEWORD:
+            raise ValueError(
+                "FIB count not codeword-aligned; in Mode III modulate a "
+                "multiple of 3 frames")
         mask = fic_puncture_mask().astype(bool)
-        out = []
-        for cw in range(self.mode.fic_codewords_per_frame):
-            triplet = fibs[3 * cw:3 * cw + 3].reshape(-1)
-            bits = np.unpackbits(triplet)
-            scrambled = scramble_bits(bits)
-            out.append(conv_encode(scrambled)[mask])
-        return np.concatenate(out)
+        triplets = fibs_all.reshape(
+            total_fibs // C.FIBS_PER_CODEWORD, -1)
+        cw = [conv_encode(scramble_bits(np.unpackbits(t)))[mask]
+              for t in triplets]
+        return np.concatenate(cw).reshape(
+            n_frames, self.mode.fic_bits_per_frame)
+
+    def _fic_bits(self, fibs: np.ndarray) -> np.ndarray:
+        """Single-frame FIC (modes whose codewords align with frames)."""
+        return self._fic_stream(
+            np.asarray(fibs, dtype=np.uint8)[None])[0]
 
     # ------------------------------------------------------------- OFDM
     def _ofdm_frame(self, bit_symbols: np.ndarray) -> np.ndarray:
@@ -147,14 +168,18 @@ class Modulator:
 
     # ------------------------------------------------------------- frames
     def frame(self, fibs: np.ndarray,
-              payloads: dict[int, np.ndarray]) -> np.ndarray:
-        """Modulate one 96 ms transmission frame.
+              payloads: dict[int, np.ndarray],
+              fic_bits: np.ndarray | None = None) -> np.ndarray:
+        """Modulate one transmission frame.
 
-        ``fibs``: (12, 32) uint8.  ``payloads``: subchannel index ->
-        (4, data_bits) payload bits, one row per CIF.
+        ``fibs``: (n_fibs, 32) uint8.  ``payloads``: subchannel index ->
+        (n_cifs, data_bits) payload bits, one row per CIF.  ``fic_bits``
+        overrides the FIC coding (used by :meth:`frames` in Mode III where
+        codewords span frames).
         """
         mode = self.mode
-        fic = self._fic_bits(np.asarray(fibs, dtype=np.uint8))
+        fic = (np.asarray(fic_bits, dtype=np.uint8) if fic_bits is not None
+               else self._fic_bits(np.asarray(fibs, dtype=np.uint8)))
         fic_syms = fic.reshape(mode.n_fic_syms, mode.bits_per_symbol)
 
         msc_syms = np.zeros((mode.n_msc_syms, mode.bits_per_symbol),
@@ -180,10 +205,14 @@ class Modulator:
         ``fibs_fn(frame_idx) -> (12, 32)``;
         ``payload_fn(frame_idx, sub_idx) -> (4, data_bits)``.
         """
+        fibs_all = np.stack([np.asarray(fibs_fn(f), dtype=np.uint8)
+                             for f in range(n_frames)])
+        fic_rows = self._fic_stream(fibs_all)
         out = [
-            self.frame(fibs_fn(f),
+            self.frame(fibs_all[f],
                        {i: payload_fn(f, i)
-                        for i in range(len(self.subchannels))})
+                        for i in range(len(self.subchannels))},
+                       fic_bits=fic_rows[f])
             for f in range(n_frames)
         ]
         return np.concatenate(out)

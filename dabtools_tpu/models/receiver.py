@@ -82,9 +82,16 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
     soft, diag = demod_frames(x, frame_starts, mode, cfo, drift)
 
     # ---- FIC ----------------------------------------------------------
-    n_cw = mode.fic_codewords_per_frame
+    # Codewords protect FIB triplets; in Mode III they span frames
+    # (4 FIBs/frame), so slice the block's whole FIC bit stream.
+    total_fic = n_frames * mode.fic_bits_per_frame
+    if total_fic % C.FIC_PUNCTURED_BITS:
+        raise ValueError(
+            f"{n_frames} frames of Mode {mode.name} FIC do not hold whole "
+            f"codewords; use a multiple-of-3 block size")
+    n_cw_total = total_fic // C.FIC_PUNCTURED_BITS
     fic_soft = soft[:, : mode.n_fic_syms, :].reshape(
-        n_frames * n_cw, C.FIC_PUNCTURED_BITS)
+        n_cw_total, C.FIC_PUNCTURED_BITS)
     fic_bits, fic_metric = viterbi_decode(depuncture(fic_soft, FIC_PROFILE))
     from dabtools_tpu.ops.bits import pack_bits
     fib_bytes = pack_bits(descramble(fic_bits)).reshape(
@@ -92,7 +99,8 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
 
     out = {
         "fib_bytes": fib_bytes,
-        "fic_metric": fic_metric.reshape(n_frames, n_cw),
+        "fic_metric": (fic_metric.reshape(n_frames, -1)
+                       if n_cw_total % n_frames == 0 else fic_metric),
         "cfo_carriers": cfo,
         "prs_peak": fine["peak"],
         "prs_offset": fine["offset"],

@@ -53,15 +53,37 @@ _MODE_I_POS = (  # k in [1, 768]
 )
 
 
+def _mode_groups(mode: Mode) -> tuple[tuple[int, int, int], ...]:
+    """(k', i, n) 32-carrier groups for the mode.
+
+    Mode I values are the reconstructed standard table above.  Modes
+    II/III/IV use the same group *structure* (32-carrier blocks, k' =
+    -K/2 + 32j and 1 + 32j) with PLACEHOLDER (i, n) assignments
+    [K-low — docs/INTEROP.md row 18]: i cycles 0..3 and n follows a fixed
+    deterministic pattern.  The modulator and receiver share this table,
+    so the closed loop is exact; substitute EN 300 401 Tables 45-47
+    verbatim for over-the-air interop.
+    """
+    if mode.name == "I":
+        return _MODE_I_NEG + _MODE_I_POS
+    half = mode.n_carriers // 2
+    n_side = half // 32
+    groups = []
+    for j in range(n_side):
+        groups.append((-half + 32 * j, j % 4, (5 * j + 3) % 4))
+    for j in range(n_side):
+        g = n_side + j
+        groups.append((1 + 32 * j, g % 4, (5 * g + 3) % 4))
+    return tuple(groups)
+
+
 @functools.cache
 def prs_carriers(mode: Mode = MODE_I) -> np.ndarray:
     """z_k for carriers k = -K/2..-1, 1..K/2 (ascending k), complex64, (K,)."""
-    if mode.name != "I":
-        raise NotImplementedError("PRS tables bundled for Mode I only")
     half = mode.n_carriers // 2
     ks = np.concatenate([np.arange(-half, 0), np.arange(1, half + 1)])
     phase_idx = np.empty(ks.shape, dtype=np.int64)
-    for kp, i, n in _MODE_I_NEG + _MODE_I_POS:
+    for kp, i, n in _mode_groups(mode):
         sel = (ks >= kp) & (ks <= kp + 31)
         phase_idx[sel] = _H[i, ks[sel] - kp] + n
     return np.exp(1j * np.pi / 2 * phase_idx).astype(np.complex64)
