@@ -218,22 +218,27 @@ def _extra_closedloop(ens, n_frames, rng):
     _sys.path.insert(0, str(pathlib.Path(__file__).parent))
     from dabtools_tpu.eti.parse import EtiParser
     from dabtools_tpu.models.receiver import DabReceiver
-    from tests.test_closed_loop import build_ensemble, modulate
+    from tests.test_closed_loop import modulate
 
-    ens1 = build_ensemble()
-    x, payload_bytes = modulate(ens1, 12, seed=0)
-    # Pre-set the ensemble so this section needs ONE fresh compile (the
-    # relay on this machine wedges processes after multiple compiles —
-    # the acquisition trace is exercised on HW by the e2e section).
-    rx = DabReceiver(n_frames=4, ensemble=ens1)
+    # Use the FLAGSHIP mux, a pre-set ensemble and the same 16-frame block
+    # as config 1: the device program is then identical to the one config 1
+    # already compiled, so this section hits the compilation cache instead
+    # of risking a fresh compile (the relay on this machine wedges
+    # processes on fresh compiles on bad days; the acquisition trace is
+    # exercised on HW by the e2e section).
+    x, payload_bytes = modulate(ens, 20, seed=0)
+    rx = DabReceiver(n_frames=16, ensemble=ens)
     eti = rx.feed(x)
     frames = list(EtiParser().feed(b"".join(eti)))
     a = rx._activation_cif
-    good = sum(f.subchannel_data(1) == payload_bytes[1][a + k].tobytes()
-               for k, f in enumerate(frames))
+    subids = sorted(payload_bytes)
+    good = sum(
+        all(f.subchannel_data(sc) == payload_bytes[sc][a + k].tobytes()
+            for sc in subids)
+        for k, f in enumerate(frames))
     status = "BIT-EXACT" if good == len(frames) and frames else "MISMATCH"
-    log(f"# [closedloop] TPU decode of modulated ensemble: {status} "
-        f"({good}/{len(frames)} ETI frames)")
+    log(f"# [closedloop] TPU decode of modulated flagship mux: {status} "
+        f"({good}/{len(frames)} ETI frames x {len(subids)} subchannels)")
     if status != "BIT-EXACT":
         raise AssertionError("hardware closed loop mismatch")
 
