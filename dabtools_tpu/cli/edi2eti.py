@@ -1,0 +1,51 @@
+"""``edi2eti``: EDI (AF-framed TAG items) in, ETI(NI) out.
+
+Usage: python -m dabtools_tpu.cli.edi2eti mux.edi > mux.eti
+Inverse of eti2edi; resynchronises on the AF sync word and drops
+CRC-failed packets (counts reported at exit).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+log = logging.getLogger("dabtools_tpu.edi2eti")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="edi2eti", description=__doc__)
+    p.add_argument("input", help="EDI file, or '-' for stdin")
+    p.add_argument("--mode", choices=("I", "II", "III", "IV"), default="I")
+    p.add_argument("--output", "-o", default="-")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(name)s: %(message)s")
+
+    from dabtools_tpu import constants as C
+    from dabtools_tpu.eti.edi import EdiReader
+
+    f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    r = EdiReader(mode=C.MODES[args.mode])
+    n = 0
+    while True:
+        chunk = f.read(1 << 20)
+        if not chunk:
+            break
+        for frame in r.feed(chunk):
+            out.write(r.to_eti_bytes(frame))
+            n += 1
+    out.flush()
+    if args.input != "-":
+        f.close()
+    if args.output != "-":
+        out.close()
+    log.info("wrote %d ETI frames (AF resyncs=%d, CRC failures=%d)",
+             n, r.af.resyncs, r.af.crc_failures)
+    return 0 if n else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

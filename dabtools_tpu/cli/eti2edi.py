@@ -1,0 +1,49 @@
+"""``eti2edi``: ETI(NI) in, EDI (TAG items over AF framing) out.
+
+Usage: python -m dabtools_tpu.cli.eti2edi mux.eti > mux.edi
+See dabtools_tpu/eti/edi.py for scope (AF layer; no PFT).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+log = logging.getLogger("dabtools_tpu.eti2edi")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="eti2edi", description=__doc__)
+    p.add_argument("input", help="ETI(NI) file, or '-' for stdin")
+    p.add_argument("--mode", choices=("I", "II", "III", "IV"), default="I")
+    p.add_argument("--output", "-o", default="-")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(name)s: %(message)s")
+
+    from dabtools_tpu import constants as C
+    from dabtools_tpu.eti.edi import EdiWriter
+
+    f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    w = EdiWriter(mode=C.MODES[args.mode])
+    n = 0
+    while True:
+        chunk = f.read(1 << 20)
+        if not chunk:
+            break
+        for pkt in w.from_eti_bytes(chunk):
+            out.write(pkt)
+            n += 1
+    out.flush()
+    if args.input != "-":
+        f.close()
+    if args.output != "-":
+        out.close()
+    log.info("wrote %d EDI AF packets", n)
+    return 0 if n else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

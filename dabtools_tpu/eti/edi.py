@@ -1,0 +1,247 @@
+"""EDI — Encapsulation of DAB Interfaces (ETSI TS 102 693), ETI(LI) over AF.
+
+The modern replacement for raw ETI(NI) transport: ensemble data is packed
+into TAG items (``*ptr`` protocol marker, ``deti`` frame header + FIC,
+``est`` per sub-channel stream), concatenated into a TAG packet and
+framed by the AF (Application Framing) layer with sequence numbers and a
+CRC.  The PFT layer (fragmentation + Reed-Solomon + interleaving for
+lossy links) is intentionally NOT implemented — AF framing alone is what
+file/TCP transports need; document PFT as a gap.
+
+No counterpart exists in the reference (SURVEY.md s2a — dabtools predates
+EDI); provided for the "complete toolset" widening: ``eti2edi`` /
+``edi2eti`` CLIs convert losslessly in both directions, closed-loop
+tested (ETI -> EDI -> ETI is byte-identical modulo TIST/FSYNC phase,
+which EDI does not carry: FSYNC is regenerated and TIST is carried in
+an ``atst`` item only when timestamping is enabled).
+
+Interop caveats [K-med/K-low — docs/INTEROP.md row 19]: exact deti/est
+bit packing and the AF CRC convention are reconstructions; the layer
+structure (TAG name + 32-bit bit-length + value; AF sync/seq/CRC) is
+standard-stable.  Verify against ODR-DabMux EDI output when available.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+from dabtools_tpu import constants as C
+from dabtools_tpu.utils.crc import crc16_ccitt
+
+log = logging.getLogger("dabtools_tpu.edi")
+
+AF_SYNC = b"AF"
+_PT_TAG = ord("T")
+
+
+# ---------------------------------------------------------------- TAG layer
+def tag_item(name: bytes, value: bytes) -> bytes:
+    """One TAG item: 4-byte name, 4-byte length in BITS, value."""
+    if len(name) != 4:
+        raise ValueError("TAG name must be 4 bytes")
+    return name + (8 * len(value)).to_bytes(4, "big") + value
+
+
+def parse_tag_packet(payload: bytes) -> list[tuple[bytes, bytes]]:
+    """TAG packet -> [(name, value)]; ignores zero-padding at the end."""
+    items, pos = [], 0
+    while pos + 8 <= len(payload):
+        name = payload[pos:pos + 4]
+        if name == b"\x00\x00\x00\x00":      # padding
+            break
+        nbits = int.from_bytes(payload[pos + 4:pos + 8], "big")
+        nbytes = (nbits + 7) // 8
+        value = payload[pos + 8:pos + 8 + nbytes]
+        if len(value) != nbytes:
+            raise ValueError("truncated TAG item")
+        items.append((name, value))
+        pos += 8 + nbytes
+    return items
+
+
+# ----------------------------------------------------------------- AF layer
+def af_packet(tag_payload: bytes, seq: int) -> bytes:
+    """AF packet: SYNC LEN(4) SEQ(2) AR PT payload CRC(2).
+
+    AR = 0x80 | (maj 1 << 4) | min 0: CRC present, revision 1.0.  The CRC
+    is the FIB convention (CRC-16/CCITT, init all-ones, inverted) over
+    everything before it [K-med].
+    """
+    head = (AF_SYNC + len(tag_payload).to_bytes(4, "big")
+            + (seq & 0xFFFF).to_bytes(2, "big") + bytes([0x90, _PT_TAG]))
+    body = head + tag_payload
+    return body + crc16_ccitt(body).to_bytes(2, "big")
+
+
+class AfParser:
+    """Incremental AF de-framer with resynchronisation."""
+
+    def __init__(self):
+        self._buf = bytearray()
+        self.resyncs = 0
+        self.crc_failures = 0
+        self.last_seq = None
+
+    def feed(self, data: bytes) -> list[bytes]:
+        """Bytes in -> list of TAG payloads (CRC-checked)."""
+        self._buf += data
+        out = []
+        while True:
+            pkt = self._next()
+            if pkt is None:
+                return out
+            out.append(pkt)
+
+    def _next(self):
+        buf = self._buf
+        while True:
+            pos = buf.find(AF_SYNC)
+            if pos < 0:
+                del buf[:-1]
+                return None
+            if pos:
+                self.resyncs += 1
+                del buf[:pos]
+            if len(buf) < 10:
+                return None
+            ln = int.from_bytes(buf[2:6], "big")
+            total = 10 + ln + 2
+            if ln > (1 << 24):               # implausible: resync
+                del buf[:2]
+                self.resyncs += 1
+                continue
+            if len(buf) < total:
+                return None
+            pkt = bytes(buf[:total])
+            if crc16_ccitt(pkt[:-2]) != int.from_bytes(pkt[-2:], "big"):
+                self.crc_failures += 1
+                del buf[:2]
+                continue
+            del buf[:total]
+            seq = int.from_bytes(pkt[6:8], "big")
+            if (self.last_seq is not None
+                    and seq != (self.last_seq + 1) & 0xFFFF):
+                log.warning("AF sequence jump %d -> %d", self.last_seq, seq)
+            self.last_seq = seq
+            return pkt[10:-2]
+
+
+# ----------------------------------------------------------- ETI <-> TAGs
+@dataclasses.dataclass
+class EdiFrame:
+    """Decoded content of one EDI AF packet (ETI(LI) equivalent)."""
+
+    fct: int
+    fp: int
+    mid: int
+    err: int
+    fic: bytes
+    streams: list[tuple[int, int, int, bytes]]   # (subchid, sad, tpl, data)
+    tist: int | None = None
+
+
+class EdiWriter:
+    """ETI(NI) frames (or parsed EtiFrame objects) -> EDI AF packets."""
+
+    def __init__(self, mode=C.MODE_I):
+        self.mode = mode
+        self.seq = 0
+        self._eti = None
+
+    def from_eti_bytes(self, data: bytes) -> list[bytes]:
+        from dabtools_tpu.eti.parse import EtiParser
+        if self._eti is None:
+            self._eti = EtiParser(mode=self.mode)
+        return [self.from_eti_frame(f) for f in self._eti.feed(data)]
+
+    def from_eti_frame(self, f) -> bytes:
+        """One parsed ``EtiFrame`` -> one AF packet."""
+        items = [tag_item(b"*ptr", b"DETI" + bytes([0, 1, 0, 0]))]
+        # deti: flags(1): ficf<<7 | atstf<<6 | rfu, fct(1), stat(1)=ERR,
+        # mid/fp(1): mid<<5 | fp<<2, then the FIC bytes [K-med packing].
+        atstf = f.tist is not None
+        head = bytes([(1 << 7) | (atstf << 6), f.fct, f.err,
+                      (f.mid << 5) | (f.fp << 2)])
+        if atstf:
+            head += f.tist.to_bytes(4, "big")
+        items.append(tag_item(b"deti", head + f.fic))
+        for s in sorted(f.streams.values(), key=lambda s: s.subchid):
+            sstc = bytes([s.subchid << 2 | (s.sad_words >> 8) & 0x03,
+                          s.sad_words & 0xFF, s.tpl, s.stl_words & 0xFF])
+            items.append(tag_item(b"est" + bytes([s.subchid]),
+                                  sstc + s.data))
+        pkt = af_packet(b"".join(items), self.seq)
+        self.seq = (self.seq + 1) & 0xFFFF
+        return pkt
+
+
+class EdiReader:
+    """EDI AF byte stream -> EdiFrame objects (and back to ETI bytes)."""
+
+    def __init__(self, mode=C.MODE_I):
+        self.mode = mode
+        self.af = AfParser()
+
+    def feed(self, data: bytes) -> list[EdiFrame]:
+        out = []
+        for payload in self.af.feed(data):
+            frame = self._decode(parse_tag_packet(payload))
+            if frame is not None:
+                out.append(frame)
+        return out
+
+    def _decode(self, items) -> EdiFrame | None:
+        tags = dict(items)   # est names are unique per subchid
+        ptr = tags.get(b"*ptr")
+        if ptr is None or ptr[:4] != b"DETI":
+            return None
+        deti = tags.get(b"deti")
+        if deti is None or len(deti) < 4:
+            return None
+        flags, fct, err, midfp = deti[0], deti[1], deti[2], deti[3]
+        pos, tist = 4, None
+        if flags & 0x40:
+            tist = int.from_bytes(deti[4:8], "big")
+            pos = 8
+        fic = deti[pos:] if flags & 0x80 else b""
+        streams = []
+        for name, value in items:
+            if name[:3] == b"est" and len(value) >= 4:
+                subchid = value[0] >> 2
+                sad = (value[0] & 0x03) << 8 | value[1]
+                streams.append((subchid, sad, value[2], value[4:]))
+        return EdiFrame(fct=fct, fp=(midfp >> 2) & 0x07, mid=midfp >> 5,
+                        err=err, fic=fic, streams=streams, tist=tist)
+
+    def to_eti_bytes(self, frame: EdiFrame) -> bytes:
+        """Re-assemble the 6144-byte ETI(NI) frame (FSYNC phase from FP)."""
+        fic_len = len(frame.fic)
+        streams = sorted(frame.streams)
+        nst = len(streams)
+        mst_bytes = fic_len + sum(len(d) for _, _, _, d in streams)
+        fl_words = (4 * nst + 4 + mst_bytes) // 4
+        out = bytearray()
+        out.append(frame.err)
+        fsync = C.ETI_FSYNC if frame.fp % 2 == 0 else C.ETI_FSYNC_INV
+        out += fsync.to_bytes(3, "big")
+        fc = bytearray(4)
+        fc[0] = frame.fct
+        fc[1] = (1 << 7) | nst
+        fc[2] = (frame.fp << 5) | (frame.mid << 3) | ((fl_words >> 8) & 0x07)
+        fc[3] = fl_words & 0xFF
+        out += fc
+        stc = bytearray()
+        for subchid, sad, tpl, data in streams:
+            stc += bytes([subchid << 2 | (sad >> 8) & 0x03, sad & 0xFF,
+                          tpl, len(data) // 8])
+        out += stc
+        mnsc = b"\xff\xff"
+        out += mnsc + crc16_ccitt(bytes(fc) + bytes(stc) + mnsc).to_bytes(2, "big")
+        mst = frame.fic + b"".join(d for _, _, _, d in streams)
+        out += mst
+        out += crc16_ccitt(mst).to_bytes(2, "big") + b"\xff\xff"
+        out += (frame.tist if frame.tist is not None
+                else 0xFFFFFFFF).to_bytes(4, "big")
+        out += b"\x55" * (C.ETI_FRAME_BYTES - len(out))
+        return bytes(out)

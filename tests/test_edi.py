@@ -1,0 +1,109 @@
+"""EDI (TS 102 693) closed-loop tests: ETI -> EDI -> ETI byte identity."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dabtools_tpu import constants as C
+from dabtools_tpu.eti.assemble import EtiAssembler
+from dabtools_tpu.eti.edi import (AfParser, EdiReader, EdiWriter, af_packet,
+                                  parse_tag_packet, tag_item)
+from dabtools_tpu.eti.parse import EtiParser
+from dabtools_tpu.fic.config import Ensemble, Service, ServiceComponent, Subchannel
+
+
+def _ensemble():
+    return Ensemble(
+        eid=0xED1, label="EDI TEST",
+        subchannels=(Subchannel.eep(1, 0, 3, "A", 64),
+                     Subchannel.eep(5, 48, 2, "B", 96)),
+        services=(Service(sid=1, components=(
+            ServiceComponent(tmid=0, subchid=1),)),))
+
+
+def _eti_stream(n_frames=5, tist_start=None):
+    ens = _ensemble()
+    asm = EtiAssembler(ens, tist_start=tist_start)
+    rng = np.random.default_rng(0)
+    raw = b""
+    for _ in range(n_frames):
+        fibs = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
+                for _ in range(3)]
+        data = {s.subchid: rng.integers(0, 256, s.data_bytes,
+                                        dtype=np.uint8).tobytes()
+                for s in ens.subchannels}
+        raw += asm.frame(fibs, data)
+    return raw
+
+
+def test_af_roundtrip_and_seq():
+    parser = AfParser()
+    payloads = [b"hello tag payload", b"x" * 1000, b""]
+    stream = b"".join(af_packet(p, i) for i, p in enumerate(payloads))
+    got = parser.feed(stream)
+    assert got == payloads
+    assert parser.resyncs == 0 and parser.crc_failures == 0
+
+
+def test_af_resync_and_crc_reject():
+    parser = AfParser()
+    good = af_packet(b"payload", 0)
+    bad = bytearray(af_packet(b"corrupt me", 1))
+    bad[12] ^= 0xFF
+    got = parser.feed(b"\x00garbage" + good + bytes(bad)
+                      + af_packet(b"after", 2))
+    assert got == [b"payload", b"after"]
+    assert parser.resyncs >= 1 and parser.crc_failures == 1
+
+
+def test_tag_packet_roundtrip():
+    items = [(b"*ptr", b"DETI\x00\x01\x00\x00"), (b"shrt", b"ab"),
+             (b"est\x05", bytes(100))]
+    payload = b"".join(tag_item(n, v) for n, v in items) + b"\x00" * 6
+    assert parse_tag_packet(payload) == items
+
+
+@pytest.mark.parametrize("tist_start", [None, 0.25])
+def test_eti_edi_eti_byte_identity(tist_start):
+    raw = _eti_stream(5, tist_start=tist_start)
+    w = EdiWriter()
+    edi = b"".join(w.from_eti_bytes(raw))
+    r = EdiReader()
+    back = b"".join(r.to_eti_bytes(f) for f in r.feed(edi))
+    assert back == raw
+
+
+def test_edi_frame_fields():
+    raw = _eti_stream(2, tist_start=0.5)
+    r = EdiReader()
+    frames = r.feed(b"".join(EdiWriter().from_eti_bytes(raw)))
+    assert len(frames) == 2
+    f = frames[0]
+    assert f.mid == 1 and len(f.fic) == 96
+    assert sorted(s[0] for s in f.streams) == [1, 5]
+    assert f.tist == int(0.5 * 16_384_000)
+    assert frames[1].fct == (f.fct + 1) % 250
+
+
+def test_cli_roundtrip(tmp_path):
+    raw = _eti_stream(4)
+    eti_in = tmp_path / "in.eti"
+    eti_in.write_bytes(raw)
+    edi = tmp_path / "out.edi"
+    eti_out = tmp_path / "back.eti"
+    r1 = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2edi", str(eti_in),
+         "-o", str(edi)], capture_output=True, text=True, timeout=120)
+    assert r1.returncode == 0, r1.stderr
+    assert "4 EDI AF packets" in r1.stderr
+    r2 = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.edi2eti", str(edi),
+         "-o", str(eti_out)], capture_output=True, text=True, timeout=120)
+    assert r2.returncode == 0, r2.stderr
+    assert eti_out.read_bytes() == raw
+    # The regenerated ETI still parses cleanly.
+    frames = list(EtiParser().feed(eti_out.read_bytes()))
+    assert len(frames) == 4
+    assert all(f.header_crc_ok and f.mst_crc_ok for f in frames)
