@@ -204,7 +204,8 @@ class DabReceiver:
         self._fig = FigParser()
         self.ensemble = ensemble
         self._rings = None
-        self._cif_count = jnp.asarray(0, dtype=jnp.int32)
+        # Host scalar (not jnp): no device traffic before the main compile.
+        self._cif_count = np.int32(0)
         self._fib_fifo: dict[int, list[bytes]] = {}
         self._err_level: dict[int, int] = {}
         self._assembler: EtiAssembler | None = None

@@ -86,5 +86,9 @@ def time_deinterleave(ring: jnp.ndarray, cif_count: jnp.ndarray,
     return ring, out
 
 
-def init_deinterleave_ring(n_bits: int) -> jnp.ndarray:
-    return jnp.zeros((C.TIME_INTERLEAVE_DEPTH, n_bits), dtype=jnp.float32)
+def init_deinterleave_ring(n_bits: int) -> np.ndarray:
+    # Host-side zeros on purpose: a jnp.zeros here is one device dispatch
+    # per sub-channel *before* the pipeline's main compile, and this
+    # machine's TPU relay is pathologically slow on such tiny one-off ops
+    # (observed minutes).  jit device-puts the arrays on first call.
+    return np.zeros((C.TIME_INTERLEAVE_DEPTH, n_bits), dtype=np.float32)
