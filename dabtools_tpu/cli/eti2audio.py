@@ -36,6 +36,8 @@ def main(argv=None) -> int:
                    help="force DAB+ decoding even without FIG 0/2 info")
     p.add_argument("--labels", action="store_true",
                    help="decode PAD dynamic labels (DLS) to stderr")
+    p.add_argument("--slides", metavar="DIR", default=None,
+                   help="decode MOT slideshow images from PAD into DIR")
     p.add_argument("--mode", choices=("I", "II", "III", "IV"), default="I",
                    help="DAB transmission mode of the ETI source")
     p.add_argument("--output", "-o", default="-")
@@ -122,9 +124,9 @@ def main(argv=None) -> int:
         return 1
 
     pad = None
-    if args.labels:
+    if args.labels or args.slides:
         from dabtools_tpu.eti.pad import PadDecoder
-        pad = PadDecoder()
+        pad = PadDecoder(mot=args.slides is not None)
 
     def show(labels):
         for lab in labels:
@@ -155,7 +157,20 @@ def main(argv=None) -> int:
         log.info("wrote %d AAC AUs (%d failed CRC); stats=%s",
                  n_aus, n_bad, dec.stats)
     if pad is not None:
-        log.info("DLS stats: %s", pad.dls.stats)
+        pad.flush()
+        if args.labels:
+            log.info("DLS stats: %s", pad.dls.stats)
+        if args.slides is not None:
+            import pathlib
+            outdir = pathlib.Path(args.slides)
+            outdir.mkdir(parents=True, exist_ok=True)
+            for i, obj in enumerate(pad.objects):
+                name = obj.name or f"slide_{obj.transport_id}"
+                path = outdir / f"{i:03d}_{name}"
+                path.write_bytes(obj.body)
+                log.info("MOT object: %s (%d bytes, type %d/%d)",
+                         path, len(obj.body), obj.content_type, obj.subtype)
+            log.info("MOT stats: %s", pad.mot.stats)
     out.flush()
     if args.output != "-":
         out.close()

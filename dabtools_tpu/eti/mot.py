@@ -1,0 +1,307 @@
+"""MOT object transfer + slideshow over X-PAD (EN 301 234, TS 101 499).
+
+Carries files ("MOT objects" — for slideshow: JFIF/PNG images) inside the
+PAD of an audio sub-channel: the object is split into MOT segments, each
+segment rides in an MSC *data group* (EN 300 401 s5.3.3), and the data
+groups ride in X-PAD subfields of application types 12 (data group
+start) / 13 (continuation), each preceded by a type-1 "data group length
+indicator" so the receiver can strip the contents-indicator padding —
+the same transport the dynamic label uses one apptype pair down
+([[eti/pad.py]]).
+
+The reference has no data-application support at all; both directions are
+implemented here (encoder = closed-loop fixture).  Interop caveats
+[K-med/K-low — docs/INTEROP.md row 20]: MSC data group header bit
+layout, the MOT header-core field packing, and the omission of the
+X-PAD "data group length indicator" (apptype 1) which real multiplexes
+interleave with the DG subfields; the object/segment state machines are
+standard-stable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+from dabtools_tpu.utils.crc import crc16_ccitt
+
+log = logging.getLogger("dabtools_tpu.mot")
+
+APP_DGLI = 1             # X-PAD apptype: data group length indicator
+APP_MOT_START = 12       # X-PAD apptype: MOT data group, start
+APP_MOT_CONT = 13        # continuation
+
+DG_TYPE_MOT_HEADER = 3   # MSC data group types (EN 300 401 table)
+DG_TYPE_MOT_BODY = 4
+
+# TS 101 499: slideshow content type/subtype
+CONTENT_IMAGE = 2
+SUBTYPE_JFIF = 1
+SUBTYPE_PNG = 3
+
+
+# ------------------------------------------------------- MSC data groups
+def dgli(length: int) -> bytes:
+    """Data group length indicator value: rfa(2) len(14) + CRC16 [K-med]."""
+    v = (length & 0x3FFF).to_bytes(2, "big")
+    return v + crc16_ccitt(v).to_bytes(2, "big")
+
+
+def parse_dgli(value: bytes) -> int | None:
+    if len(value) < 4 or crc16_ccitt(value[:2]) != int.from_bytes(
+            value[2:4], "big"):
+        return None
+    return int.from_bytes(value[:2], "big") & 0x3FFF
+
+
+def build_data_group(dg_type: int, continuity: int, segment: int,
+                     last: bool, transport_id: int, payload: bytes) -> bytes:
+    """One MSC data group: header, session header, payload, CRC-16.
+
+    Layout [K-med]: b0 = ext(0) crc(1) seg(1) user(1) | type(4);
+    b1 = continuity(4) << 4 | repetition(4)=0; session = last(1) +
+    segnum(15), then user-access byte 0x12 (transport-id flag, length 2)
+    + TransportId(16).
+    """
+    b0 = 0b0111 << 4 | (dg_type & 0x0F)
+    b1 = (continuity & 0x0F) << 4
+    session = ((last << 15) | (segment & 0x7FFF)).to_bytes(2, "big")
+    user = bytes([0x12]) + (transport_id & 0xFFFF).to_bytes(2, "big")
+    body = bytes([b0, b1]) + session + user + payload
+    return body + crc16_ccitt(body).to_bytes(2, "big")
+
+
+@dataclasses.dataclass
+class DataGroup:
+    dg_type: int
+    continuity: int
+    segment: int
+    last: bool
+    transport_id: int | None
+    payload: bytes
+
+
+def parse_data_group(dg: bytes) -> DataGroup | None:
+    """CRC-check and unpack one MSC data group (None on failure)."""
+    if len(dg) < 4:
+        return None
+    b0 = dg[0]
+    crc_flag, seg_flag, user_flag = b0 >> 6 & 1, b0 >> 5 & 1, b0 >> 4 & 1
+    if crc_flag:
+        if crc16_ccitt(dg[:-2]) != int.from_bytes(dg[-2:], "big"):
+            return None
+        dg = dg[:-2]
+    pos = 2
+    if b0 >> 7:                         # extension field
+        pos += 2
+    segment, last = 0, True
+    if seg_flag:
+        v = int.from_bytes(dg[pos:pos + 2], "big")
+        last, segment = bool(v >> 15), v & 0x7FFF
+        pos += 2
+    tid = None
+    if user_flag:
+        ua = dg[pos]
+        li = ua & 0x0F
+        pos += 1
+        if ua >> 4 & 1:                 # transport id present
+            tid = int.from_bytes(dg[pos:pos + 2], "big")
+        pos += li
+    return DataGroup(dg_type=b0 & 0x0F, continuity=dg[1] >> 4,
+                     segment=segment, last=last, transport_id=tid,
+                     payload=dg[pos:])
+
+
+# ------------------------------------------------------------ MOT objects
+def mot_header_core(body_size: int, header_size: int, content_type: int,
+                    subtype: int) -> bytes:
+    """7-byte MOT header core: BodySize(28) HeaderSize(13) Type(6) Sub(9)."""
+    v = (body_size << 28) | (header_size << 15) | (content_type << 9) | subtype
+    return v.to_bytes(7, "big")
+
+
+def parse_header_core(h: bytes) -> tuple[int, int, int, int]:
+    v = int.from_bytes(h[:7], "big")
+    return v >> 28, (v >> 15) & 0x1FFF, (v >> 9) & 0x3F, v & 0x1FF
+
+
+def mot_segments(data: bytes, seg_size: int) -> list[bytes]:
+    """Split into MOT segments, each prefixed RepCount(3)=0 SegSize(13)."""
+    out = []
+    for i in range(0, max(len(data), 1), seg_size):
+        chunk = data[i:i + seg_size]
+        out.append(len(chunk).to_bytes(2, "big") + chunk)
+    return out
+
+
+@dataclasses.dataclass
+class MotObject:
+    transport_id: int
+    content_type: int
+    subtype: int
+    name: str
+    body: bytes
+
+
+class MotEncoder:
+    """Slideshow fixture: image bytes -> X-PAD subfields [(apptype, data)].
+
+    ``subfield_size`` must be a contents-indicator length (the X-PAD layer
+    transmits subfields at exactly CI sizes): non-final chunks of a data
+    group then arrive unpadded, and the final chunk's CI padding is
+    stripped by the receiver via the data group length indicator.
+    """
+
+    def __init__(self, seg_size: int = 32, subfield_size: int = 48):
+        from dabtools_tpu.eti.pad import CI_LENGTHS
+        if subfield_size not in CI_LENGTHS:
+            raise ValueError(f"subfield_size must be one of {CI_LENGTHS}")
+        self.seg_size = seg_size
+        self.subfield_size = subfield_size
+        self._continuity = 0
+        self._tid = 0
+
+    def object_subfields(self, body: bytes, name: str = "slide.jpg",
+                         subtype: int = SUBTYPE_JFIF) -> list[tuple[int, bytes]]:
+        self._tid = (self._tid + 1) & 0xFFFF
+        # Header: core + ContentName parameter (0x0C, charset 0) [K-med].
+        nm = name.encode("latin-1")[:63]
+        param = bytes([0xCC, len(nm) + 1, 0]) + nm
+        header = mot_header_core(len(body), 7 + len(param),
+                                 CONTENT_IMAGE, subtype) + param
+        groups = []
+        for dg_type, data in ((DG_TYPE_MOT_HEADER, header),
+                              (DG_TYPE_MOT_BODY, body)):
+            segs = mot_segments(data, self.seg_size)
+            for i, seg in enumerate(segs):
+                groups.append(build_data_group(
+                    dg_type, self._continuity, i, i == len(segs) - 1,
+                    self._tid, seg))
+                self._continuity = (self._continuity + 1) & 0x0F
+        # Data groups -> DGLI + apptype-12/13 subfields.
+        out = []
+        for g in groups:
+            out.append((APP_DGLI, dgli(len(g))))
+            for j in range(0, len(g), self.subfield_size):
+                out.append((APP_MOT_START if j == 0 else APP_MOT_CONT,
+                            g[j:j + self.subfield_size]))
+        return out
+
+
+class MotDecoder:
+    """X-PAD MOT subfields -> complete MotObjects (slideshow images)."""
+
+    def __init__(self):
+        self._dg = bytearray()
+        self._in_dg = False
+        self._dg_len: int | None = None
+        self._next_len: int | None = None
+        self._headers: dict[int, dict[int, bytes]] = {}
+        self._bodies: dict[int, dict[int, bytes]] = {}
+        self._last_seg: dict[tuple[int, int], int] = {}
+        self.stats = {"data_groups": 0, "crc_failures": 0, "objects": 0}
+
+    def feed(self, apptype: int, data: bytes) -> list[MotObject]:
+        out = []
+        if apptype == APP_DGLI:
+            self._next_len = parse_dgli(data)
+        elif apptype == APP_MOT_START:
+            if self._in_dg:             # previous group ends at the next start
+                out = self._finish()
+            self._dg = bytearray(data)
+            self._dg_len = self._next_len
+            self._next_len = None
+            self._in_dg = True
+        elif apptype == APP_MOT_CONT and self._in_dg:
+            self._dg += data
+        # A complete group need not wait for the next start marker.
+        if (self._in_dg and self._dg_len is not None
+                and len(self._dg) >= self._dg_len):
+            out += self._finish()
+        return out
+
+    def flush(self) -> list[MotObject]:
+        """Close any pending data group and return newly-completed objects."""
+        return self._finish() if self._in_dg else []
+
+    @staticmethod
+    def _dg_length(raw: bytes) -> int | None:
+        """Expected MOT data-group byte length from its own headers."""
+        if len(raw) < 9:
+            return None
+        pos = 2 + (2 if raw[0] >> 7 else 0)
+        pos += 2                                  # session header
+        ua = raw[pos]
+        pos += 1 + (ua & 0x0F)
+        if pos + 2 > len(raw):
+            return None
+        seg_size = int.from_bytes(raw[pos:pos + 2], "big") & 0x1FFF
+        return pos + 2 + seg_size + 2             # + segment + CRC
+
+    def _finish(self) -> list[MotObject]:
+        self._in_dg = False
+        # The subfields are padded to CI sizes: trim to the length the
+        # group's own headers imply (fallback: scan back for a valid CRC).
+        raw = bytes(self._dg)
+        n = self._dg_len if self._dg_len is not None else self._dg_length(raw)
+        self._dg_len = None
+        dg = parse_data_group(raw[:n]) if n and n <= len(raw) else None
+        if dg is None:
+            for end in range(len(raw), 3, -1):
+                dg = parse_data_group(raw[:end])
+                if dg is not None:
+                    break
+        self.stats["data_groups"] += 1
+        if dg is None or dg.transport_id is None:
+            self.stats["crc_failures"] += 1
+            return []
+        seg = dg.payload[2:2 + (int.from_bytes(dg.payload[:2], "big")
+                                & 0x1FFF)]
+        store = (self._headers if dg.dg_type == DG_TYPE_MOT_HEADER
+                 else self._bodies if dg.dg_type == DG_TYPE_MOT_BODY
+                 else None)
+        if store is None:
+            return []
+        store.setdefault(dg.transport_id, {})[dg.segment] = seg
+        if dg.last:
+            self._last_seg[(dg.dg_type, dg.transport_id)] = dg.segment
+        return self._try_complete(dg.transport_id)
+
+    def _assemble(self, parts: dict[int, bytes], last: int) -> bytes | None:
+        if any(i not in parts for i in range(last + 1)):
+            return None
+        return b"".join(parts[i] for i in range(last + 1))
+
+    def _try_complete(self, tid: int) -> list[MotObject]:
+        hl = self._last_seg.get((DG_TYPE_MOT_HEADER, tid))
+        bl = self._last_seg.get((DG_TYPE_MOT_BODY, tid))
+        if hl is None or bl is None:
+            return []
+        header = self._assemble(self._headers.get(tid, {}), hl)
+        body = self._assemble(self._bodies.get(tid, {}), bl)
+        if header is None or body is None:
+            return []
+        body_size, header_size, ctype, subtype = parse_header_core(header)
+        if body_size != len(body):
+            return []                   # incomplete/inconsistent: keep waiting
+        name = ""
+        pos = 7
+        while pos + 2 <= header_size:   # header extension parameters
+            pid, plen = header[pos] & 0x3F, 0
+            if header[pos] >> 6 == 0b11:        # variable length
+                plen = header[pos + 1]
+                val = header[pos + 2:pos + 2 + plen]
+                pos += 2 + plen
+            else:                               # fixed lengths 0/1/2/4
+                plen = (0, 1, 2, 4)[header[pos] >> 6]
+                val = header[pos + 1:pos + 1 + plen]
+                pos += 1 + plen
+            if pid == 0x0C and val:             # ContentName
+                name = val[1:].decode("latin-1", "replace")
+        for d in (self._headers, self._bodies):
+            d.pop(tid, None)
+        self._last_seg.pop((DG_TYPE_MOT_HEADER, tid), None)
+        self._last_seg.pop((DG_TYPE_MOT_BODY, tid), None)
+        self.stats["objects"] += 1
+        return [MotObject(transport_id=tid, content_type=ctype,
+                          subtype=subtype, name=name, body=body)]

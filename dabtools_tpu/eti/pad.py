@@ -263,17 +263,35 @@ def unwrap_pad_dse(au: bytes) -> tuple[bytes, bytes] | None:
 
 
 class PadDecoder:
-    """Per-service PAD pipeline: frames/AUs in, dynamic labels out."""
+    """Per-service PAD pipeline: frames/AUs in, dynamic labels out.
 
-    def __init__(self):
+    With ``mot=True`` also reassembles MOT slideshow objects
+    ([[eti/mot.py]]); collect them from :attr:`objects` after feeding.
+    """
+
+    def __init__(self, mot: bool = False):
         self.dls = DlsDecoder()
+        self.mot = None
+        self.objects = []
+        if mot:
+            from dabtools_tpu.eti.mot import MotDecoder
+            self.mot = MotDecoder()
 
     def feed_pad(self, xpad: bytes, fpad: bytes) -> list[DynamicLabel]:
+        from dabtools_tpu.eti.mot import APP_DGLI, APP_MOT_CONT, APP_MOT_START
         out = []
         for apptype, data in parse_xpad(xpad, fpad):
             if apptype in (APP_DLS_START, APP_DLS_CONT):
                 out += self.dls.feed(data, apptype == APP_DLS_START)
+            elif self.mot is not None and apptype in (APP_DGLI,
+                                                      APP_MOT_START,
+                                                      APP_MOT_CONT):
+                self.objects += self.mot.feed(apptype, data)
         return out
+
+    def flush(self) -> None:
+        if self.mot is not None:
+            self.objects += self.mot.flush()
 
     def feed_mp2_frame(self, frame: bytes,
                        sample_rate_hz: int = 48000) -> list[DynamicLabel]:

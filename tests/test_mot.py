@@ -1,0 +1,149 @@
+"""MOT slideshow closed-loop tests (EN 301 234 / TS 101 499)."""
+
+import numpy as np
+
+from dabtools_tpu.eti.mot import (
+    DG_TYPE_MOT_BODY, MotDecoder, MotEncoder, SUBTYPE_PNG,
+    build_data_group, mot_header_core, parse_data_group, parse_header_core)
+from dabtools_tpu.eti.pad import PadDecoder, attach_pad_mp2, build_xpad
+
+
+def test_data_group_roundtrip():
+    dg = build_data_group(DG_TYPE_MOT_BODY, continuity=5, segment=3,
+                          last=True, transport_id=0xBEEF, payload=b"seg!")
+    got = parse_data_group(dg)
+    assert got is not None
+    assert (got.dg_type, got.continuity, got.segment, got.last,
+            got.transport_id, got.payload) == (
+        DG_TYPE_MOT_BODY, 5, 3, True, 0xBEEF, b"seg!")
+
+
+def test_data_group_crc_reject():
+    dg = bytearray(build_data_group(DG_TYPE_MOT_BODY, 0, 0, True, 1, b"x"))
+    dg[-3] ^= 0xFF
+    assert parse_data_group(bytes(dg)) is None
+
+
+def test_header_core_roundtrip():
+    h = mot_header_core(123456, 42, 2, 1)
+    assert parse_header_core(h) == (123456, 42, 2, 1)
+
+
+def test_object_roundtrip_via_subfields():
+    body = bytes(np.random.default_rng(0).integers(0, 256, 300,
+                                                   dtype=np.uint8))
+    enc = MotEncoder(seg_size=48, subfield_size=24)
+    dec = MotDecoder()
+    objs = []
+    for apptype, data in enc.object_subfields(body, name="pic.png",
+                                              subtype=SUBTYPE_PNG):
+        objs += dec.feed(apptype, data)
+    objs += dec.flush()
+    assert len(objs) == 1
+    o = objs[0]
+    assert o.body == body and o.name == "pic.png"
+    assert (o.content_type, o.subtype) == (2, SUBTYPE_PNG)
+    assert dec.stats["crc_failures"] == 0
+
+
+def test_two_objects_sequential():
+    enc, dec = MotEncoder(), MotDecoder()
+    bodies = [b"A" * 100, b"B" * 77]
+    got = []
+    for b in bodies:
+        for apptype, data in enc.object_subfields(b):
+            got += dec.feed(apptype, data)
+    got += dec.flush()
+    assert [o.body for o in got] == bodies
+    assert got[0].transport_id != got[1].transport_id
+
+
+def test_slideshow_over_mp2_frames():
+    """Full PAD path: MOT subfields + DLS share X-PAD across MP2 frames."""
+    from dabtools_tpu.eti.pad import APP_DLS_START, dls_data_groups
+    body = bytes(np.random.default_rng(1).integers(0, 256, 200,
+                                                   dtype=np.uint8))
+    subfields = MotEncoder(subfield_size=24).object_subfields(body)
+    (dls_group,) = dls_data_groups("with slides", toggle=0)
+    dec = PadDecoder(mot=True)
+    labels = []
+    queue = list(subfields)
+    first = True
+    while queue:
+        frame = bytearray(384)
+        subs = [(APP_DLS_START, dls_group)] if first else []
+        first = False
+        while queue and len(subs) < 2:
+            subs.append(queue.pop(0))
+        xpad, fpad = build_xpad(subs)
+        attach_pad_mp2(frame, xpad, fpad)
+        labels += dec.feed_mp2_frame(bytes(frame))
+    dec.flush()
+    assert [lab.text for lab in labels] == ["with slides"]
+    assert len(dec.objects) == 1 and dec.objects[0].body == body
+
+
+def test_lost_subfield_discards_object_only():
+    from dabtools_tpu.eti.mot import APP_MOT_CONT
+    enc, dec = MotEncoder(subfield_size=24), MotDecoder()
+    subs = enc.object_subfields(b"X" * 150)
+    # Drop one continuation subfield: its data group fails CRC.
+    drop = next(i for i, (a, _) in enumerate(subs) if a == APP_MOT_CONT)
+    dropped = subs[:drop] + subs[drop + 1:]
+    got = []
+    for apptype, data in dropped:
+        got += dec.feed(apptype, data)
+    got += dec.flush()
+    assert dec.stats["crc_failures"] >= 1
+    # A following object still decodes.
+    for apptype, data in enc.object_subfields(b"Y" * 60):
+        got += dec.feed(apptype, data)
+    got += dec.flush()
+    assert [o.body for o in got] == [b"Y" * 60]
+
+
+def test_cli_slides(tmp_path):
+    """eti2audio --slides extracts an image from an ETI file."""
+    import subprocess
+    import sys
+    from dabtools_tpu.eti.assemble import EtiAssembler
+    from dabtools_tpu.fic.config import (Ensemble, Service, ServiceComponent,
+                                         Subchannel)
+    from dabtools_tpu.fic.fig import build_fibs_for_ensemble
+
+    ens = Ensemble(
+        eid=0x51DE, label="SLIDES",
+        subchannels=(Subchannel.eep(1, 0, 3, "A", 64),),
+        services=(Service(sid=0x10, label="PIC SVC", components=(
+            ServiceComponent(tmid=0, subchid=1, ascty=0),)),))
+    png = b"\x89PNG\r\n\x1a\n" + bytes(np.random.default_rng(2).integers(
+        0, 256, 150, dtype=np.uint8))
+    queue = MotEncoder(subfield_size=24).object_subfields(
+        png, name="logo.png", subtype=SUBTYPE_PNG)
+    asm = EtiAssembler(ens)
+    raw = b""
+    n = 0
+    while queue or n < 4:
+        frame = bytearray(np.random.default_rng(100 + n).integers(
+            0, 256, 192, dtype=np.uint8).tobytes())
+        subs = []
+        while queue and len(subs) < 3:
+            subs.append(queue.pop(0))
+        xpad, fpad = build_xpad(subs)
+        attach_pad_mp2(frame, xpad, fpad)
+        fibs = [build_fibs_for_ensemble(ens, n)[i].tobytes()
+                for i in range(3)]
+        raw += asm.frame(fibs, {1: bytes(frame)})
+        n += 1
+    eti = tmp_path / "slides.eti"
+    eti.write_bytes(raw)
+    outdir = tmp_path / "imgs"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio", "--sid", "0x10",
+         "--slides", str(outdir), str(eti), "-o", str(tmp_path / "a.mp2")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "MOT object" in r.stderr
+    files = list(outdir.iterdir())
+    assert len(files) == 1 and files[0].name.endswith("logo.png")
+    assert files[0].read_bytes() == png
