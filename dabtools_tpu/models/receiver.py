@@ -307,7 +307,9 @@ class DabReceiver:
             ensemble=(self.ensemble.decode_config()
                       if self.ensemble is not None else None),
             mode=self.mode, n_frames=self.n_frames)
-        out = jax.device_get(out)
+        # The relay's device->host transfer path fails transiently too;
+        # a re-fetch of the live buffers succeeds (same guard as the call).
+        out = call_with_retries(jax.device_get, out)
         if self.ensemble is not None:
             self._rings = rings
 
