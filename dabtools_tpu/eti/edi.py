@@ -107,7 +107,11 @@ class AfParser:
                 return None
             ln = int.from_bytes(buf[2:6], "big")
             total = 10 + ln + 2
-            if ln > (1 << 24):               # implausible: resync
+            # Validate the rest of the header before trusting LEN: a false
+            # "AF" hit with a large length would otherwise stall the
+            # stream waiting for megabytes that never come.
+            if (ln > (1 << 20) or not buf[8] & 0x80
+                    or buf[9] != _PT_TAG):
                 del buf[:2]
                 self.resyncs += 1
                 continue

@@ -63,3 +63,57 @@ def test_eti2audio_handles_garbage_file(tmp_path):
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 1                               # clean failure
     assert "Traceback" not in r.stderr
+
+
+def test_af_parser_survives_garbage():
+    """EDI AF de-framer: random bytes and truncated packets never raise."""
+    import numpy as np
+    from dabtools_tpu.eti.edi import AfParser, af_packet
+    rng = np.random.default_rng(3)
+    p = AfParser()
+    for _ in range(20):
+        p.feed(rng.integers(0, 256, rng.integers(1, 400),
+                            dtype=np.uint8).tobytes())
+    # Embedded valid packet still found after arbitrary garbage.
+    got = p.feed(b"\x00AF\x00" + af_packet(b"ok", 7))
+    assert b"ok" in got
+
+
+def test_edi_reader_survives_garbage_tags():
+    import numpy as np
+    from dabtools_tpu.eti.edi import EdiReader, af_packet, tag_item
+    rng = np.random.default_rng(4)
+    r = EdiReader()
+    # Valid AF framing around nonsense TAG contents.
+    for i in range(10):
+        junk = rng.integers(0, 256, rng.integers(0, 60),
+                            dtype=np.uint8).tobytes()
+        payload = tag_item(b"zzzz", junk)
+        assert r.feed(af_packet(payload, i)) == []
+
+
+def test_mot_decoder_survives_garbage():
+    import numpy as np
+    from dabtools_tpu.eti.mot import APP_DGLI, APP_MOT_CONT, APP_MOT_START, MotDecoder
+    rng = np.random.default_rng(5)
+    dec = MotDecoder()
+    for _ in range(100):
+        app = int(rng.choice([APP_DGLI, APP_MOT_START, APP_MOT_CONT]))
+        data = rng.integers(0, 256, rng.integers(1, 48),
+                            dtype=np.uint8).tobytes()
+        dec.feed(app, data)
+    dec.flush()
+    assert dec.stats["objects"] == 0
+
+
+def test_pad_decoder_survives_random_frames():
+    import numpy as np
+    from dabtools_tpu.eti.pad import PadDecoder
+    rng = np.random.default_rng(6)
+    dec = PadDecoder(mot=True)
+    for _ in range(50):
+        frame = rng.integers(0, 256, 192, dtype=np.uint8).tobytes()
+        dec.feed_mp2_frame(frame)
+        dec.feed_dabplus_au(rng.integers(0, 256, 60,
+                                         dtype=np.uint8).tobytes())
+    dec.flush()
