@@ -69,6 +69,7 @@ def main(argv=None) -> int:
     from dabtools_tpu.parallel.channel import channel_parallel_block
     from dabtools_tpu.fic.fig import FigParser
     from dabtools_tpu.utils.crc import crc16_ok
+    import jax
     import jax.numpy as jnp
 
     from dabtools_tpu import constants as C
@@ -79,9 +80,12 @@ def main(argv=None) -> int:
         print(f"capture too short: need {need} samples per block after "
               f"channelization, have {streams.shape[1]}", file=sys.stderr)
         return 1
-    out, _, _ = channel_parallel_block(
+    from dabtools_tpu.utils.retry import call_with_retries
+    out, _, _ = call_with_retries(
+        channel_parallel_block,
         jnp.asarray(streams[:, :need]), {}, jnp.asarray(0, jnp.int32),
         ensemble=None, n_frames=n_frames)
+    out = call_with_retries(jax.device_get, out)
     fib_bytes_all = np.asarray(out["fib_bytes"])    # (C, B, 12, 32)
     null_ratio = np.asarray(out["null_ratio"])
 
