@@ -77,6 +77,9 @@ def main(argv=None) -> int:
     p.add_argument("--stats-json", default=None, metavar="PATH",
                    help="append one JSON object per block (sync confidence, "
                         "CFO, CRC rates, Viterbi metrics) to PATH")
+    p.add_argument("--edi", action="store_true",
+                   help="emit EDI (AF-framed TAG packets, TS 102 693) "
+                        "instead of raw ETI(NI)")
     p.add_argument("--tist", action="store_true",
                    help="stamp ETI frames with TIST timestamps "
                         "(stream-relative, 24 ms per frame)")
@@ -111,6 +114,10 @@ def main(argv=None) -> int:
         resampler = Resampler(int(args.rate))
         log.info("resampling %.4f Msps -> 2.048 Msps (L/M = %d/%d)",
                  args.rate / 1e6, resampler.up, resampler.down)
+    edi = None
+    if args.edi:
+        from dabtools_tpu.eti.edi import EdiWriter
+        edi = EdiWriter(mode=mode)
     n_eti = 0
     try:
         for chunk in iter_samples(args.input, args.format):
@@ -119,7 +126,11 @@ def main(argv=None) -> int:
                 if chunk.size == 0:
                     continue
             for frame in rx.feed(chunk):
-                out.write(frame)
+                if edi is not None:
+                    for pkt in edi.from_eti_bytes(frame):
+                        out.write(pkt)
+                else:
+                    out.write(frame)
                 n_eti += 1
             if args.stats and rx.stats:
                 s = rx.stats[-1]
@@ -141,8 +152,8 @@ def main(argv=None) -> int:
     if rx.ensemble is None:
         log.error("no ensemble acquired (insufficient or undecodable input)")
         return 1
-    log.info("wrote %d ETI frames; ensemble 0x%04X %r", n_eti,
-             rx.ensemble.eid, rx.ensemble.label)
+    log.info("wrote %d %s frames; ensemble 0x%04X %r", n_eti,
+             "EDI" if args.edi else "ETI", rx.ensemble.eid, rx.ensemble.label)
     return 0
 
 

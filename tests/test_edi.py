@@ -107,3 +107,29 @@ def test_cli_roundtrip(tmp_path):
     frames = list(EtiParser().feed(eti_out.read_bytes()))
     assert len(frames) == 4
     assert all(f.header_crc_ok and f.mst_crc_ok for f in frames)
+
+
+def test_dab2eti_edi_flag(tmp_path):
+    """dab2eti --edi emits AF packets; edi2eti recovers matching ETI."""
+    import sys as _sys
+    import pathlib as _pl
+    _sys.path.insert(0, str(_pl.Path(__file__).parent))
+    from test_closed_loop import build_ensemble, modulate
+    x, _ = modulate(build_ensemble(), 10, seed=0)
+    cap = tmp_path / "cap.cf32"
+    x.astype(np.complex64).tofile(cap)
+    edi = tmp_path / "out.edi"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dab2eti", "--cpu",
+         "--format", "cf32", "--edi", str(cap), "-o", str(edi)],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "EDI frames" in r.stderr
+    back = tmp_path / "back.eti"
+    r2 = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.edi2eti", str(edi),
+         "-o", str(back)], capture_output=True, text=True, timeout=120)
+    assert r2.returncode == 0, r2.stderr
+    frames = list(EtiParser().feed(back.read_bytes()))
+    assert len(frames) >= 5
+    assert all(f.header_crc_ok and f.mst_crc_ok for f in frames)
