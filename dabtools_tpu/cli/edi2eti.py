@@ -24,16 +24,24 @@ def main(argv=None) -> int:
                         format="%(name)s: %(message)s")
 
     from dabtools_tpu import constants as C
-    from dabtools_tpu.eti.edi import EdiReader
+    from dabtools_tpu.eti.edi import PFT_SYNC, EdiReader, PftReassembler
 
     f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     r = EdiReader(mode=C.MODES[args.mode])
+    pft = None
     n = 0
+    first = True
     while True:
         chunk = f.read(1 << 20)
         if not chunk:
             break
+        if first:
+            first = False
+            if chunk[:2] == PFT_SYNC:      # PFT-fragmented stream
+                pft = PftReassembler()
+        if pft is not None:
+            chunk = b"".join(pft.feed(chunk))
         for frame in r.feed(chunk):
             out.write(r.to_eti_bytes(frame))
             n += 1
@@ -42,8 +50,9 @@ def main(argv=None) -> int:
         f.close()
     if args.output != "-":
         out.close()
-    log.info("wrote %d ETI frames (AF resyncs=%d, CRC failures=%d)",
-             n, r.af.resyncs, r.af.crc_failures)
+    log.info("wrote %d ETI frames (AF resyncs=%d, CRC failures=%d%s)",
+             n, r.af.resyncs, r.af.crc_failures,
+             f", PFT dropped groups={pft.dropped_groups}" if pft else "")
     return 0 if n else 1
 
 

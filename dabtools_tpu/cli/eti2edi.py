@@ -17,13 +17,16 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="eti2edi", description=__doc__)
     p.add_argument("input", help="ETI(NI) file, or '-' for stdin")
     p.add_argument("--mode", choices=("I", "II", "III", "IV"), default="I")
+    p.add_argument("--pft-mtu", type=int, default=None, metavar="BYTES",
+                   help="fragment AF packets with the PFT layer to this MTU "
+                        "(for datagram/lossy transports)")
     p.add_argument("--output", "-o", default="-")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                         format="%(name)s: %(message)s")
 
     from dabtools_tpu import constants as C
-    from dabtools_tpu.eti.edi import EdiWriter
+    from dabtools_tpu.eti.edi import EdiWriter, pft_fragments
 
     f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
@@ -34,7 +37,11 @@ def main(argv=None) -> int:
         if not chunk:
             break
         for pkt in w.from_eti_bytes(chunk):
-            out.write(pkt)
+            if args.pft_mtu:
+                for frag in pft_fragments(pkt, n, args.pft_mtu):
+                    out.write(frag)
+            else:
+                out.write(pkt)
             n += 1
     out.flush()
     if args.input != "-":

@@ -4,9 +4,10 @@ The modern replacement for raw ETI(NI) transport: ensemble data is packed
 into TAG items (``*ptr`` protocol marker, ``deti`` frame header + FIC,
 ``est`` per sub-channel stream), concatenated into a TAG packet and
 framed by the AF (Application Framing) layer with sequence numbers and a
-CRC.  The PFT layer (fragmentation + Reed-Solomon + interleaving for
-lossy links) is intentionally NOT implemented — AF framing alone is what
-file/TCP transports need; document PFT as a gap.
+CRC.  For lossy/datagram links the PFT layer (TS 102 821) fragments AF
+packets to an MTU with per-fragment headers and loss-tolerant
+reassembly; PFT's optional Reed-Solomon FEC and addressing are NOT
+implemented (flags transmitted 0) — a documented gap.
 
 No counterpart exists in the reference (SURVEY.md s2a — dabtools predates
 EDI); provided for the "complete toolset" widening: ``eti2edi`` /
@@ -249,3 +250,82 @@ class EdiReader:
                 else 0xFFFFFFFF).to_bytes(4, "big")
         out += b"\x55" * (C.ETI_FRAME_BYTES - len(out))
         return bytes(out)
+
+
+# ------------------------------------------------------------- PFT layer
+PFT_SYNC = b"PF"
+
+
+def pft_fragments(af: bytes, seq: int, mtu: int = 1400) -> list[bytes]:
+    """Fragment one AF packet for lossy/datagram links (TS 102 821 PFT).
+
+    Header [K-med]: "PF" Pseq(2) Findex(3) Fcount(3) FEC/Addr+Plen(2:
+    flags in the top 2 bits, fragment length in the low 14) HCRC(2) —
+    14 bytes; no RS FEC, no addressing (flags 0).  Each fragment is
+    independently recoverable; the reassembler tolerates loss by
+    discarding incomplete Pseq groups.
+    """
+    body = mtu - 14
+    if body <= 0:
+        raise ValueError("mtu too small")
+    chunks = [af[i:i + body] for i in range(0, len(af), body)] or [b""]
+    out = []
+    for i, c in enumerate(chunks):
+        head = (PFT_SYNC + (seq & 0xFFFF).to_bytes(2, "big")
+                + i.to_bytes(3, "big") + len(chunks).to_bytes(3, "big")
+                + (len(c) & 0x3FFF).to_bytes(2, "big"))
+        out.append(head + crc16_ccitt(head).to_bytes(2, "big") + c)
+    return out
+
+
+class PftReassembler:
+    """PFT fragments in (any order, losses allowed) -> AF packets out."""
+
+    def __init__(self, max_pending: int = 8):
+        self._groups: dict[int, dict[int, bytes]] = {}
+        self._counts: dict[int, int] = {}
+        self._max_pending = max_pending
+        self._buf = bytearray()
+        self.crc_failures = 0
+        self.dropped_groups = 0
+
+    def feed(self, data: bytes) -> list[bytes]:
+        """Byte stream of concatenated fragments -> completed AF packets."""
+        self._buf += data
+        out = []
+        while True:
+            pos = self._buf.find(PFT_SYNC)
+            if pos < 0:
+                del self._buf[:-1]
+                break
+            del self._buf[:pos]
+            if len(self._buf) < 14:
+                break
+            head = bytes(self._buf[:12])
+            if crc16_ccitt(head) != int.from_bytes(self._buf[12:14], "big"):
+                self.crc_failures += 1
+                del self._buf[:2]
+                continue
+            plen = int.from_bytes(head[10:12], "big") & 0x3FFF
+            if len(self._buf) < 14 + plen:
+                break
+            frag = bytes(self._buf[14:14 + plen])
+            del self._buf[:14 + plen]
+            out += self._take(int.from_bytes(head[2:4], "big"),
+                              int.from_bytes(head[4:7], "big"),
+                              int.from_bytes(head[7:10], "big"), frag)
+        return out
+
+    def _take(self, pseq, findex, fcount, frag) -> list[bytes]:
+        self._groups.setdefault(pseq, {})[findex] = frag
+        self._counts[pseq] = fcount
+        g = self._groups[pseq]
+        if len(g) == fcount and all(i in g for i in range(fcount)):
+            del self._groups[pseq], self._counts[pseq]
+            return [b"".join(g[i] for i in range(fcount))]
+        # Bound memory: evict the oldest incomplete group (loss on link).
+        if len(self._groups) > self._max_pending:
+            oldest = next(iter(self._groups))
+            del self._groups[oldest], self._counts[oldest]
+            self.dropped_groups += 1
+        return []

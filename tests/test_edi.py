@@ -133,3 +133,54 @@ def test_dab2eti_edi_flag(tmp_path):
     frames = list(EtiParser().feed(back.read_bytes()))
     assert len(frames) >= 5
     assert all(f.header_crc_ok and f.mst_crc_ok for f in frames)
+
+
+def test_pft_fragment_roundtrip():
+    from dabtools_tpu.eti.edi import PftReassembler, pft_fragments
+    af = af_packet(b"payload " * 100, 0)
+    frags = pft_fragments(af, seq=1, mtu=100)
+    assert len(frags) > 5 and all(len(f) <= 100 for f in frags)
+    r = PftReassembler()
+    got = []
+    for f in frags:
+        got += r.feed(f)
+    assert got == [af]
+
+
+def test_pft_out_of_order_and_loss():
+    from dabtools_tpu.eti.edi import PftReassembler, pft_fragments
+    a = af_packet(b"A" * 300, 0)
+    b = af_packet(b"B" * 300, 1)
+    fa = pft_fragments(a, seq=10, mtu=120)
+    fb = pft_fragments(b, seq=11, mtu=120)
+    r = PftReassembler()
+    # Packet a loses a fragment; packet b arrives interleaved, reversed.
+    stream = fa[:1] + list(reversed(fb)) + fa[2:]
+    got = []
+    for f in stream:
+        got += r.feed(f)
+    assert got == [b]
+    # Lossy group is evicted once enough newer incomplete groups pend.
+    for k in range(12, 24):
+        first_frag = pft_fragments(af_packet(b"y" * 300, k), seq=k,
+                                   mtu=120)[0]
+        got += r.feed(first_frag)
+    assert r.dropped_groups >= 1
+
+
+def test_cli_pft_roundtrip(tmp_path):
+    raw = _eti_stream(4)
+    eti_in = tmp_path / "in.eti"
+    eti_in.write_bytes(raw)
+    edi = tmp_path / "out.pft.edi"
+    back = tmp_path / "back.eti"
+    r1 = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2edi", "--pft-mtu",
+         "500", str(eti_in), "-o", str(edi)],
+        capture_output=True, text=True, timeout=120)
+    assert r1.returncode == 0, r1.stderr
+    r2 = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.edi2eti", str(edi),
+         "-o", str(back)], capture_output=True, text=True, timeout=120)
+    assert r2.returncode == 0, r2.stderr
+    assert back.read_bytes() == raw
