@@ -81,9 +81,12 @@ def main(argv=None) -> int:
                     rate = f"{ens.subchannel(c.subchid).bitrate_kbps:3d} kbit/s"
                 except KeyError:
                     rate = "(unsignalled)"   # e.g. packet-data component
+                apps = "".join(
+                    f" +{n}" for n in
+                    ("SLS" if a == 2 else f"uapp{a}" for a in c.user_apps))
                 print(f"  0x{svc.sid:04X} {svc.label or '':16s} subch "
                       f"{c.subchid:2d}  {rate}  "
-                      f"{'DAB+' if c.is_dabplus else 'MP2'}")
+                      f"{'DAB+' if c.is_dabplus else 'MP2'}{apps}")
         return 0
 
     # Resolve target sub-channel + audio type.

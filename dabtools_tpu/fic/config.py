@@ -74,6 +74,8 @@ class ServiceComponent:
     subchid: int
     ascty: int = 0               # 0 = DAB (MP2), 63 = DAB+ (AAC)
     primary: bool = True
+    user_apps: tuple = ()        # FIG 0/13 user application types
+                                 # (2 = MOT slideshow, TS 101 756)
 
     @property
     def is_dabplus(self) -> bool:

@@ -112,6 +112,28 @@ def _fig_0_2(services: tuple[Service, ...]) -> list[bytes]:
     return figs
 
 
+def _fig_0_13(services: tuple[Service, ...]) -> list[bytes]:
+    """User application information (EN 300 401 s6.3.6) [K-med packing]:
+    per service: SId(16) SCIdS(4) NumApps(4); per app: AppType(11)
+    AppDataLength(5) (+ data, none emitted)."""
+    figs = []
+    for svc in services:
+        comp = next((c for c in svc.components if c.user_apps), None)
+        if comp is None:
+            continue
+        w = _BitWriter()
+        w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(13, 5)
+        w.put(svc.sid, 16)
+        w.put(0, 4)                    # SCIdS (primary component)
+        w.put(len(comp.user_apps), 4)
+        for app in comp.user_apps:
+            w.put(app, 11)
+            w.put(0, 5)
+        body = w.bytes()
+        figs.append(bytes([0x00 | len(body)]) + body)
+    return figs
+
+
 def _fig_1(ext: int, ident: int, label: str) -> bytes:
     lab = label.encode("latin-1", "replace")[:16].ljust(16)
     w = _BitWriter()
@@ -135,6 +157,7 @@ def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
     figs += _fig_0_1(ens.subchannels)
     if ens.services:
         figs += _fig_0_2(ens.services)
+        figs += _fig_0_13(ens.services)
     # Labels are rotated across frames (each is ~21 B, most of a FIB; real
     # muxes repeat them at low rate).  Up to 3 label FIGs per frame.
     labels = []
@@ -193,6 +216,7 @@ class FigParser:
     subchannels: dict = dataclasses.field(default_factory=dict)
     services: dict = dataclasses.field(default_factory=dict)
     service_labels: dict = dataclasses.field(default_factory=dict)
+    user_apps: dict = dataclasses.field(default_factory=dict)
     fibs_ok: int = 0
     fibs_bad: int = 0
     figs_malformed: int = 0
@@ -292,6 +316,32 @@ class FigParser:
                         tmid=tmid, subchid=subchid, ascty=ascty,
                         primary=primary))
                 self.services[sid] = tuple(comps)
+                if sid in self.user_apps:        # re-attach on re-signal
+                    self._attach_user_apps(sid)
+        elif ext == 13 and pd == 0:
+            while remaining_bits() >= 24:
+                sid = r.get(16)
+                r.get(4)                         # SCIdS
+                n_apps = r.get(4)
+                apps = []
+                for _ in range(n_apps):
+                    if remaining_bits() < 16:
+                        break
+                    apps.append(r.get(11))
+                    dlen = r.get(5)
+                    for _ in range(dlen):        # skip app data bytes
+                        r.get(8)
+                self.user_apps[sid] = tuple(apps)
+                self._attach_user_apps(sid)
+
+    def _attach_user_apps(self, sid: int) -> None:
+        comps = self.services.get(sid)
+        apps = self.user_apps.get(sid)
+        if not comps or not apps:
+            return
+        self.services[sid] = tuple(
+            dataclasses.replace(c, user_apps=apps) if c.primary else c
+            for c in comps)
 
     def _parse_fig1(self, body: bytes) -> None:
         r = _BitReader(body[:3])

@@ -230,3 +230,36 @@ class TestTist:
         frames = self._frames(
             EtiAssembler(example_ensemble(), tist_start=0.5), 1)
         assert abs(frames[0].tist_seconds - 0.5) < 1e-6
+
+
+class TestFig013:
+    """User application signalling (slideshow discovery, EN 300 401 6.3.6)."""
+
+    def test_roundtrip(self):
+        ens = Ensemble(
+            eid=7, label="UA",
+            subchannels=(Subchannel.eep(1, 0, 3, "A", 64),),
+            services=(Service(sid=0x42, components=(
+                ServiceComponent(tmid=0, subchid=1, user_apps=(2,)),)),))
+        fibs = build_fibs_for_ensemble(ens, 0)
+        parser = FigParser()
+        for i in range(12):
+            parser.feed_fib(fibs[i].tobytes())
+        got = parser.ensemble()
+        comp = got.services[0].components[0]
+        assert comp.user_apps == (2,)
+
+    def test_order_independent(self):
+        """FIG 0/13 arriving before FIG 0/2 still attaches."""
+        parser = FigParser()
+        ens = Ensemble(
+            eid=8,
+            subchannels=(Subchannel.eep(1, 0, 3, "A", 64),),
+            services=(Service(sid=0x43, components=(
+                ServiceComponent(tmid=0, subchid=1, user_apps=(2, 5)),)),))
+        fibs = build_fibs_for_ensemble(ens, 0)
+        # Feed in reverse so 0/13 (later FIB or later FIG) ordering varies.
+        for i in reversed(range(12)):
+            parser.feed_fib(fibs[i].tobytes())
+        comp = parser.ensemble().services[0].components[0]
+        assert comp.user_apps == (2, 5)
