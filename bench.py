@@ -78,8 +78,13 @@ def main():
 
     n = block_samples(n_frames)
     x = _noise(n, rng)
-    rings = {str(s.subchid): init_deinterleave_ring(s.profile.tx_bits)
-             for s in ens.subchannels}
+    # device_put ONCE: init_deinterleave_ring returns host numpy (receiver
+    # construction must not touch the device), but re-uploading ~3.5 MB of
+    # rings through the relay tunnel on every timed call costs ~2 ms/block
+    # — a 10x headline regression when it crept in.
+    rings = jax.device_put({
+        str(s.subchid): init_deinterleave_ring(s.profile.tx_bits)
+        for s in ens.subchannels})
     cif = jnp.asarray(0, dtype=jnp.int32)
 
     def step(x, rings, cif):
