@@ -156,6 +156,12 @@ def main():
 SECTIONS = ("closedloop", "batched", "e2e", "channelizer", "rs", "kernels")
 
 
+# The relay's FIRST device-to-host fetch in a process can stall ~5 min
+# on bad days (measured 281 s for 4 KB, instant afterwards); sections
+# that fetch decoded data get a budget covering one such stall.
+_SECTION_TIMEOUT = {"closedloop": 900, "e2e": 900, "channelizer": 900}
+
+
 def _extras(ens, n_frames, rng, rt1):
     """Each section runs in its OWN subprocess: this machine's TPU relay
     wedges a process after a handful of fresh compiles, and a fresh
@@ -166,7 +172,8 @@ def _extras(ens, n_frames, rng, rt1):
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--section", name],
-                capture_output=True, text=True, timeout=420)
+                capture_output=True, text=True,
+                timeout=_SECTION_TIMEOUT.get(name, 420))
             for line in r.stderr.splitlines():
                 if line.startswith("# ["):
                     log(line)
@@ -179,6 +186,13 @@ def _extras(ens, n_frames, rng, rt1):
 
 def run_section(name: str) -> int:
     from __graft_entry__ import _flagship_ensemble
+    # Pay the relay's first-fetch stall HERE, before any timed or
+    # correctness-checked work (it can take minutes on bad days).
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda: jnp.zeros(8))())
+    warm = time.perf_counter() - t0
+    if warm > 5:
+        log(f"# [{name}] first-fetch warmup took {warm:.0f}s (relay stall)")
     ens = _flagship_ensemble()
     rng = np.random.default_rng(0)
     fn = {"closedloop": _extra_closedloop, "batched": _extra_batched,
