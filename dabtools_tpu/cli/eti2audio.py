@@ -6,6 +6,10 @@ its audio type, then emits either the MP2 elementary stream (DAB) or the
 AAC access units (DAB+, raw or ADTS-wrapped, via the RS(120,110)
 superframe decoder).
 
+Frames are processed in ONE streaming pass (like the reference): only
+the frames seen before the MCI resolves the target are buffered, so a
+multi-hour stdin stream runs in constant memory.
+
 Usage:
   python -m dabtools_tpu.cli.eti2audio --sid 0x1234 in.eti > audio.mp2
   python -m dabtools_tpu.cli.eti2audio --subch 2 --adts in.eti > out.aac
@@ -15,9 +19,26 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 log = logging.getLogger("dabtools_tpu.eti2audio")
+
+# Frames buffered while waiting for the MCI (~98 s of stream) before
+# giving up; the reference would simply never emit in that case too.
+MAX_PENDING_FRAMES = 4096
+
+
+def safe_mot_filename(name: str | None, transport_id: int) -> str:
+    """Sanitize a broadcast-supplied MOT ContentName for local writing.
+
+    The name is untrusted over-the-air data: strip directory components
+    and leading dots so it can neither escape the output directory nor
+    hide/collide with special files (ADVICE r1).
+    """
+    name = (name or "").replace("\\", "/")
+    name = os.path.basename(name).lstrip(".").strip()
+    return name or f"slide_{transport_id}"
 
 
 def main(argv=None) -> int:
@@ -54,23 +75,24 @@ def main(argv=None) -> int:
     from dabtools_tpu import constants as C
     parser = EtiParser(mode=C.MODES[args.mode])
     fig = FigParser()
-    frames = []
-    while True:
-        chunk = f.read(1 << 20)
-        if not chunk:
-            break
-        for frame in parser.feed(chunk):
-            frames.append(frame)
-            for i in range(0, len(frame.fic), 32):
-                fig.feed_fib(frame.fic[i:i + 32])
-    if args.input != "-":
-        f.close()
-    if not frames:
-        log.error("no ETI frames found")
-        return 1
-    ens = fig.ensemble()
 
     if args.list:
+        # FIC-only scan: no frame retention at all.
+        n_frames = 0
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            for frame in parser.feed(chunk):
+                n_frames += 1
+                for i in range(0, len(frame.fic), 32):
+                    fig.feed_fib(frame.fic[i:i + 32])
+        if args.input != "-":
+            f.close()
+        if not n_frames:
+            log.error("no ETI frames found")
+            return 1
+        ens = fig.ensemble()
         if ens is None:
             print("no MCI decoded")
             return 1
@@ -89,42 +111,47 @@ def main(argv=None) -> int:
                       f"{'DAB+' if c.is_dabplus else 'MP2'}{apps}")
         return 0
 
-    # Resolve target sub-channel + audio type.
-    subchid, is_dabplus = args.subch, args.dabplus
-    if subchid is None:
+    def try_resolve(final: bool) -> tuple[int, bool] | None:
+        """(subchid, is_dabplus), or None if not determinable (yet).
+
+        ``final``: end of stream — report errors instead of waiting.
+        """
+        ens = fig.ensemble()
+        if args.subch is not None:
+            is_dabplus = args.dabplus
+            if ens is None and not final:
+                return None          # FIG 0/2 (ascty) may still arrive
+            if ens is not None and not is_dabplus:
+                for svc in ens.services:
+                    for c in svc.components:
+                        if c.subchid == args.subch and c.is_dabplus:
+                            is_dabplus = True
+            return args.subch, is_dabplus
         if ens is None:
-            log.error("no MCI in the ETI FIC; use --subch")
-            return 1
+            if final:
+                log.error("no MCI in the ETI FIC; use --subch")
+            return None
         services = [s for s in ens.services
                     if any(c.tmid == 0 for c in s.components)] or ens.services
         if args.sid is not None:
             matches = [s for s in services if s.sid == args.sid]
             if not matches:
-                log.error("service 0x%04X not found; have %s", args.sid,
-                          [hex(s.sid) for s in services])
-                return 1
+                if final:
+                    log.error("service 0x%04X not found; have %s", args.sid,
+                              [hex(s.sid) for s in services])
+                return None          # the service's FIG 0/2 may be pending
             svc = matches[0]
         elif services:
             svc = services[0]
         else:
-            log.error("no services signalled; use --subch")
-            return 1
+            if final:
+                log.error("no services signalled; use --subch")
+            return None
         comp = next(c for c in svc.components if c.primary)
-        subchid = comp.subchid
-        is_dabplus = is_dabplus or comp.is_dabplus
         log.info("service 0x%04X %r -> sub-channel %d (%s)", svc.sid,
-                 svc.label, subchid, "DAB+" if is_dabplus else "DAB/MP2")
-    elif ens is not None and not is_dabplus:
-        for svc in ens.services:
-            for c in svc.components:
-                if c.subchid == subchid and c.is_dabplus:
-                    is_dabplus = True
-
-    data = [fr.subchannel_data(subchid) for fr in frames
-            if subchid in fr.streams]
-    if not data:
-        log.error("sub-channel %d not present in ETI", subchid)
-        return 1
+                 svc.label, comp.subchid,
+                 "DAB+" if (args.dabplus or comp.is_dabplus) else "DAB/MP2")
+        return comp.subchid, args.dabplus or comp.is_dabplus
 
     pad = None
     if args.labels or args.slides:
@@ -135,30 +162,87 @@ def main(argv=None) -> int:
         for lab in labels:
             log.info("dynamic label: %r (charset %d)", lab.text, lab.charset)
 
-    if not is_dabplus:
-        for d in data:                       # the eti2mpa path
+    # Streaming state, filled once the target resolves.
+    target: tuple[int, bool] | None = None
+    dec = None                       # DAB+ SuperframeDecoder
+    stats = {"frames": 0, "with_sub": 0, "mp2_bytes": 0,
+             "aus": 0, "aus_bad": 0}
+
+    def sink(frame) -> None:
+        subchid, is_dabplus = target
+        if subchid not in frame.streams:
+            return
+        stats["with_sub"] += 1
+        d = frame.subchannel_data(subchid)
+        if not is_dabplus:
             out.write(d)
+            stats["mp2_bytes"] += len(d)
             if pad is not None:
                 show(pad.feed_mp2_frame(d))
+            return
+        nonlocal dec
+        if dec is None:
+            from dabtools_tpu.eti.dabplus import SuperframeDecoder
+            dec = SuperframeDecoder(len(d) // 3)
+        from dabtools_tpu.eti.dabplus import adts_wrap
+        for au in dec.feed(d):
+            if not au.crc_ok:
+                stats["aus_bad"] += 1
+                continue
+            stats["aus"] += 1
+            if pad is not None:
+                show(pad.feed_dabplus_au(au.data))
+            out.write(adts_wrap(au.data, dec.config) if args.adts else au.data)
+
+    pending: list = []
+    overflowed = False
+    while True:
+        chunk = f.read(1 << 20)
+        if not chunk:
+            break
+        for frame in parser.feed(chunk):
+            stats["frames"] += 1
+            for i in range(0, len(frame.fic), 32):
+                fig.feed_fib(frame.fic[i:i + 32])
+            if target is None:
+                target = try_resolve(final=False)
+                if target is not None:
+                    for fr in pending:
+                        sink(fr)
+                    pending.clear()
+            if target is not None:
+                sink(frame)
+            else:
+                pending.append(frame)
+                if len(pending) > MAX_PENDING_FRAMES:
+                    pending.pop(0)   # constant memory on endless no-MCI input
+                    overflowed = True
+    if args.input != "-":
+        f.close()
+    if not stats["frames"]:
+        log.error("no ETI frames found")
+        return 1
+    if target is None:
+        target = try_resolve(final=True)
+        if target is None:
+            return 1
+        if overflowed:
+            log.warning("target resolved only at EOF after >%d frames; "
+                        "earliest frames were dropped", MAX_PENDING_FRAMES)
+        for fr in pending:
+            sink(fr)
+        pending.clear()
+
+    if not stats["with_sub"]:
+        log.error("sub-channel %d not present in ETI", target[0])
+        return 1
+    if not target[1]:
         log.info("wrote %d bytes MP2 from %d frames",
-                 sum(len(d) for d in data), len(data))
+                 stats["mp2_bytes"], stats["with_sub"])
     else:
-        from dabtools_tpu.eti.dabplus import SuperframeDecoder, adts_wrap
-        bitrate = len(data[0]) // 3
-        dec = SuperframeDecoder(bitrate)
-        n_aus = n_bad = 0
-        for d in data:
-            for au in dec.feed(d):
-                if not au.crc_ok:
-                    n_bad += 1
-                    continue
-                n_aus += 1
-                if pad is not None:
-                    show(pad.feed_dabplus_au(au.data))
-                out.write(adts_wrap(au.data, dec.config)
-                          if args.adts else au.data)
         log.info("wrote %d AAC AUs (%d failed CRC); stats=%s",
-                 n_aus, n_bad, dec.stats)
+                 stats["aus"], stats["aus_bad"],
+                 dec.stats if dec is not None else {})
     if pad is not None:
         pad.flush()
         if args.labels:
@@ -168,7 +252,7 @@ def main(argv=None) -> int:
             outdir = pathlib.Path(args.slides)
             outdir.mkdir(parents=True, exist_ok=True)
             for i, obj in enumerate(pad.objects):
-                name = obj.name or f"slide_{obj.transport_id}"
+                name = safe_mot_filename(obj.name, obj.transport_id)
                 path = outdir / f"{i:03d}_{name}"
                 path.write_bytes(obj.body)
                 log.info("MOT object: %s (%d bytes, type %d/%d)",

@@ -222,7 +222,11 @@ class EdiReader:
     def to_eti_bytes(self, frame: EdiFrame) -> bytes:
         """Re-assemble the 6144-byte ETI(NI) frame (FSYNC phase from FP)."""
         fic_len = len(frame.fic)
-        streams = sorted(frame.streams)
+        # MST layout must follow SAD order: EtiParser (and any ETS 300 799
+        # consumer) slices stream data at mst[sad*8:...], so concatenating
+        # in subchid order while keeping the original SADs would silently
+        # scramble muxes whose subchid order differs from CU order.
+        streams = sorted(frame.streams, key=lambda s: s[1])
         nst = len(streams)
         mst_bytes = fic_len + sum(len(d) for _, _, _, d in streams)
         fl_words = (4 * nst + 4 + mst_bytes) // 4

@@ -38,6 +38,17 @@ class Subchannel:
         return uep_profile(self.bitrate_kbps, self.protection_level)
 
     @property
+    def decodable(self) -> bool:
+        """False when the puncturing profile data is unavailable (e.g. the
+        one non-bundled UEP Table 33 row); the receiver then skips this
+        sub-channel instead of dying mid-stream (ADVICE r1)."""
+        try:
+            self.profile
+        except NotImplementedError:
+            return False
+        return True
+
+    @property
     def size_cus(self) -> int:
         if self.protection_type == "EEP":
             return eep_subchannel_cus(self.protection_level, self.eep_option,

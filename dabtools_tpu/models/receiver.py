@@ -203,6 +203,7 @@ class DabReceiver:
         self._buf = np.zeros(0, dtype=np.complex64)
         self._fig = FigParser()
         self.ensemble = ensemble
+        self._decode: Ensemble | None = None   # ensemble minus undecodables
         self._rings = None
         # Host scalar (not jnp): no device traffic before the main compile.
         self._cif_count = np.int32(0)
@@ -274,14 +275,27 @@ class DabReceiver:
     # ------------------------------------------------------- internals
     def _activate(self, ensemble: Ensemble) -> None:
         self.ensemble = ensemble
+        # Never die mid-stream on a sub-channel we cannot decode (e.g. a
+        # UEP profile row that isn't bundled): drop it from the decode
+        # config and the ETI STC, decode the rest of the mux (ADVICE r1).
+        dropped = [s for s in ensemble.subchannels if not s.decodable]
+        if dropped:
+            log.warning(
+                "skipping %d sub-channel(s) with unavailable puncturing "
+                "profiles: %s", len(dropped),
+                [(s.subchid, f"{s.protection_type}-P{s.protection_level}",
+                  f"{s.bitrate_kbps}k") for s in dropped])
+        self._decode = Ensemble(
+            eid=ensemble.eid, label=ensemble.label, services=ensemble.services,
+            subchannels=tuple(s for s in ensemble.subchannels if s.decodable))
         self._rings = {
             str(s.subchid): init_deinterleave_ring(s.profile.tx_bits)
-            for s in ensemble.subchannels}
+            for s in self._decode.subchannels}
         # TIST phase continues across (re)activations: frame N of the ETI
         # output corresponds to received CIF N, 24 ms apart.
         tist_start = ((int(self._cif_count) * 24e-3) % 1.0
                       if self._tist_enabled else None)
-        self._assembler = EtiAssembler(ensemble, self.mode,
+        self._assembler = EtiAssembler(self._decode, self.mode,
                                        tist_start=tist_start)
         self._activation_cif = int(self._cif_count)
         # Any (re)activation invalidates the FIB parse cache: rows parsed
@@ -304,7 +318,7 @@ class DabReceiver:
         out, rings, self._cif_count = call_with_retries(
             process_block,
             jnp.asarray(x), self._rings or {}, self._cif_count,
-            ensemble=(self.ensemble.decode_config()
+            ensemble=(self._decode.decode_config()
                       if self.ensemble is not None else None),
             mode=self.mode, n_frames=self.n_frames)
         # The relay's device->host transfer path fails transiently too;
@@ -402,7 +416,7 @@ class DabReceiver:
 
         # Sub-channel rows j correspond to logical frames cif0 + j - 15.
         if self.ensemble is not None:
-            for s in self.ensemble.subchannels:
+            for s in self._decode.subchannels:
                 data = np.asarray(out["subch"][str(s.subchid)])
                 for j in range(data.shape[0]):
                     n = cif0 + j - 15
@@ -441,11 +455,11 @@ class DabReceiver:
             n = self._next_eti_cif
             have = (n in self._fib_fifo and all(
                 n in self._subch_fifo.get(s.subchid, {})
-                for s in self.ensemble.subchannels))
+                for s in self._decode.subchannels))
             if not have:
                 break
             subch_data = {s.subchid: self._subch_fifo[s.subchid].pop(n)
-                          for s in self.ensemble.subchannels}
+                          for s in self._decode.subchannels}
             frames.append(self._assembler.frame(
                 self._fib_fifo.pop(n), subch_data,
                 error_level=self._err_level.pop(n, 0)))
@@ -463,12 +477,17 @@ class DabReceiver:
             "activation_cif": self._activation_cif,
             "next_eti_cif": getattr(self, "_next_eti_cif", None),
             "fib_fifo": dict(self._fib_fifo),
+            "err_level": dict(self._err_level),
             "subch_fifo": {k: dict(v) for k, v in self._subch_fifo.items()},
+            # ETI FCT/FP continuity across resume (ETS 300 799: etiinfo's
+            # own continuity check flags a restart at 0).
+            "frame_count": (self._assembler.frame_count
+                            if self._assembler is not None else 0),
         }
 
     def save_checkpoint(self, path: str) -> None:
-        """Serialize the resumable state to ``path`` (npz + pickle-free
-        config encoding)."""
+        """Serialize the resumable state to ``path`` via pickle (trusted
+        input only — the standard pickle-on-load caveat applies)."""
         import pickle
 
         with open(path, "wb") as f:
@@ -493,6 +512,9 @@ class DabReceiver:
             self._activation_cif = ckpt["activation_cif"]
             if ckpt["next_eti_cif"] is not None:
                 self._next_eti_cif = ckpt["next_eti_cif"]
+            if self._assembler is not None:
+                self._assembler.frame_count = ckpt.get("frame_count", 0)
         self._fib_fifo = dict(ckpt.get("fib_fifo", {}))
+        self._err_level = dict(ckpt.get("err_level", {}))
         self._subch_fifo = {k: dict(v)
                             for k, v in ckpt.get("subch_fifo", {}).items()}

@@ -182,11 +182,89 @@ UEP_TABLE_31: tuple[tuple[int, int, int], ...] = (
     (192, 5, 384), (280, 3, 384), (416, 1, 384),
 )
 
-# (bitrate_kbps, level) -> PuncturingProfile with 4 regions + padding.
-# The 64-row data table (EN 300 401 Table 33) needs the standard text, which
-# is unavailable offline; the 4-region mechanism below is implemented and
-# tested with synthetic profiles.  KNOWN ROUND-1 GAP — populate when the
-# standard/reference is reachable.
+# UEP protection profiles (EN 300 401 Table 33): (bitrate_kbps, level) ->
+# (L1, L2, L3, L4, PI1, PI2, PI3, PI4, padding_bits).
+#
+# PROVENANCE [docs/INTEROP.md row 21]: reconstructed from knowledge of the
+# public standard (the text itself is unavailable offline) and validated
+# against two independent hard constraints per row:
+#   (a) L1+L2+L3+L4 blocks x 32 bits == bitrate_kbps * 24 (one logical frame);
+#   (b) sum(L_i * 4 * (8+PI_i)) + 12 tail bits + padding == Table 31 CUs * 64.
+# 43 rows satisfy both with padding == 0 and 20 with the standard's small
+# padding values (4 or 8 bits); a randomly mis-remembered row would satisfy
+# (b) with probability of order 1/100, so bundled rows are [K-high] on (a)/(b)
+# consistency, [K-med] on PI placement within the constraint.  The 64th row
+# (192 kbit/s, protection level 2) FAILED validation and is deliberately NOT
+# bundled — the receiver skips such sub-channels gracefully; supply it via
+# ``register_uep_profile()`` from the standard text.
+_UEP_TABLE_33: dict[tuple[int, int], tuple[int, ...]] = {
+    (32, 5): (3, 4, 17, 0, 5, 3, 2, 0, 0),
+    (32, 4): (3, 3, 18, 0, 11, 6, 5, 0, 0),
+    (32, 3): (3, 4, 14, 3, 15, 9, 6, 8, 0),
+    (32, 2): (3, 4, 14, 3, 22, 13, 8, 13, 0),
+    (32, 1): (3, 5, 13, 3, 24, 17, 12, 17, 4),
+    (48, 5): (4, 3, 26, 3, 5, 4, 2, 3, 0),
+    (48, 4): (3, 4, 26, 3, 9, 6, 4, 6, 0),
+    (48, 3): (3, 4, 26, 3, 15, 10, 6, 9, 4),
+    (48, 2): (3, 4, 26, 3, 24, 14, 8, 15, 0),
+    (48, 1): (3, 5, 25, 3, 24, 18, 13, 18, 0),
+    (56, 5): (6, 10, 23, 3, 5, 4, 2, 3, 0),
+    (56, 4): (6, 10, 23, 3, 9, 6, 4, 5, 0),
+    (56, 3): (6, 12, 21, 3, 16, 7, 6, 9, 0),
+    (56, 2): (6, 10, 23, 3, 23, 13, 8, 13, 8),
+    (64, 5): (6, 9, 31, 2, 5, 3, 2, 3, 0),
+    (64, 4): (6, 9, 33, 0, 11, 6, 5, 0, 0),
+    (64, 3): (6, 12, 27, 3, 16, 8, 6, 9, 0),
+    (64, 2): (6, 10, 29, 3, 23, 13, 8, 13, 8),
+    (64, 1): (6, 11, 28, 3, 24, 18, 12, 18, 4),
+    (80, 5): (6, 10, 41, 3, 6, 3, 2, 3, 0),
+    (80, 4): (6, 10, 41, 3, 11, 6, 5, 6, 0),
+    (80, 3): (6, 11, 40, 3, 16, 8, 6, 7, 0),
+    (80, 2): (6, 10, 41, 3, 23, 13, 8, 13, 8),
+    (80, 1): (6, 10, 41, 3, 24, 17, 12, 18, 4),
+    (96, 5): (7, 9, 53, 3, 5, 4, 2, 4, 0),
+    (96, 4): (7, 10, 52, 3, 9, 6, 4, 6, 0),
+    (96, 3): (6, 12, 51, 3, 16, 9, 6, 10, 4),
+    (96, 2): (6, 10, 53, 3, 22, 12, 9, 12, 0),
+    (96, 1): (6, 13, 50, 3, 24, 18, 13, 19, 0),
+    (112, 5): (14, 17, 50, 3, 5, 4, 2, 5, 0),
+    (112, 4): (11, 21, 49, 3, 9, 6, 4, 8, 0),
+    (112, 3): (11, 23, 47, 3, 16, 8, 6, 9, 0),
+    (112, 2): (11, 21, 49, 3, 23, 12, 9, 14, 4),
+    (128, 5): (12, 19, 62, 3, 5, 3, 2, 4, 0),
+    (128, 4): (11, 21, 61, 3, 11, 6, 5, 7, 0),
+    (128, 3): (11, 22, 60, 3, 16, 9, 6, 10, 4),
+    (128, 2): (11, 21, 61, 3, 22, 12, 9, 14, 0),
+    (128, 1): (11, 20, 62, 3, 24, 17, 13, 19, 8),
+    (160, 5): (11, 19, 87, 3, 5, 4, 2, 4, 0),
+    (160, 4): (11, 23, 83, 3, 11, 6, 5, 9, 0),
+    (160, 3): (11, 24, 82, 3, 16, 8, 6, 11, 0),
+    (160, 2): (11, 21, 85, 3, 22, 11, 9, 13, 0),
+    (160, 1): (11, 22, 84, 3, 24, 18, 12, 19, 0),
+    (192, 5): (11, 20, 110, 3, 6, 4, 2, 5, 0),
+    (192, 4): (11, 22, 108, 3, 10, 6, 4, 9, 0),
+    (192, 3): (11, 24, 106, 3, 16, 10, 6, 11, 0),
+    # (192, 2): NOT BUNDLED — recalled row failed constraint (b) by -24
+    # bits; rather than guess, the receiver degrades gracefully.
+    (192, 1): (11, 21, 109, 3, 24, 20, 13, 24, 0),
+    (224, 5): (12, 22, 131, 3, 8, 6, 2, 6, 4),
+    (224, 4): (12, 26, 127, 3, 12, 8, 4, 11, 0),
+    (224, 3): (11, 20, 134, 3, 16, 10, 7, 9, 0),
+    (224, 2): (11, 22, 132, 3, 24, 16, 10, 15, 0),
+    (224, 1): (11, 24, 130, 3, 24, 20, 12, 20, 4),
+    (256, 5): (11, 24, 154, 3, 6, 5, 2, 5, 0),
+    (256, 4): (11, 24, 154, 3, 12, 9, 5, 10, 4),
+    (256, 3): (11, 27, 151, 3, 16, 10, 7, 10, 0),
+    (256, 2): (11, 22, 156, 3, 24, 14, 10, 13, 8),
+    (256, 1): (11, 26, 152, 3, 24, 19, 14, 18, 4),
+    (320, 5): (11, 26, 200, 3, 8, 5, 2, 6, 4),
+    (320, 4): (11, 25, 201, 3, 13, 9, 5, 10, 8),
+    (320, 2): (11, 26, 200, 3, 24, 17, 9, 17, 0),
+    (384, 5): (11, 27, 247, 3, 8, 6, 2, 7, 0),
+    (384, 3): (11, 24, 250, 3, 16, 9, 7, 10, 4),
+    (384, 1): (12, 28, 245, 3, 24, 20, 14, 23, 8),
+}
+
 UEP_PROFILES: dict[tuple[int, int], PuncturingProfile] = {}
 
 
@@ -219,15 +297,25 @@ def register_uep_profile(bitrate_kbps: int, level: int,
     return prof
 
 
+for (_kb, _lv), (_l1, _l2, _l3, _l4, _p1, _p2, _p3, _p4,
+                 _pad) in _UEP_TABLE_33.items():
+    register_uep_profile(
+        _kb, _lv,
+        tuple((n, pi) for n, pi in
+              ((_l1, _p1), (_l2, _p2), (_l3, _p3), (_l4, _p4)) if n),
+        padding_bits=_pad)
+
+
 def uep_profile(bitrate_kbps: int, level: int) -> PuncturingProfile:
     try:
         return UEP_PROFILES[(bitrate_kbps, level)]
     except KeyError:
         raise NotImplementedError(
             f"UEP profile data for {bitrate_kbps} kbit/s P{level} is not "
-            "bundled (EN 300 401 Table 33 unavailable offline); register "
-            "the standard's row via register_uep_profile(). EEP "
-            "sub-channels are fully supported; see tables/puncturing.py."
+            "bundled (row failed offline reconstruction validation — see "
+            "_UEP_TABLE_33); register the standard's row via "
+            "register_uep_profile().  All other 63 Table 33 rows are "
+            "bundled; see tables/puncturing.py."
         ) from None
 
 

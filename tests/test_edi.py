@@ -75,6 +75,36 @@ def test_eti_edi_eti_byte_identity(tist_start):
     assert back == raw
 
 
+def test_eti_edi_eti_subchid_order_differs_from_sad_order():
+    """MST must be rebuilt in SAD order, not subchid order (ADVICE r1 high).
+
+    Subchid 5 occupies the first CUs and subchid 1 the later ones; sorting
+    streams by subchid while keeping the original SADs would swap their
+    payload bytes (with all CRCs still passing).
+    """
+    ens = Ensemble(
+        eid=0xED2, label="EDI SWAP",
+        subchannels=(Subchannel.eep(5, 0, 3, "A", 64),
+                     Subchannel.eep(1, 48, 2, "B", 96)),
+        services=(Service(sid=1, components=(
+            ServiceComponent(tmid=0, subchid=5),)),))
+    asm = EtiAssembler(ens)
+    rng = np.random.default_rng(7)
+    payloads = {s.subchid: rng.integers(0, 256, s.data_bytes,
+                                        dtype=np.uint8).tobytes()
+                for s in ens.subchannels}
+    fibs = [bytes(32)] * 3
+    raw = asm.frame(fibs, payloads)
+    r = EdiReader()
+    back = b"".join(r.to_eti_bytes(f)
+                    for f in r.feed(b"".join(EdiWriter().from_eti_bytes(raw))))
+    assert back == raw
+    # And independently: each subchannel's bytes land at its own SAD.
+    for f in EtiParser().feed(back):
+        for subchid, payload in payloads.items():
+            assert f.streams[subchid].data == payload
+
+
 def test_edi_frame_fields():
     raw = _eti_stream(2, tist_start=0.5)
     r = EdiReader()

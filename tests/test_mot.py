@@ -147,3 +147,16 @@ def test_cli_slides(tmp_path):
     files = list(outdir.iterdir())
     assert len(files) == 1 and files[0].name.endswith("logo.png")
     assert files[0].read_bytes() == png
+
+
+def test_safe_mot_filename():
+    from dabtools_tpu.cli.eti2audio import safe_mot_filename
+
+    assert safe_mot_filename("logo.png", 1) == "logo.png"
+    assert safe_mot_filename("../../etc/passwd", 1) == "passwd"
+    assert safe_mot_filename("..\\..\\evil.exe", 2) == "evil.exe"
+    assert safe_mot_filename("dir/sub/img.jpg", 3) == "img.jpg"
+    assert safe_mot_filename(".hidden", 4) == "hidden"
+    assert safe_mot_filename("", 5) == "slide_5"
+    assert safe_mot_filename(None, 6) == "slide_6"
+    assert safe_mot_filename("..", 7) == "slide_7"
