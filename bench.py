@@ -166,9 +166,13 @@ def _extras(ens, n_frames, rng, rt1):
     """Each section runs in its OWN subprocess: this machine's TPU relay
     wedges a process after a handful of fresh compiles, and a fresh
     process gets a fresh budget.  A section failure can never cost the
-    driver's headline line."""
+    driver's headline line.  Failed sections get a SECOND pass at the end:
+    the relay's bad windows last minutes (observed: even ``jnp.zeros``
+    returns UNIMPLEMENTED inside one), so a later fresh process often
+    succeeds where the first attempt fell inside a window."""
     import subprocess
-    for name in SECTIONS:
+
+    def run_one(name):
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--section", name],
@@ -178,10 +182,30 @@ def _extras(ens, n_frames, rng, rt1):
                 if line.startswith("# ["):
                     log(line)
             if r.returncode != 0:
-                log(f"# [{name}] SKIPPED (rc={r.returncode}): "
-                    f"{r.stderr.strip().splitlines()[-1][:120] if r.stderr.strip() else ''}")
+                tail = [l for l in r.stderr.strip().splitlines()
+                        if l and not l.startswith("WARNING")]
+                # JAX appends its traceback-filtering notice AFTER the
+                # real error; report the last Error/assert line instead.
+                best = next(
+                    (l for l in reversed(tail)
+                     if ("Error" in l or "assert" in l)
+                     and "JAX_TRACEBACK" not in l),
+                    tail[-1] if tail else "")
+                return f"rc={r.returncode}: {best.strip()[:140]}"
+            return None
         except subprocess.TimeoutExpired:
-            log(f"# [{name}] SKIPPED: timeout")
+            return "timeout"
+
+    failed = {}
+    for name in SECTIONS:
+        err = run_one(name)
+        if err is not None:
+            failed[name] = err
+            log(f"# [{name}] failed pass 1 ({err}); will retry")
+    for name in failed:
+        err = run_one(name)
+        if err is not None:
+            log(f"# [{name}] SKIPPED ({err})")
 
 
 def run_section(name: str) -> int:
@@ -340,16 +364,21 @@ def _extra_kernels(ens, n_frames, rng):
 
     from dabtools_tpu.mod.convcode import conv_encode
     from dabtools_tpu.ops.viterbi import viterbi_decode
-    from dabtools_tpu.ops.viterbi_pallas import viterbi_decode_pallas
     msgs = rng.integers(0, 2, size=(576, 3072), dtype=np.uint8)
     soft = np.stack([1.0 - 2.0 * conv_encode(m) for m in msgs])
     soft = jnp.asarray(soft + rng.normal(scale=0.5, size=soft.shape),
                        dtype=jnp.float32)
     steps = 576 * 3078
-    t = _median_time(lambda s: viterbi_decode(s, impl="pallas"), soft,
-                     iters=5)
-    log(f"# [kernel] Pallas Viterbi (576x3078): {t * 1e3:.2f} ms "
-        f"({steps / t / 1e6:.0f} Msteps/s)")
+    # Sustained (amortized over a queued batch), production default first;
+    # decoded bits are asserted correct so a degraded executable can't
+    # silently report a good number for wrong output.
+    for impl in ("pallas", "xla"):
+        f = jax.jit(lambda s, i=impl: viterbi_decode(s, impl=i))
+        bits, _ = jax.block_until_ready(f(soft))
+        assert (np.asarray(bits) == msgs).all(), f"{impl} wrong bits on HW"
+        t = _amortized_time(f, soft, n_queue=10)
+        log(f"# [kernel] Viterbi[{impl}] (576x3078) sustained: "
+            f"{t * 1e3:.2f} ms ({steps / t / 1e6:.0f} Msteps/s)")
 
 
 if __name__ == "__main__":

@@ -51,13 +51,23 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="dab2eti", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
-    p.add_argument("input", help="IQ file path, or '-' for stdin")
+    p.add_argument("input", nargs="?", default="-",
+                   help="IQ file path, or '-' for stdin (ignored with "
+                        "--device rtlsdr)")
     p.add_argument("--format", choices=("u8", "cf32"), default="u8",
                    help="u8: RTL-SDR style unsigned 8-bit interleaved IQ; "
                         "cf32: complex64")
+    p.add_argument("--device", choices=("file", "rtlsdr"), default="file",
+                   help="input source: 'file' (default; path/stdin) or "
+                        "'rtlsdr' (live librtlsdr dongle; needs "
+                        "--frequency, like the reference dab2eti)")
+    p.add_argument("--rtlsdr-lib", default=None, metavar="PATH",
+                   help="explicit librtlsdr.so path")
+    p.add_argument("--rtlsdr-index", type=int, default=0,
+                   help="RTL-SDR device index")
     p.add_argument("--frequency", type=float, default=None,
-                   help="RF centre frequency in Hz (informational; hardware "
-                        "tuning is out of scope on TPU hosts)")
+                   help="RF centre frequency in Hz (tunes the dongle with "
+                        "--device rtlsdr; informational for file input)")
     p.add_argument("--rate", type=float, default=2_048_000,
                    help="input sample rate; rates rationally related to "
                         "2.048 Msps (e.g. the RTL-SDR-native 2.4 Msps) are "
@@ -95,7 +105,9 @@ def main(argv=None) -> int:
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    if args.frequency:
+    if args.device == "rtlsdr" and args.frequency is None:
+        p.error("--device rtlsdr requires --frequency")
+    if args.frequency and args.device == "file":
         log.info("frequency %.3f MHz (file/stream input; not tuning)",
                  args.frequency / 1e6)
 
@@ -118,9 +130,30 @@ def main(argv=None) -> int:
     if args.edi:
         from dabtools_tpu.eti.edi import EdiWriter
         edi = EdiWriter(mode=mode)
+
+    sdr = None
+    if args.device == "rtlsdr":
+        from dabtools_tpu.frontend.rtlsdr import RtlSdrSource
+        sdr = RtlSdrSource(args.frequency, gain_db=args.gain,
+                           device_index=args.rtlsdr_index,
+                           lib_path=args.rtlsdr_lib)
+
+        def live_blocks(block=1 << 20):
+            try:
+                while True:
+                    chunk = sdr.read_block(block)
+                    if chunk.size == 0:      # stream cancelled / unplugged
+                        return
+                    yield chunk
+            except KeyboardInterrupt:
+                return
+
+        samples = live_blocks()
+    else:
+        samples = iter_samples(args.input, args.format)
     n_eti = 0
     try:
-        for chunk in iter_samples(args.input, args.format):
+        for chunk in samples:
             if resampler is not None:
                 chunk = resampler(chunk)
                 if chunk.size == 0:
@@ -140,6 +173,11 @@ def main(argv=None) -> int:
                          s.fib_crc_ok, s.fib_crc_bad)
         out.flush()
     finally:
+        if sdr is not None:
+            sdr.close()
+            if sdr.dropped_bytes:
+                log.warning("rtlsdr ring dropped %d bytes (receiver slower "
+                            "than 2.048 Msps?)", sdr.dropped_bytes)
         if args.output != "-":
             out.close()
     if args.tii:

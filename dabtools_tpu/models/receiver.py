@@ -315,12 +315,28 @@ class DabReceiver:
     def _process_one_block(self, x: np.ndarray) -> list[bytes]:
         cif0 = int(self._cif_count)
         from dabtools_tpu.utils.retry import call_with_retries
-        out, rings, self._cif_count = call_with_retries(
-            process_block,
-            jnp.asarray(x), self._rings or {}, self._cif_count,
+        step_args = (jnp.asarray(x), self._rings or {}, self._cif_count)
+        step_kw = dict(
             ensemble=(self._decode.decode_config()
                       if self.ensemble is not None else None),
             mode=self.mode, n_frames=self.n_frames)
+        try:
+            out, rings, self._cif_count = call_with_retries(
+                process_block, *step_args, **step_kw)
+        except Exception:
+            # Production default is the Pallas Viterbi; if the kernel (or
+            # its compile) fails persistently on this machine, fall back
+            # to the always-available XLA implementation and re-trace
+            # rather than dying (SURVEY.md s5.3 failure handling).
+            from dabtools_tpu.ops import viterbi as _viterbi
+            if _viterbi.resolved_impl() != "pallas":
+                raise
+            log.warning("device step failed with the Pallas Viterbi; "
+                        "falling back to the XLA implementation")
+            _viterbi.force_impl("xla")
+            process_block.clear_cache()
+            out, rings, self._cif_count = call_with_retries(
+                process_block, *step_args, **step_kw)
         # The relay's device->host transfer path fails transiently too;
         # a re-fetch of the live buffers succeeds (same guard as the call).
         out = call_with_retries(jax.device_get, out)

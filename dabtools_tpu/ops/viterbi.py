@@ -38,6 +38,34 @@ from dabtools_tpu.mod.convcode import output_table
 
 NEG_INF = -1e30
 
+# Process-wide override of the "auto" implementation choice, set by
+# ``force_impl`` (e.g. the receiver's fallback after a persistent Pallas
+# kernel failure).  Callers that jit around viterbi_decode must clear
+# their jit caches after flipping this — resolution happens at trace time.
+_FORCED: str | None = None
+
+
+def force_impl(impl: str | None) -> None:
+    """Override auto implementation choice ("pallas"/"xla"; None = reset)."""
+    global _FORCED
+    _FORCED = impl
+
+
+def resolved_impl() -> str:
+    """What ``impl="auto"`` resolves to right now.
+
+    Priority: ``force_impl`` > ``DABTOOLS_VITERBI`` env var > backend
+    default — **Pallas on TPU** (the production path; BASELINE names this
+    kernel), XLA elsewhere (interpret-mode Pallas would be slow on CPU).
+    """
+    import os
+    if _FORCED is not None:
+        return _FORCED
+    env = os.environ.get("DABTOOLS_VITERBI")
+    if env:
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
 
 @functools.cache
 def transition_matrix() -> np.ndarray:
@@ -150,14 +178,11 @@ def viterbi_decode(soft: jnp.ndarray, impl: str = "auto"):
     the received soft bits (a BER/confidence proxy, SURVEY.md s5.5).
 
     ``impl``: "xla" (lax.scan), "pallas" (the N6 kernel), or "auto" —
-    auto resolves via the DABTOOLS_VITERBI env var, defaulting to the XLA
-    path (the Pallas kernel is opt-in until its compiled-TPU output is
-    re-validated against this machine's flaky remote-compile relay; see
-    viterbi_pallas.py).
+    see :func:`resolved_impl` (Pallas is the production default on TPU;
+    the receiver falls back to XLA if the kernel fails persistently).
     """
-    import os
     if impl == "auto":
-        impl = os.environ.get("DABTOOLS_VITERBI", "xla")
+        impl = resolved_impl()
     if impl == "pallas":
         soft = jnp.asarray(soft, dtype=jnp.float32)
         squeeze1 = soft.ndim == 1

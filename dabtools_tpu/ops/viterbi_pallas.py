@@ -13,6 +13,11 @@ metrics in HBM:
   carrying the surviving state as a one-hot (64, B) matrix — "which
   decision applies" becomes a multiply+reduce over sublanes and the state
   update ``s' = 2(s&31)+d`` becomes fold + interleave, no gathers.
+* Decisions are BIT-PACKED in-kernel: the 64 one-bit decisions of a step
+  pack into two int32 words (disjoint-bit adds = OR), so the decision
+  tensor — the kernel's dominant HBM traffic, written by ACS and re-read
+  by traceback — shrinks 8x vs one int8 per state (e.g. 126 MB -> 16 MB
+  for a 576 x 3078 FIC/MSC batch).
 
 Batch B rides the 128-lane dimension (callers pad); states ride sublanes.
 """
@@ -57,6 +62,8 @@ def _acs_kernel(pu_ref, ws_ref, soft_ref, dec_ref, metric_ref, pm_ref,
         preferred_element_type=jnp.float32).swapaxes(0, 1)  # (TC, 128, B)
     pu = pu_ref[...]
 
+    shift = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0) % 32
+
     def step(j, pm):
         gstep = i * TC + j
         # HIGHEST precision: the MXU's default bf16 pass would round the
@@ -72,7 +79,12 @@ def _acs_kernel(pu_ref, ws_ref, soft_ref, dec_ref, metric_ref, pm_ref,
         new = jnp.maximum(c0, c1)
         live = gstep < t_real
         dec = (c1 > c0).astype(jnp.int32) * live.astype(jnp.int32)
-        dec_ref[j] = dec.astype(jnp.int8)
+        # Bit-pack the 64 decisions into two int32 lanes words: disjoint
+        # bit positions make the sublane sum an OR (no carries).
+        val = jax.lax.shift_left(dec, shift)       # (64, B)
+        dec_ref[j] = jnp.concatenate(
+            [jnp.sum(val[:32], axis=0, keepdims=True),
+             jnp.sum(val[32:], axis=0, keepdims=True)], axis=0)  # (2, B)
         keep = live.astype(jnp.float32)
         return new * keep + pm * (1.0 - keep)
 
@@ -97,10 +109,15 @@ def _traceback_kernel(dec_ref, bits_ref, oh_ref):
         rows = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
         oh_ref[...] = jnp.where(rows == 0, 1.0, 0.0).astype(jnp.float32)
 
+    row = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
+
     def step(k, _):
         j = TC - 1 - k
         oh = oh_ref[...]
-        dec = dec_ref[j].astype(jnp.float32)  # int8 -> f32 (uint8 unsupported)       # (64, B)
+        packed = dec_ref[j]                        # (2, B) int32, bit-packed
+        word = jnp.where(row < 32, packed[0:1, :], packed[1:2, :])
+        dec = (jax.lax.shift_right_logical(word, row % 32) & 1
+               ).astype(jnp.float32)               # (64, B)
         bit = jnp.sum(oh[32:, :], axis=0)          # input bit = state>>5
         d_sel = jnp.sum(oh * dec, axis=0)          # decision at the state
         oh32 = oh[:32, :] + oh[32:, :]             # fold away the u bit
@@ -149,13 +166,13 @@ def viterbi_decode_pallas(soft: jnp.ndarray, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TC, 64, b), lambda i: (i, 0, 0),
+            pl.BlockSpec((TC, 2, b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t_pad, 64, b), jnp.int8),
+            jax.ShapeDtypeStruct((t_pad, 2, b), jnp.int32),
             jax.ShapeDtypeStruct((1, b), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((64, b), jnp.float32),
@@ -167,7 +184,7 @@ def viterbi_decode_pallas(soft: jnp.ndarray, interpret: bool = False):
         _traceback_kernel,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(
-            (TC, 64, b), lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+            (TC, 2, b), lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
             memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
             (TC, b), lambda i: (pl.num_programs(0) - 1 - i, 0),

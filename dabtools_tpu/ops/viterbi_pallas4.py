@@ -42,6 +42,8 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, dec_ref, metric_ref, pm_ref,
         preferred_element_type=jnp.float32).swapaxes(0, 1)  # (TC2, 256, B)
     pu = pu_ref[...]
 
+    shift = 2 * (jax.lax.broadcasted_iota(jnp.int32, (64, b), 0) % 16)
+
     def step(j, pm):
         g2 = i * TC2 + j
         pred = jax.lax.dot_general(
@@ -57,7 +59,12 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, dec_ref, metric_ref, pm_ref,
         new = jnp.maximum(m01, m23)
         d = hi * (2 + d23) + (1 - hi) * d01
         live = (g2 < t2_real).astype(jnp.int32)
-        dec_ref[j] = (d * live).astype(jnp.int8)
+        # Pack the 64 two-bit decisions into four int32 words (16 states
+        # per word; disjoint bit positions make the sublane sum an OR).
+        val = jax.lax.shift_left(d * live, shift)  # (64, B)
+        dec_ref[j] = jnp.concatenate(
+            [jnp.sum(val[16 * c:16 * (c + 1)], axis=0, keepdims=True)
+             for c in range(4)], axis=0)           # (4, B)
         keep = live.astype(jnp.float32)
         return new * keep + pm * (1.0 - keep)
 
@@ -80,10 +87,18 @@ def _traceback4_kernel(dec_ref, bits_ref, oh_ref):
         rows = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
         oh_ref[...] = jnp.where(rows == 0, 1.0, 0.0).astype(jnp.float32)
 
+    row = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
+
     def step(k, _):
         j = TC2 - 1 - k
         oh = oh_ref[...]
-        dec = dec_ref[j].astype(jnp.float32)        # values 0..3, (64, B)
+        packed = dec_ref[j]                        # (4, B) int32, bit-packed
+        word = jnp.where(
+            row < 16, packed[0:1, :],
+            jnp.where(row < 32, packed[1:2, :],
+                      jnp.where(row < 48, packed[2:3, :], packed[3:4, :])))
+        dec = (jax.lax.shift_right_logical(word, 2 * (row % 16)) & 3
+               ).astype(jnp.float32)               # values 0..3, (64, B)
         u2 = jnp.sum(oh[32:, :], axis=0)            # bit 5 of the state
         u1 = (jnp.sum(oh[16:32, :], axis=0)
               + jnp.sum(oh[48:, :], axis=0))        # bit 4
@@ -135,13 +150,13 @@ def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TC2, 64, b), lambda i: (i, 0, 0),
+            pl.BlockSpec((TC2, 4, b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t2_pad, 64, b), jnp.int8),
+            jax.ShapeDtypeStruct((t2_pad, 4, b), jnp.int32),
             jax.ShapeDtypeStruct((1, b), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((64, b), jnp.float32),
@@ -153,7 +168,7 @@ def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False):
         _traceback4_kernel,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(
-            (TC2, 64, b), lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+            (TC2, 4, b), lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
             memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
             (2 * TC2, b), lambda i: (pl.num_programs(0) - 1 - i, 0),

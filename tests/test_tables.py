@@ -68,8 +68,11 @@ class TestPuncturing:
                             160, 192, 224, 256, 320, 384)
 
     def test_uep_profile_gap_is_loud(self):
+        # The one Table 33 row that failed offline reconstruction
+        # validation; everything else is bundled (test_uep_mechanism).
         with pytest.raises(NotImplementedError):
-            P.uep_profile(128, 3)
+            P.uep_profile(192, 2)
+        assert P.uep_profile(128, 3) is not None
 
     def test_synthetic_four_region_profile(self):
         # UEP mechanism: 4 regions with distinct PIs.

@@ -81,3 +81,47 @@ class TestRadix4:
         msgs, soft = _noisy_batch(rng, 2, 768)
         bits, _ = viterbi_decode(jnp.asarray(soft), impl="pallas")
         assert (np.asarray(bits) == msgs).all()
+
+
+class TestProductionDefault:
+    def test_resolved_impl_priority(self, monkeypatch):
+        from dabtools_tpu.ops import viterbi as V
+        monkeypatch.delenv("DABTOOLS_VITERBI", raising=False)
+        assert V.resolved_impl() == "xla"          # CPU backend in tests
+        monkeypatch.setenv("DABTOOLS_VITERBI", "pallas")
+        assert V.resolved_impl() == "pallas"
+        V.force_impl("xla")
+        try:
+            assert V.resolved_impl() == "xla"      # force wins over env
+        finally:
+            V.force_impl(None)
+
+    def test_receiver_falls_back_to_xla_on_kernel_failure(self, monkeypatch):
+        """A persistently-failing Pallas kernel must not kill the stream:
+        the receiver re-traces with the XLA implementation (VERDICT r1)."""
+        from dabtools_tpu.models.receiver import DabReceiver, process_block
+        from dabtools_tpu.ops import viterbi as V
+        from dabtools_tpu.ops import viterbi_pallas, viterbi_pallas4
+        from tests.test_closed_loop import build_ensemble, modulate
+
+        def boom(*a, **k):
+            raise RuntimeError("synthetic Mosaic lowering failure")
+
+        monkeypatch.setattr(viterbi_pallas, "viterbi_decode_pallas", boom)
+        monkeypatch.setattr(viterbi_pallas4, "viterbi_decode_pallas4", boom)
+        V.force_impl("pallas")
+        try:
+            process_block.clear_cache()
+            ens = build_ensemble()
+            x, payload_bytes = modulate(ens, 14, seed=21)
+            rx = DabReceiver(n_frames=4)
+            eti = rx.feed(x)
+            assert V.resolved_impl() == "xla"       # fallback engaged
+            assert len(eti) > 0
+            from dabtools_tpu.eti.parse import EtiParser
+            a = rx._activation_cif
+            for k, f in enumerate(EtiParser().feed(b"".join(eti))):
+                assert f.subchannel_data(1) == payload_bytes[1][a + k].tobytes()
+        finally:
+            V.force_impl(None)
+            process_block.clear_cache()
