@@ -27,6 +27,8 @@ from __future__ import annotations
 import dataclasses
 import logging
 
+import numpy as np
+
 from dabtools_tpu import constants as C
 from dabtools_tpu.utils.crc import crc16_ccitt
 
@@ -258,40 +260,91 @@ class EdiReader:
 
 # ------------------------------------------------------------- PFT layer
 PFT_SYNC = b"PF"
+PFT_PARITY = 48          # RS(k+48, k), shortened from RS(255, 207)
+PFT_MAX_K = 207
 
 
-def pft_fragments(af: bytes, seq: int, mtu: int = 1400) -> list[bytes]:
+def _pft_header(seq: int, findex: int, fcount: int, plen: int,
+                rs: tuple[int, int] | None,
+                addr: tuple[int, int] | None) -> bytes:
+    """PFT fragment header (TS 102 821): "PF" Pseq(2) Findex(3) Fcount(3)
+    FEC|Addr|Plen(2: flags in the top 2 bits, length in the low 14),
+    [RSk(1) RSz(1)], [Source(2) Dest(2)], HCRC(2).  Field packing is
+    [K-med] (docs/INTEROP.md row 19); self round-trip is exact."""
+    flags = ((rs is not None) << 15) | ((addr is not None) << 14)
+    head = (PFT_SYNC + (seq & 0xFFFF).to_bytes(2, "big")
+            + findex.to_bytes(3, "big") + fcount.to_bytes(3, "big")
+            + (flags | (plen & 0x3FFF)).to_bytes(2, "big"))
+    if rs is not None:
+        head += bytes([rs[0], rs[1]])
+    if addr is not None:
+        head += addr[0].to_bytes(2, "big") + addr[1].to_bytes(2, "big")
+    return head + crc16_ccitt(head).to_bytes(2, "big")
+
+
+def pft_fragments(af: bytes, seq: int, mtu: int = 1400, fec: bool = False,
+                  addr: tuple[int, int] | None = None) -> list[bytes]:
     """Fragment one AF packet for lossy/datagram links (TS 102 821 PFT).
 
-    Header [K-med]: "PF" Pseq(2) Findex(3) Fcount(3) FEC/Addr+Plen(2:
-    flags in the top 2 bits, fragment length in the low 14) HCRC(2) —
-    14 bytes; no RS FEC, no addressing (flags 0).  Each fragment is
-    independently recoverable; the reassembler tolerates loss by
-    discarding incomplete Pseq groups.
+    ``fec=True`` adds RS(k+48, k) protection: the AF packet (zero-padded
+    to c rows of RSk=``k`` bytes) gets 48 parity bytes per row, and the
+    c x (k+48) matrix is fragmented by whole COLUMNS — losing a fragment
+    erases the same known columns of every row, so the reassembler can
+    erasure-correct up to 48 lost columns per group.  ``addr``: optional
+    (source, dest) 16-bit addresses carried in every fragment header.
     """
-    body = mtu - 14
+    rs_info = None
+    if fec:
+        from dabtools_tpu.utils.gf256 import rs_parity
+        L = len(af)
+        k = min(PFT_MAX_K, max(1, L))
+        c = -(-L // k)
+        z = c * k - L
+        rows = np.frombuffer(af + bytes(z), dtype=np.uint8).reshape(c, k)
+        m = np.concatenate([rows, rs_parity(rows, PFT_PARITY)], axis=1)
+        rs_info = (k, z)
+        n_cols = k + PFT_PARITY
+        body = mtu - len(_pft_header(0, 0, 1, 0, rs_info, addr))
+        cols_per_frag = max(1, body // c)
+        n_frags = -(-n_cols // cols_per_frag)
+        # Rebalance so the receiver can re-derive the geometry from
+        # Fcount alone: cols_per_frag = ceil(n_cols / Fcount) (never
+        # exceeds the MTU-derived value).
+        cols_per_frag = -(-n_cols // n_frags)
+        out = []
+        for i in range(n_frags):
+            cols = m[:, i * cols_per_frag:(i + 1) * cols_per_frag]
+            frag = cols.T.tobytes()     # column-major within the fragment
+            out.append(_pft_header(seq, i, n_frags, len(frag), rs_info,
+                                   addr) + frag)
+        return out
+    body = mtu - len(_pft_header(0, 0, 1, 0, None, addr))
     if body <= 0:
         raise ValueError("mtu too small")
     chunks = [af[i:i + body] for i in range(0, len(af), body)] or [b""]
-    out = []
-    for i, c in enumerate(chunks):
-        head = (PFT_SYNC + (seq & 0xFFFF).to_bytes(2, "big")
-                + i.to_bytes(3, "big") + len(chunks).to_bytes(3, "big")
-                + (len(c) & 0x3FFF).to_bytes(2, "big"))
-        out.append(head + crc16_ccitt(head).to_bytes(2, "big") + c)
-    return out
+    return [_pft_header(seq, i, len(chunks), len(c), None, addr) + c
+            for i, c in enumerate(chunks)]
 
 
 class PftReassembler:
-    """PFT fragments in (any order, losses allowed) -> AF packets out."""
+    """PFT fragments in (any order, losses allowed) -> AF packets out.
 
-    def __init__(self, max_pending: int = 8):
+    Loss recovery: when a group with RS FEC closes (a newer Pseq starts
+    or the group is evicted) and its missing fragments cover at most 48
+    matrix columns, the erasures are corrected (``recovered_groups``
+    counts successes).  ``dest``: if given, fragments addressed to a
+    different destination are ignored.
+    """
+
+    def __init__(self, max_pending: int = 8, dest: int | None = None):
         self._groups: dict[int, dict[int, bytes]] = {}
-        self._counts: dict[int, int] = {}
+        self._meta: dict[int, tuple] = {}   # pseq -> (fcount, rs, plen0)
         self._max_pending = max_pending
+        self._dest = dest
         self._buf = bytearray()
         self.crc_failures = 0
         self.dropped_groups = 0
+        self.recovered_groups = 0
 
     def feed(self, data: bytes) -> list[bytes]:
         """Byte stream of concatenated fragments -> completed AF packets."""
@@ -303,33 +356,119 @@ class PftReassembler:
                 del self._buf[:-1]
                 break
             del self._buf[:pos]
-            if len(self._buf) < 14:
+            if len(self._buf) < 12:
                 break
-            head = bytes(self._buf[:12])
-            if crc16_ccitt(head) != int.from_bytes(self._buf[12:14], "big"):
+            flags = int.from_bytes(self._buf[10:12], "big")
+            fec, has_addr = bool(flags & 0x8000), bool(flags & 0x4000)
+            hlen = 12 + (2 if fec else 0) + (4 if has_addr else 0)
+            if len(self._buf) < hlen + 2:
+                break
+            head = bytes(self._buf[:hlen])
+            if crc16_ccitt(head) != int.from_bytes(
+                    self._buf[hlen:hlen + 2], "big"):
                 self.crc_failures += 1
                 del self._buf[:2]
                 continue
-            plen = int.from_bytes(head[10:12], "big") & 0x3FFF
-            if len(self._buf) < 14 + plen:
+            plen = flags & 0x3FFF
+            if len(self._buf) < hlen + 2 + plen:
                 break
-            frag = bytes(self._buf[14:14 + plen])
-            del self._buf[:14 + plen]
+            frag = bytes(self._buf[hlen + 2:hlen + 2 + plen])
+            del self._buf[:hlen + 2 + plen]
+            rs = None
+            p = 12
+            if fec:
+                rs = (head[p], head[p + 1])
+                p += 2
+            if has_addr and self._dest is not None:
+                dst = int.from_bytes(head[p + 2:p + 4], "big")
+                if dst != self._dest:
+                    continue
             out += self._take(int.from_bytes(head[2:4], "big"),
                               int.from_bytes(head[4:7], "big"),
-                              int.from_bytes(head[7:10], "big"), frag)
+                              int.from_bytes(head[7:10], "big"), rs, frag)
         return out
 
-    def _take(self, pseq, findex, fcount, frag) -> list[bytes]:
+    def _take(self, pseq, findex, fcount, rs, frag) -> list[bytes]:
         self._groups.setdefault(pseq, {})[findex] = frag
-        self._counts[pseq] = fcount
+        self._meta[pseq] = (fcount, rs)
         g = self._groups[pseq]
+        out = []
         if len(g) == fcount and all(i in g for i in range(fcount)):
-            del self._groups[pseq], self._counts[pseq]
-            return [b"".join(g[i] for i in range(fcount))]
-        # Bound memory: evict the oldest incomplete group (loss on link).
+            out += self._finish(pseq)
+        # Bound memory: close the oldest incomplete group (loss on link) —
+        # with FEC, closure attempts erasure recovery first.  Never close
+        # the group a fragment just arrived for: it is still filling.
         if len(self._groups) > self._max_pending:
-            oldest = next(iter(self._groups))
-            del self._groups[oldest], self._counts[oldest]
-            self.dropped_groups += 1
-        return []
+            oldest = next((p for p in self._groups if p != pseq), None)
+            if oldest is not None:
+                got = self._finish(oldest)
+                if got:
+                    self.recovered_groups += 1
+                    out += got
+                else:
+                    self._groups.pop(oldest, None)
+                    self._meta.pop(oldest, None)
+                    self.dropped_groups += 1
+        return out
+
+    def flush(self) -> list[bytes]:
+        """Close every pending group (end of stream), recovering what the
+        FEC allows."""
+        out = []
+        for pseq in list(self._groups):
+            fcount = self._meta[pseq][0]
+            incomplete = len(self._groups[pseq]) < fcount
+            got = self._finish(pseq)
+            if got:
+                if incomplete:
+                    self.recovered_groups += 1
+                out += got
+            else:
+                self.dropped_groups += 1
+        self._groups.clear()
+        self._meta.clear()
+        return out
+
+    def _finish(self, pseq) -> list[bytes]:
+        """Assemble (and erasure-correct, if FEC) group ``pseq``; [] if
+        unrecoverable.  Removes the group on success."""
+        g = self._groups.get(pseq)
+        if g is None:
+            return []
+        fcount, rs = self._meta[pseq]
+        complete = len(g) == fcount and all(i in g for i in range(fcount))
+        if rs is None:
+            if not complete:
+                return []
+            del self._groups[pseq], self._meta[pseq]
+            return [b"".join(g[i] for i in range(fcount))]
+
+        k, z = rs
+        n_cols = k + PFT_PARITY
+        cols_per_frag = -(-n_cols // fcount)
+        # Row count from any received fragment's size and column count.
+        any_i, any_frag = next(iter(g.items()))
+        cols_i = min(cols_per_frag, n_cols - any_i * cols_per_frag)
+        if cols_i <= 0 or len(any_frag) % cols_i:
+            return []
+        c = len(any_frag) // cols_i
+        m = np.zeros((c, n_cols), dtype=np.uint8)
+        missing_cols = []
+        for i in range(fcount):
+            c0 = i * cols_per_frag
+            cols = min(cols_per_frag, n_cols - c0)
+            if cols <= 0:
+                continue
+            if i in g and len(g[i]) == c * cols:
+                m[:, c0:c0 + cols] = np.frombuffer(
+                    g[i], dtype=np.uint8).reshape(cols, c).T
+            else:
+                missing_cols.extend(range(c0, c0 + cols))
+        if missing_cols:
+            from dabtools_tpu.utils.gf256 import rs_erasure_correct
+            m, ok = rs_erasure_correct(m, missing_cols, PFT_PARITY)
+            if not ok:
+                return []
+        del self._groups[pseq], self._meta[pseq]
+        data = m[:, :k].reshape(-1).tobytes()
+        return [data[: c * k - z]]

@@ -74,6 +74,17 @@ def crc16_ok(block: bytes | np.ndarray) -> bool:
     return crc16_ccitt(block[:-2]) == int.from_bytes(block[-2:], "big")
 
 
+def crc16_ok_batch(blocks: np.ndarray) -> np.ndarray:
+    """(n, block_len) uint8 -> (n,) bool validity (one native call for a
+    whole device block's FIBs instead of n Python round trips)."""
+    lib = _native()
+    if lib is not None:
+        from dabtools_tpu.utils import native
+        return native.crc16_ok_batch(blocks)
+    return np.array([crc16_ok(b.tobytes()) for b in np.asarray(blocks)],
+                    dtype=bool)
+
+
 def firecode(data: bytes | np.ndarray) -> int:
     """DAB+ firecode CRC over ``data`` (init 0, no complement)."""
     lib = _native()

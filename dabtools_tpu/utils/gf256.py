@@ -101,6 +101,98 @@ def rs_encode(data: np.ndarray) -> np.ndarray:
     return out[0] if single else out
 
 
+def rs_parity(data_rows: np.ndarray, n_parity: int) -> np.ndarray:
+    """Systematic RS parity for arbitrary-rate shortened codes.
+
+    ``data_rows``: (c, k) uint8 -> (c, n_parity) uint8 parity, generator
+    roots alpha^0..alpha^{n_parity-1} (same convention as the DAB+
+    RS(120,110) codec above; used by the EDI PFT layer's RS(k+48, k)).
+    """
+    data = np.atleast_2d(np.asarray(data_rows, dtype=np.uint8))
+    g = rs_generator(n_parity)[1:]
+    out = np.zeros((data.shape[0], n_parity), dtype=np.uint8)
+    for row in range(data.shape[0]):
+        rem = np.zeros(n_parity, dtype=np.int32)
+        for byte in data[row]:
+            factor = int(byte) ^ int(rem[0])
+            rem[:-1] = rem[1:]
+            rem[-1] = 0
+            if factor:
+                rem ^= gf_mul(g, factor)
+        out[row] = rem
+    return out
+
+
+def rs_erasure_correct(rows: np.ndarray, erase_pos, n_parity: int):
+    """Correct known-position erasures in shortened RS codewords.
+
+    ``rows``: (c, n) uint8 codewords (k = n - n_parity data bytes first),
+    with arbitrary bytes at the erased columns.  ``erase_pos``: column
+    indices (shared by all rows — the PFT loss pattern).  Returns
+    ``(corrected_rows, ok)``; up to ``n_parity`` erasures are correctable.
+
+    Vectorized across rows: the erasure locator algebra is shared, only
+    syndromes/magnitudes are per-row (NumPy gf ops).
+    """
+    cw = np.atleast_2d(np.asarray(rows, dtype=np.uint8)).copy()
+    c, n = cw.shape
+    erase_pos = sorted(set(int(p) for p in erase_pos))
+    if not erase_pos:
+        return cw, True
+    if len(erase_pos) > n_parity or any(p >= n for p in erase_pos):
+        return cw, False
+    pad = 255 - n
+    cw[:, erase_pos] = 0
+
+    # Syndromes S[:, j] = r(alpha^j): r(x) = sum_i cw[i] x^{n-1-i}.
+    powers = np.array([(255 - 1 - (pad + i)) % 255 for i in range(n)],
+                      dtype=np.int32)
+    exp, _ = _tables()
+    s = np.zeros((c, n_parity), dtype=np.int32)
+    for j in range(n_parity):
+        xj = exp[(powers * j) % 255]          # alpha^{j * power_i}
+        s ^= 0  # keep dtype
+        s[:, j] = np.bitwise_xor.reduce(gf_mul(cw, xj[None, :]), axis=1)
+
+    # Erasure locators X_k and Lambda(x) = prod (1 - X_k x)  (shared).
+    locs = [gf_pow(2, (255 - 1 - (pad + p)) % 255) for p in erase_pos]
+    lam = np.zeros(len(locs) + 1, dtype=np.int32)
+    lam[0] = 1
+    for xk in locs:
+        nxt = lam.copy()
+        nxt[1:] ^= gf_mul(lam[:-1], xk)
+        lam = nxt
+
+    # Omega(x) = S(x) Lambda(x) mod x^{n_parity}, per row.
+    omega = np.zeros((c, n_parity), dtype=np.int32)
+    for i in range(n_parity):
+        acc = np.zeros(c, dtype=np.int32)
+        for j in range(min(i, len(locs)) + 1):
+            acc ^= gf_mul(np.full(c, lam[j]), s[:, i - j])
+        omega[:, i] = acc
+
+    # Forney (first root b=0): e = X * Omega(X^-1) / Lambda'(X^-1).
+    for pos, xk in zip(erase_pos, locs):
+        x_inv = int(gf_inv(xk))
+        num = np.zeros(c, dtype=np.int32)
+        for i in range(n_parity):
+            num ^= gf_mul(omega[:, i], gf_pow(x_inv, i))
+        den = 0
+        for j in range(1, len(locs) + 1, 2):
+            den ^= int(gf_mul(lam[j], gf_pow(x_inv, j - 1)))
+        if den == 0:
+            return cw, False
+        mag = gf_mul(xk, gf_mul(num, int(gf_inv(den))))
+        cw[:, pos] ^= mag.astype(np.uint8)
+
+    # Verify all syndromes vanish.
+    for j in range(n_parity):
+        xj = exp[(powers * j) % 255]
+        if np.bitwise_xor.reduce(gf_mul(cw, xj[None, :]), axis=1).any():
+            return cw, False
+    return cw, True
+
+
 def rs_decode(codeword: np.ndarray):
     """Decode one RS(120,110) codeword (may be 2D batch).
 

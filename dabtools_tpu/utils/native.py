@@ -50,6 +50,9 @@ def lib() -> ctypes.CDLL | None:
     so.dabhost_crc16_ccitt.argtypes = [u8p, ctypes.c_size_t]
     so.dabhost_firecode.restype = ctypes.c_uint16
     so.dabhost_firecode.argtypes = [u8p, ctypes.c_size_t]
+    so.dabhost_crc16_ok_batch.restype = None
+    so.dabhost_crc16_ok_batch.argtypes = [u8p, ctypes.c_size_t,
+                                          ctypes.c_size_t, u8p]
     so.dabhost_prbs_xor.restype = None
     so.dabhost_prbs_xor.argtypes = [u8p, ctypes.c_size_t]
     so.dabhost_eti_find_fsync.restype = ctypes.c_int64
@@ -92,6 +95,17 @@ def crc16_ccitt(data) -> int:
 def firecode(data) -> int:
     p, n = _u8(data)
     return int(lib().dabhost_firecode(p, n))
+
+
+def crc16_ok_batch(blocks: np.ndarray) -> np.ndarray:
+    """(n, block_len) uint8 -> (n,) bool: trailing-2-byte DAB CRC valid."""
+    a = np.ascontiguousarray(blocks, dtype=np.uint8)
+    n, block_len = a.shape
+    ok = np.empty(n, dtype=np.uint8)
+    lib().dabhost_crc16_ok_batch(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, block_len,
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return ok.astype(bool)
 
 
 def prbs_xor(data: np.ndarray) -> np.ndarray:

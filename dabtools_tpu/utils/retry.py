@@ -15,12 +15,25 @@ import time
 log = logging.getLogger("dabtools_tpu.retry")
 
 
-def call_with_retries(fn, *args, retries: int = 3, backoff_s: float = 0.5,
-                      **kwargs):
+def call_with_retries(fn, *args, retries: int | None = None,
+                      backoff_s: float | None = None, **kwargs):
     """Call ``fn``; on a JAX runtime error, clear its jit cache (if any)
-    and retry up to ``retries`` times with linear backoff."""
+    and retry up to ``retries`` times with linear backoff.
+
+    Defaults come from ``DABTOOLS_RETRIES`` / ``DABTOOLS_RETRY_BACKOFF``
+    (else 3 / 0.5 s).  The relay's bad windows on this machine last
+    MINUTES (measured: a 270 s stall then full recovery), so hardware
+    harnesses set e.g. ``DABTOOLS_RETRIES=6 DABTOOLS_RETRY_BACKOFF=30``
+    to ride a window out instead of dying 3 s into it.
+    """
+    import os
+
     from jax.errors import JaxRuntimeError
 
+    if retries is None:
+        retries = int(os.environ.get("DABTOOLS_RETRIES", 3))
+    if backoff_s is None:
+        backoff_s = float(os.environ.get("DABTOOLS_RETRY_BACKOFF", 0.5))
     last = None
     for attempt in range(retries + 1):
         try:

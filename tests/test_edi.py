@@ -214,3 +214,85 @@ def test_cli_pft_roundtrip(tmp_path):
          "-o", str(back)], capture_output=True, text=True, timeout=120)
     assert r2.returncode == 0, r2.stderr
     assert back.read_bytes() == raw
+
+
+class TestPftFec:
+    def _af(self, n=5000, seed=3):
+        rng = np.random.default_rng(seed)
+        return af_packet(rng.integers(0, 256, n, dtype=np.uint8).tobytes(), 7)
+
+    def test_rs_roundtrip_no_loss(self):
+        from dabtools_tpu.eti.edi import PftReassembler, pft_fragments
+        af = self._af()
+        frags = pft_fragments(af, 1, mtu=600, fec=True)
+        assert len(frags) > 3
+        r = PftReassembler()
+        got = r.feed(b"".join(frags))
+        assert got == [af]
+
+    @pytest.mark.parametrize("n_lost", [1, 2])
+    def test_rs_recovers_lost_fragments(self, n_lost):
+        from dabtools_tpu.eti.edi import PftReassembler, pft_fragments
+        af = self._af()
+        frags = pft_fragments(af, 1, mtu=600, fec=True)
+        assert len(frags) > n_lost + 2
+        kept = frags[:1] + frags[1 + n_lost:]       # drop middle fragments
+        r = PftReassembler()
+        got = r.feed(b"".join(kept))
+        got += r.flush()                            # closure triggers RS
+        assert got == [af]
+        assert r.recovered_groups == 1
+
+    def test_rs_gives_up_beyond_budget(self):
+        from dabtools_tpu.eti.edi import PFT_PARITY, PftReassembler, pft_fragments
+        af = self._af(20000)
+        frags = pft_fragments(af, 1, mtu=300, fec=True)
+        # drop enough fragments to exceed 48 erased columns
+        n_cols_per_frag = -(-(207 + PFT_PARITY) // len(frags))
+        n_drop = PFT_PARITY // n_cols_per_frag + 2
+        r = PftReassembler()
+        got = r.feed(b"".join(frags[n_drop:])) + r.flush()
+        assert got == [] and r.dropped_groups == 1
+
+    def test_rs_loss_then_next_group_closes_previous(self):
+        from dabtools_tpu.eti.edi import PftReassembler, pft_fragments
+        af1, af2 = self._af(seed=1), self._af(seed=2)
+        f1 = pft_fragments(af1, 1, mtu=600, fec=True)
+        f2 = pft_fragments(af2, 2, mtu=600, fec=True)
+        r = PftReassembler(max_pending=0)           # immediate closure
+        got = r.feed(b"".join(f1[:-1])) + r.feed(b"".join(f2))
+        assert af1 in got and af2 in got
+
+    def test_addressing_filter(self):
+        from dabtools_tpu.eti.edi import PftReassembler, pft_fragments
+        af = self._af(2000)
+        frags = pft_fragments(af, 5, mtu=600, addr=(0x1234, 0xBEEF))
+        assert PftReassembler(dest=0xBEEF).feed(b"".join(frags)) == [af]
+        assert PftReassembler(dest=0x0001).feed(b"".join(frags)) == []
+        assert PftReassembler().feed(b"".join(frags)) == [af]  # no filter
+
+    def test_fec_plus_addressing(self):
+        from dabtools_tpu.eti.edi import PftReassembler, pft_fragments
+        af = self._af(4000)
+        frags = pft_fragments(af, 9, mtu=500, fec=True, addr=(1, 2))
+        r = PftReassembler(dest=2)
+        got = r.feed(b"".join(frags[:2] + frags[3:])) + r.flush()
+        assert got == [af] and r.recovered_groups == 1
+
+
+def test_rs_erasure_correct_unit():
+    from dabtools_tpu.utils.gf256 import rs_erasure_correct, rs_parity
+    rng = np.random.default_rng(0)
+    k, p, c = 50, 48, 4
+    data = rng.integers(0, 256, (c, k), dtype=np.uint8)
+    cw = np.concatenate([data, rs_parity(data, p)], axis=1)
+    # erase the maximum correctable number of columns
+    pos = rng.choice(k + p, size=p, replace=False)
+    corrupted = cw.copy()
+    corrupted[:, pos] = rng.integers(0, 256, (c, p), dtype=np.uint8)
+    fixed, ok = rs_erasure_correct(corrupted, pos, p)
+    assert ok and (fixed == cw).all()
+    # one more than correctable fails cleanly
+    _, ok2 = rs_erasure_correct(corrupted, list(pos) + [
+        int(next(i for i in range(k + p) if i not in set(pos)))], p)
+    assert not ok2
