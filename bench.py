@@ -15,6 +15,7 @@ Usage: python bench.py [n_frames] [--quick]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -22,12 +23,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# The relay's bad windows last minutes (measured: a 270 s stall, then full
+# recovery).  Window-scale retry budget so one bad window can't kill a
+# section; explicit env wins (utils/retry.py reads these).
+os.environ.setdefault("DABTOOLS_RETRIES", "6")
+os.environ.setdefault("DABTOOLS_RETRY_BACKOFF", "25")
+
 
 def _median_time(fn, *args, iters=10, warmup=2):
     from dabtools_tpu.utils.retry import call_with_retries
     for _ in range(warmup):
-        jax.block_until_ready(call_with_retries(fn, *args,
-                                                retries=5, backoff_s=5.0))
+        jax.block_until_ready(call_with_retries(fn, *args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -40,8 +46,7 @@ def _amortized_time(fn, *args, n_queue=20):
     """Sustained throughput: enqueue n_queue independent executions, block
     once.  Robust to per-call dispatch/sync overhead."""
     from dabtools_tpu.utils.retry import call_with_retries
-    jax.block_until_ready(call_with_retries(fn, *args,
-                                            retries=5, backoff_s=5.0))
+    jax.block_until_ready(call_with_retries(fn, *args))
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(n_queue)]
     jax.block_until_ready(outs)
@@ -92,8 +97,7 @@ def main():
 
     t0 = time.perf_counter()
     from dabtools_tpu.utils.retry import call_with_retries
-    jax.block_until_ready(call_with_retries(step, x, rings, cif,
-                                            retries=5, backoff_s=5.0))
+    jax.block_until_ready(call_with_retries(step, x, rings, cif))
     log(f"# compile+first run: {time.perf_counter() - t0:.1f}s")
 
     t = _amortized_time(step, x, rings, cif)
@@ -159,7 +163,8 @@ SECTIONS = ("closedloop", "batched", "e2e", "channelizer", "rs", "kernels")
 # The relay's FIRST device-to-host fetch in a process can stall ~5 min
 # on bad days (measured 281 s for 4 KB, instant afterwards); sections
 # that fetch decoded data get a budget covering one such stall.
-_SECTION_TIMEOUT = {"closedloop": 900, "e2e": 900, "channelizer": 900}
+_SECTION_TIMEOUT = {"closedloop": 900, "e2e": 900, "channelizer": 900,
+                    "kernels": 900}
 
 
 def _extras(ens, n_frames, rng, rt1):

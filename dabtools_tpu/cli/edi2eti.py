@@ -18,6 +18,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="edi2eti", description=__doc__)
     p.add_argument("input", help="EDI file, or '-' for stdin")
     p.add_argument("--mode", choices=("I", "II", "III", "IV"), default="I")
+    p.add_argument("--pft-dest", default=None, metavar="ADDR",
+                   help="accept only PFT fragments addressed to this 16-bit "
+                        "destination (e.g. 0xBEEF)")
     p.add_argument("--output", "-o", default="-")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
@@ -39,12 +42,18 @@ def main(argv=None) -> int:
         if first:
             first = False
             if chunk[:2] == PFT_SYNC:      # PFT-fragmented stream
-                pft = PftReassembler()
+                dest = int(args.pft_dest, 0) if args.pft_dest else None
+                pft = PftReassembler(dest=dest)
         if pft is not None:
             chunk = b"".join(pft.feed(chunk))
         for frame in r.feed(chunk):
             out.write(r.to_eti_bytes(frame))
             n += 1
+    if pft is not None:     # end of stream: close pending groups (RS FEC
+        for af in pft.flush():     # recovery for incomplete ones)
+            for frame in r.feed(af):
+                out.write(r.to_eti_bytes(frame))
+                n += 1
     out.flush()
     if args.input != "-":
         f.close()
@@ -52,7 +61,8 @@ def main(argv=None) -> int:
         out.close()
     log.info("wrote %d ETI frames (AF resyncs=%d, CRC failures=%d%s)",
              n, r.af.resyncs, r.af.crc_failures,
-             f", PFT dropped groups={pft.dropped_groups}" if pft else "")
+             f", PFT dropped={pft.dropped_groups} "
+             f"recovered={pft.recovered_groups}" if pft else "")
     return 0 if n else 1
 
 

@@ -20,6 +20,14 @@ def main(argv=None) -> int:
     p.add_argument("--pft-mtu", type=int, default=None, metavar="BYTES",
                    help="fragment AF packets with the PFT layer to this MTU "
                         "(for datagram/lossy transports)")
+    p.add_argument("--pft-fec", action="store_true",
+                   help="add RS(k+48,k) erasure protection to PFT fragments "
+                        "(up to 48 lost matrix columns per AF packet "
+                        "recovered at the receiver); implies --pft-mtu 1400 "
+                        "unless given")
+    p.add_argument("--pft-addr", default=None, metavar="SRC:DST",
+                   help="carry 16-bit source/dest addresses in PFT headers, "
+                        "e.g. 0x1234:0xBEEF")
     p.add_argument("--output", "-o", default="-")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
@@ -27,6 +35,12 @@ def main(argv=None) -> int:
 
     from dabtools_tpu import constants as C
     from dabtools_tpu.eti.edi import EdiWriter, pft_fragments
+
+    addr = None
+    if args.pft_addr:
+        src, _, dst = args.pft_addr.partition(":")
+        addr = (int(src, 0), int(dst, 0))
+    mtu = args.pft_mtu or (1400 if args.pft_fec or addr else None)
 
     f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
@@ -37,8 +51,9 @@ def main(argv=None) -> int:
         if not chunk:
             break
         for pkt in w.from_eti_bytes(chunk):
-            if args.pft_mtu:
-                for frag in pft_fragments(pkt, n, args.pft_mtu):
+            if mtu:
+                for frag in pft_fragments(pkt, n, mtu, fec=args.pft_fec,
+                                          addr=addr):
                     out.write(frag)
             else:
                 out.write(pkt)

@@ -305,7 +305,12 @@ def pft_fragments(af: bytes, seq: int, mtu: int = 1400, fec: bool = False,
         rs_info = (k, z)
         n_cols = k + PFT_PARITY
         body = mtu - len(_pft_header(0, 0, 1, 0, rs_info, addr))
-        cols_per_frag = max(1, body // c)
+        # Cap at the parity budget: a fragment carrying more than 48
+        # columns would make even a SINGLE loss unrecoverable (seen with
+        # small AF packets, where few rows make MTU-sized fragments very
+        # wide).  The cap guarantees any one lost fragment is always
+        # within the RS erasure budget.
+        cols_per_frag = min(max(1, body // c), PFT_PARITY)
         n_frags = -(-n_cols // cols_per_frag)
         # Rebalance so the receiver can re-derive the geometry from
         # Fcount alone: cols_per_frag = ceil(n_cols / Fcount) (never

@@ -296,3 +296,46 @@ def test_rs_erasure_correct_unit():
     _, ok2 = rs_erasure_correct(corrupted, list(pos) + [
         int(next(i for i in range(k + p) if i not in set(pos)))], p)
     assert not ok2
+
+
+def test_cli_pft_fec_survives_fragment_loss(tmp_path):
+    """eti2edi --pft-fec stream with dropped fragments -> edi2eti recovers
+    every ETI frame through the RS erasure path (exit log reports it)."""
+    from dabtools_tpu.eti.edi import PFT_SYNC
+    from dabtools_tpu.utils.crc import crc16_ccitt
+
+    raw = _eti_stream(4)
+    eti_in = tmp_path / "in.eti"
+    eti_in.write_bytes(raw)
+    edi = tmp_path / "out.fec.edi"
+    back = tmp_path / "back.eti"
+    r1 = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2edi", "--pft-fec",
+         "--pft-mtu", "400", "--pft-addr", "0x1:0xBEEF",
+         str(eti_in), "-o", str(edi)],
+        capture_output=True, text=True, timeout=120)
+    assert r1.returncode == 0, r1.stderr
+
+    # Drop the second fragment of every PFT group (parse via header plen).
+    blob = edi.read_bytes()
+    frags, pos = [], 0
+    while pos < len(blob):
+        assert blob[pos:pos + 2] == PFT_SYNC
+        flags = int.from_bytes(blob[pos + 10:pos + 12], "big")
+        hlen = 12 + (2 if flags & 0x8000 else 0) + (4 if flags & 0x4000 else 0)
+        assert crc16_ccitt(blob[pos:pos + hlen]) == int.from_bytes(
+            blob[pos + hlen:pos + hlen + 2], "big")
+        end = pos + hlen + 2 + (flags & 0x3FFF)
+        frags.append(blob[pos:end])
+        pos = end
+    kept = [f for f in frags if int.from_bytes(f[4:7], "big") != 1]
+    assert len(kept) < len(frags)
+    (tmp_path / "lossy.edi").write_bytes(b"".join(kept))
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.edi2eti", "--pft-dest",
+         "0xBEEF", str(tmp_path / "lossy.edi"), "-o", str(back)],
+        capture_output=True, text=True, timeout=120)
+    assert r2.returncode == 0, r2.stderr
+    assert back.read_bytes() == raw
+    assert "recovered=" in r2.stderr
