@@ -33,6 +33,7 @@ APP_MOT_CONT = 13        # continuation
 
 DG_TYPE_MOT_HEADER = 3   # MSC data group types (EN 300 401 table)
 DG_TYPE_MOT_BODY = 4
+DG_TYPE_MOT_DIRECTORY = 6   # EN 301 234 directory mode (uncompressed)
 
 # TS 101 499: slideshow content type/subtype
 CONTENT_IMAGE = 2
@@ -125,6 +126,79 @@ def parse_header_core(h: bytes) -> tuple[int, int, int, int]:
     return v >> 28, (v >> 15) & 0x1FFF, (v >> 9) & 0x3F, v & 0x1FF
 
 
+def parse_header_params(header: bytes, header_size: int) -> dict[int, bytes]:
+    """Header extension parameters after the 7-byte core: {param_id: value}.
+
+    Parameter byte: PLI(2) ParamId(6); PLI 0..2 = fixed 0/1/2/4-byte value,
+    PLI 3 = variable (next byte is the length) [K-med].
+    """
+    params: dict[int, bytes] = {}
+    pos = 7
+    while pos + 1 <= min(header_size, len(header)):
+        pli, pid = header[pos] >> 6, header[pos] & 0x3F
+        if pli == 0b11:                         # variable length
+            if pos + 2 > len(header):
+                break
+            plen = header[pos + 1]
+            params[pid] = header[pos + 2:pos + 2 + plen]
+            pos += 2 + plen
+        else:                                   # fixed lengths 0/1/2/4
+            plen = (0, 1, 2, 4)[pli]
+            params[pid] = header[pos + 1:pos + 1 + plen]
+            pos += 1 + plen
+    return params
+
+
+PARAM_CONTENT_NAME = 0x0C
+
+
+def _content_name(params: dict[int, bytes]) -> str:
+    val = params.get(PARAM_CONTENT_NAME, b"")
+    return val[1:].decode("latin-1", "replace") if val else ""
+
+
+# --------------------------------------------- MOT directory (EN 301 234)
+def build_mot_directory(entries: list[tuple[int, bytes]],
+                        carousel_period_ms: int = 0) -> bytes:
+    """Uncompressed MOT directory: the carousel's table of contents.
+
+    ``entries``: (transport_id, full object header) per object.  Layout
+    [K-med, docs/INTEROP.md row 20]: rfu(2) DirectorySize(30) |
+    NumberOfObjects(16) | DataCarouselPeriod(24) | rfu(3) SegmentSize(13)
+    | DirectoryExtensionLength(16) + extension | per object:
+    TransportId(16) + header (its own HeaderSize field bounds it).
+    """
+    body = b"".join((tid & 0xFFFF).to_bytes(2, "big") + hdr
+                    for tid, hdr in entries)
+    fixed = (len(entries).to_bytes(2, "big")
+             + (carousel_period_ms & 0xFFFFFF).to_bytes(3, "big")
+             + (0).to_bytes(2, "big")           # SegmentSize: unspecified
+             + (0).to_bytes(2, "big"))          # no directory extension
+    size = 4 + len(fixed) + len(body)
+    return (size & 0x3FFFFFFF).to_bytes(4, "big") + fixed + body
+
+
+def parse_mot_directory(data: bytes) -> dict[int, bytes] | None:
+    """Directory bytes -> {transport_id: object header}; None if malformed."""
+    if len(data) < 13:
+        return None
+    size = int.from_bytes(data[:4], "big") & 0x3FFFFFFF
+    n_objects = int.from_bytes(data[4:6], "big")
+    ext_len = int.from_bytes(data[11:13], "big")
+    pos = 13 + ext_len
+    out: dict[int, bytes] = {}
+    for _ in range(n_objects):
+        if pos + 9 > min(size, len(data)):
+            return None
+        tid = int.from_bytes(data[pos:pos + 2], "big")
+        _, header_size, _, _ = parse_header_core(data[pos + 2:pos + 9])
+        if header_size < 7 or pos + 2 + header_size > len(data):
+            return None
+        out[tid] = data[pos + 2:pos + 2 + header_size]
+        pos += 2 + header_size
+    return out
+
+
 def mot_segments(data: bytes, seg_size: int) -> list[bytes]:
     """Split into MOT segments, each prefixed RepCount(3)=0 SegSize(13)."""
     out = []
@@ -164,11 +238,7 @@ class MotEncoder:
     def object_subfields(self, body: bytes, name: str = "slide.jpg",
                          subtype: int = SUBTYPE_JFIF) -> list[tuple[int, bytes]]:
         self._tid = (self._tid + 1) & 0xFFFF
-        # Header: core + ContentName parameter (0x0C, charset 0) [K-med].
-        nm = name.encode("latin-1")[:63]
-        param = bytes([0xCC, len(nm) + 1, 0]) + nm
-        header = mot_header_core(len(body), 7 + len(param),
-                                 CONTENT_IMAGE, subtype) + param
+        header = self._make_header(body, name, subtype)
         groups = []
         for dg_type, data in ((DG_TYPE_MOT_HEADER, header),
                               (DG_TYPE_MOT_BODY, body)):
@@ -178,7 +248,46 @@ class MotEncoder:
                     dg_type, self._continuity, i, i == len(segs) - 1,
                     self._tid, seg))
                 self._continuity = (self._continuity + 1) & 0x0F
-        # Data groups -> DGLI + apptype-12/13 subfields.
+        return self._groups_to_subfields(groups)
+
+    def _make_header(self, body: bytes, name: str, subtype: int) -> bytes:
+        """Header core + ContentName parameter (0x0C, charset 0) [K-med]."""
+        nm = name.encode("latin-1")[:63]
+        param = bytes([0xCC, len(nm) + 1, 0]) + nm
+        return mot_header_core(len(body), 7 + len(param),
+                               CONTENT_IMAGE, subtype) + param
+
+    def carousel_subfields(
+            self, objects: list[tuple[str, bytes]],
+            carousel_period_ms: int = 0) -> list[tuple[int, bytes]]:
+        """DIRECTORY-mode carousel (EN 301 234 s6): one type-6 directory
+        data group carries every object's header; bodies follow as type-4
+        groups keyed by transport id.  ``objects``: (name, body) pairs."""
+        entries = []
+        body_groups = []
+        for name, body in objects:
+            self._tid = (self._tid + 1) & 0xFFFF
+            subtype = SUBTYPE_PNG if name.lower().endswith(".png") \
+                else SUBTYPE_JFIF
+            entries.append((self._tid, self._make_header(body, name, subtype)))
+            segs = mot_segments(body, self.seg_size)
+            for i, seg in enumerate(segs):
+                body_groups.append(build_data_group(
+                    DG_TYPE_MOT_BODY, self._continuity, i,
+                    i == len(segs) - 1, self._tid, seg))
+                self._continuity = (self._continuity + 1) & 0x0F
+        directory = build_mot_directory(entries, carousel_period_ms)
+        self._tid = (self._tid + 1) & 0xFFFF
+        dir_segs = mot_segments(directory, self.seg_size)
+        dir_groups = [build_data_group(
+            DG_TYPE_MOT_DIRECTORY, self._continuity, i,
+            i == len(dir_segs) - 1, self._tid, seg)
+            for i, seg in enumerate(dir_segs)]
+        self._continuity = (self._continuity + len(dir_segs)) & 0x0F
+        return self._groups_to_subfields(dir_groups + body_groups)
+
+    def _groups_to_subfields(self, groups) -> list[tuple[int, bytes]]:
+        """Data groups -> DGLI + apptype-12/13 subfields."""
         out = []
         for g in groups:
             out.append((APP_DGLI, dgli(len(g))))
@@ -198,8 +307,15 @@ class MotDecoder:
         self._next_len: int | None = None
         self._headers: dict[int, dict[int, bytes]] = {}
         self._bodies: dict[int, dict[int, bytes]] = {}
+        self._dirs: dict[int, dict[int, bytes]] = {}
         self._last_seg: dict[tuple[int, int], int] = {}
-        self.stats = {"data_groups": 0, "crc_failures": 0, "objects": 0}
+        # Directory mode (EN 301 234 s6): current carousel TOC, and the
+        # caching model — an object is re-emitted only when its directory
+        # header changes, not on every carousel repetition.
+        self._directory: dict[int, bytes] = {}
+        self._emitted: dict[int, bytes] = {}
+        self.stats = {"data_groups": 0, "crc_failures": 0, "objects": 0,
+                      "directories": 0}
 
     def feed(self, apptype: int, data: bytes) -> list[MotObject]:
         out = []
@@ -259,13 +375,41 @@ class MotDecoder:
                                 & 0x1FFF)]
         store = (self._headers if dg.dg_type == DG_TYPE_MOT_HEADER
                  else self._bodies if dg.dg_type == DG_TYPE_MOT_BODY
+                 else self._dirs if dg.dg_type == DG_TYPE_MOT_DIRECTORY
                  else None)
         if store is None:
             return []
         store.setdefault(dg.transport_id, {})[dg.segment] = seg
         if dg.last:
             self._last_seg[(dg.dg_type, dg.transport_id)] = dg.segment
+        if dg.dg_type == DG_TYPE_MOT_DIRECTORY:
+            return self._try_directory(dg.transport_id)
         return self._try_complete(dg.transport_id)
+
+    def _try_directory(self, tid: int) -> list[MotObject]:
+        """Assemble + adopt a completed type-6 directory, then re-check
+        every pending body against the new table of contents."""
+        last = self._last_seg.get((DG_TYPE_MOT_DIRECTORY, tid))
+        if last is None:
+            return []
+        raw = self._assemble(self._dirs.get(tid, {}), last)
+        if raw is None:
+            return []
+        directory = parse_mot_directory(raw)
+        self._dirs.pop(tid, None)
+        self._last_seg.pop((DG_TYPE_MOT_DIRECTORY, tid), None)
+        if directory is None:
+            self.stats["crc_failures"] += 1
+            return []
+        self.stats["directories"] += 1
+        self._directory = directory
+        # Caching model: forget emitted objects no longer in the carousel.
+        self._emitted = {t: h for t, h in self._emitted.items()
+                         if directory.get(t) == h}
+        out = []
+        for t in list(self._bodies):
+            out += self._try_complete(t)
+        return out
 
     def _assemble(self, parts: dict[int, bytes], last: int) -> bytes | None:
         if any(i not in parts for i in range(last + 1)):
@@ -273,35 +417,35 @@ class MotDecoder:
         return b"".join(parts[i] for i in range(last + 1))
 
     def _try_complete(self, tid: int) -> list[MotObject]:
-        hl = self._last_seg.get((DG_TYPE_MOT_HEADER, tid))
         bl = self._last_seg.get((DG_TYPE_MOT_BODY, tid))
-        if hl is None or bl is None:
+        if bl is None:
             return []
-        header = self._assemble(self._headers.get(tid, {}), hl)
+        # Header-mode (type-3 data groups) takes priority; the directory
+        # TOC covers objects whose headers ride in the type-6 directory.
+        hl = self._last_seg.get((DG_TYPE_MOT_HEADER, tid))
+        if hl is not None:
+            header = self._assemble(self._headers.get(tid, {}), hl)
+        else:
+            header = self._directory.get(tid)
+            if header is not None and self._emitted.get(tid) == header:
+                # Caching model: already delivered this version — drop the
+                # repetition's segments so the carousel can't grow memory.
+                self._bodies.pop(tid, None)
+                self._last_seg.pop((DG_TYPE_MOT_BODY, tid), None)
+                return []
         body = self._assemble(self._bodies.get(tid, {}), bl)
         if header is None or body is None:
             return []
         body_size, header_size, ctype, subtype = parse_header_core(header)
         if body_size != len(body):
             return []                   # incomplete/inconsistent: keep waiting
-        name = ""
-        pos = 7
-        while pos + 2 <= header_size:   # header extension parameters
-            pid, plen = header[pos] & 0x3F, 0
-            if header[pos] >> 6 == 0b11:        # variable length
-                plen = header[pos + 1]
-                val = header[pos + 2:pos + 2 + plen]
-                pos += 2 + plen
-            else:                               # fixed lengths 0/1/2/4
-                plen = (0, 1, 2, 4)[header[pos] >> 6]
-                val = header[pos + 1:pos + 1 + plen]
-                pos += 1 + plen
-            if pid == 0x0C and val:             # ContentName
-                name = val[1:].decode("latin-1", "replace")
-        for d in (self._headers, self._bodies):
-            d.pop(tid, None)
+        name = _content_name(parse_header_params(header, header_size))
+        self._headers.pop(tid, None)
+        self._bodies.pop(tid, None)
         self._last_seg.pop((DG_TYPE_MOT_HEADER, tid), None)
         self._last_seg.pop((DG_TYPE_MOT_BODY, tid), None)
+        if hl is None:
+            self._emitted[tid] = header
         self.stats["objects"] += 1
         return [MotObject(transport_id=tid, content_type=ctype,
                           subtype=subtype, name=name, body=body)]

@@ -160,3 +160,69 @@ def test_safe_mot_filename():
     assert safe_mot_filename("", 5) == "slide_5"
     assert safe_mot_filename(None, 6) == "slide_6"
     assert safe_mot_filename("..", 7) == "slide_7"
+
+
+# ------------------------------------------- directory mode (EN 301 234 s6)
+def test_directory_roundtrip():
+    from dabtools_tpu.eti.mot import build_mot_directory, parse_mot_directory
+    h1 = mot_header_core(100, 7, 2, 1)
+    h2 = mot_header_core(200, 7, 2, 3)
+    d = build_mot_directory([(10, h1), (20, h2)], carousel_period_ms=5000)
+    got = parse_mot_directory(d)
+    assert got == {10: h1, 20: h2}
+    assert parse_mot_directory(d[:8]) is None
+
+
+def test_directory_mode_carousel():
+    """Directory-mode carousel: objects complete from the TOC + bodies;
+    repetitions are absorbed by the caching model; a changed object
+    re-emits."""
+    rng = np.random.default_rng(1)
+    objects = [("a.jpg", bytes(rng.integers(0, 256, 200, dtype=np.uint8))),
+               ("b.png", bytes(rng.integers(0, 256, 333, dtype=np.uint8)))]
+    enc, dec = MotEncoder(seg_size=40, subfield_size=24), MotDecoder()
+    got = []
+    sfs = enc.carousel_subfields(objects, carousel_period_ms=1000)
+    for apptype, data in sfs:
+        got += dec.feed(apptype, data)
+    got += dec.flush()
+    assert sorted((o.name, o.body) for o in got) == sorted(objects)
+    assert {o.subtype for o in got} == {1, 3}   # JFIF from .jpg, PNG from .png
+    assert dec.stats["directories"] == 1
+
+    # Second carousel cycle with the SAME tids/headers: nothing re-emitted.
+    again = []
+    for apptype, data in sfs:
+        again += dec.feed(apptype, data)
+    again += dec.flush()
+    assert again == []
+    assert not dec._bodies        # repetitions must not grow memory
+
+    # New cycle where one object changed: only that object re-emits.
+    objects2 = [objects[0], ("b.png", b"NEW" * 50)]
+    got2 = []
+    for apptype, data in enc.carousel_subfields(objects2):
+        got2 += dec.feed(apptype, data)
+    got2 += dec.flush()
+    assert sorted((o.name, o.body) for o in got2) == sorted(objects2)
+
+
+def test_directory_mode_body_before_directory():
+    """Bodies arriving before the directory complete once the TOC lands."""
+    enc, dec = MotEncoder(seg_size=64), MotDecoder()
+    sfs = enc.carousel_subfields([("x.jpg", b"Z" * 150)])
+    # encoder emits directory groups first; find the split and reverse it
+    from dabtools_tpu.eti.mot import APP_DGLI
+    groups, cur = [], []
+    for item in sfs:
+        if item[0] == APP_DGLI and cur:
+            groups.append(cur)
+            cur = []
+        cur.append(item)
+    groups.append(cur)
+    reordered = [x for g in groups[1:] for x in g] + groups[0]
+    got = []
+    for apptype, data in reordered:
+        got += dec.feed(apptype, data)
+    got += dec.flush()
+    assert [(o.name, o.body) for o in got] == [("x.jpg", b"Z" * 150)]
