@@ -64,6 +64,18 @@ def timeblock_receiver(mesh: jax.sharding.Mesh, ensemble: Ensemble,
         raise ValueError(
             f"warmup_frames={w} gives {w * mode.n_cifs} CIFs < "
             f"{C.TIME_INTERLEAVE_DEPTH} needed to prime the deinterleaver")
+    # Mode III FIC codewords span 3 frames: every shard's scan must start
+    # on a codeword boundary (global frame multiple of 3), so shard spans
+    # and warmup must preserve that phase (and g0 must be a multiple of 3).
+    if mode.fic_bits_per_frame % C.FIC_PUNCTURED_BITS:
+        import math
+        span = C.FIC_PUNCTURED_BITS // math.gcd(mode.fic_bits_per_frame,
+                                                C.FIC_PUNCTURED_BITS)
+        if f_own % span or w % span:
+            raise ValueError(
+                f"Mode {mode.name}: frames_per_shard={f_own} and "
+                f"warmup_frames={w} must be multiples of {span} "
+                f"(FIC codewords span {span} frames)")
     lh, rh = halo_sizes(w, mode, left_margin, right_margin)
     if max(lh, rh) > f_own * fr:
         raise ValueError(

@@ -140,3 +140,49 @@ def test_timeblock_cold_start_transient_is_local(ensemble):
     for j in range(f_own * 4, n_time * f_own * 4):
         n = g0 * 4 + j - 15
         assert got[0, j].tobytes() == payload_bytes[1][n].tobytes()
+
+
+@pytest.mark.parametrize("mode_name,f_own,warmup,g0", [
+    ("II", 17, 16, 17),    # 1 CIF/frame: 16-frame warmup primes the ring
+    ("III", 21, 18, 21),   # FIC codewords span 3 frames: all multiples of 3
+    ("IV", 9, 8, 9),       # 2 CIFs/frame
+])
+def test_timeblock_modes_ii_iv(mode_name, f_own, warmup, g0):
+    """Modes II-IV under time-block sharding: payload + FIC bit-exact
+    across shard seams (Mode III includes frame-spanning FIC codewords)."""
+    from dabtools_tpu.utils.crc import crc16_ok
+    from tests.test_modes import _ensemble, _modulate
+
+    mode = C.MODES[mode_name]
+    ens = _ensemble(0x3100 + ord(mode_name[-1]))
+    n_time = 2
+    n_total = g0 + n_time * f_own + 3
+    x, pb = _modulate(ens, mode, n_total)
+    fr = mode.frame_size
+    lh, rh = halo_sizes(warmup, mode)
+    mesh = make_receiver_mesh(n_channels=4, n_time=n_time)
+    fn = timeblock_receiver(mesh, ens, mode=mode, frames_per_shard=f_own,
+                            warmup_frames=warmup)
+    tile = lambda a: jnp.asarray(np.broadcast_to(a, (4, a.size)))
+    s0, sl = g0 * fr, n_time * f_own * fr
+    out = fn(tile(x[s0:s0 + sl]), tile(x[s0 - lh:s0]),
+             tile(x[s0 + sl:s0 + sl + rh]), g0)
+    got = np.asarray(out["subch"]["1"])
+    for c in range(4):
+        for j in range(n_time * f_own * mode.n_cifs):
+            n = g0 * mode.n_cifs + j - 15
+            assert got[c, j].tobytes() == pb[n].tobytes(), \
+                f"Mode {mode_name} ch {c} row {j} (logical {n}) mismatch"
+    fb = np.asarray(out["fib_bytes"])
+    assert fb.shape[1:] == (n_time * f_own, mode.n_fibs, 32)
+    assert all(crc16_ok(fb[0, f, i].tobytes())
+               for f in range(fb.shape[1]) for i in range(fb.shape[2]))
+
+
+def test_timeblock_mode_iii_rejects_misaligned_shards():
+    mesh = make_receiver_mesh(n_channels=4, n_time=2)
+    from tests.test_modes import _ensemble
+    ens = _ensemble(0x3203)
+    with pytest.raises(ValueError, match="multiples of 3"):
+        timeblock_receiver(mesh, ens, mode=C.MODES["III"],
+                           frames_per_shard=20, warmup_frames=18)
