@@ -145,19 +145,36 @@ def _fig_1(ext: int, ident: int, label: str) -> bytes:
     return bytes([0x20 | len(body)]) + body
 
 
+def _fits_one_frame(figs: list[bytes], n_fibs: int) -> bool:
+    """Would the greedy FIB packer fit ``figs`` into ``n_fibs`` FIBs?"""
+    fib_idx, used = 0, 0
+    for fig in figs:
+        if used + len(fig) > 30:
+            fib_idx += 1
+            used = 0
+            if fib_idx >= n_fibs:
+                return False
+        used += len(fig)
+    return True
+
+
 def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
                             n_fibs: int = C.MODE_I.n_fibs) -> np.ndarray:
     """Build one transmission frame's FIBs carrying the full MCI.
 
-    Rotates the MCI/label FIGs over the available FIBs; unused space is
-    end-marked (0xFF) and zero-padded, each FIB gets its CRC.  Returns
-    (n_fibs, 32) uint8.
+    FIG 0/0 (ensemble id + CIF counter) goes in EVERY frame; the rest of
+    the MCI/label FIGs are packed greedily and — when the mux is too big
+    for one frame's FIBs, as real muxes routinely are — split into groups
+    spread round-robin over consecutive frames (the parser accumulates
+    across frames).  Unused space is end-marked (0xFF) and zero-padded;
+    each FIB gets its CRC.  Returns (n_fibs, 32) uint8.
     """
-    figs = [_fig_0_0(ens, cif_count=frame_idx * C.MODE_I.n_cifs)]
-    figs += _fig_0_1(ens.subchannels)
+    head = _fig_0_0(ens, cif_count=frame_idx * C.MODE_I.n_cifs)
+    rest: list[bytes] = []
+    rest += _fig_0_1(ens.subchannels)
     if ens.services:
-        figs += _fig_0_2(ens.services)
-        figs += _fig_0_13(ens.services)
+        rest += _fig_0_2(ens.services)
+        rest += _fig_0_13(ens.services)
     # Labels are rotated across frames (each is ~21 B, most of a FIB; real
     # muxes repeat them at low rate).  Up to 3 label FIGs per frame.
     labels = []
@@ -168,8 +185,25 @@ def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
             labels.append(_fig_1(1, svc.sid, svc.label))
     if labels:
         start = (3 * frame_idx) % len(labels)
-        rotated = (labels[start:] + labels[:start])[:3]
-        figs += rotated
+        rest += (labels[start:] + labels[:start])[:3]
+
+    for fig in rest:
+        if len(fig) > 30:
+            raise ValueError("FIG too large for a FIB")
+    # Greedy split into frame-sized groups; most muxes yield one group
+    # (everything in every frame, the round-1 behavior).
+    groups: list[list[bytes]] = []
+    cur: list[bytes] = []
+    for fig in rest:
+        if _fits_one_frame([head] + cur + [fig], n_fibs):
+            cur.append(fig)
+        else:
+            if not cur:
+                raise ValueError("FIG too large for a frame's FIBs")
+            groups.append(cur)
+            cur = [fig]
+    groups.append(cur)
+    figs = [head] + groups[frame_idx % len(groups)]
 
     fibs = np.zeros((n_fibs, C.FIB_BYTES), dtype=np.uint8)
     fib_idx = 0
@@ -178,13 +212,7 @@ def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
         if len(payload) + len(fig) > 30:
             fibs[fib_idx] = _finish_fib(payload)
             fib_idx += 1
-            if fib_idx >= n_fibs:
-                raise ValueError(
-                    "MCI does not fit one frame's FIBs; reduce services "
-                    "or labels per frame")
             payload = b""
-        if len(fig) > 30:
-            raise ValueError("FIG too large for a FIB")
         payload += fig
     fibs[fib_idx] = _finish_fib(payload)
     for i in range(fib_idx + 1, n_fibs):

@@ -263,3 +263,34 @@ class TestFig013:
             parser.feed_fib(fibs[i].tobytes())
         comp = parser.ensemble().services[0].components[0]
         assert comp.user_apps == (2, 5)
+
+
+def test_big_mux_mci_spreads_across_frames():
+    """A 24-service mux (more MCI than one frame's FIBs can hold) builds
+    without error; the parser accumulates the full ensemble over a few
+    frames, as with real multi-frame MCI."""
+    from dabtools_tpu.fic.config import Ensemble, Service, ServiceComponent, Subchannel
+    from dabtools_tpu.fic.fig import FigParser, build_fibs_for_ensemble
+
+    subs = tuple(Subchannel.eep(i, 36 * i, 3, "A", 48) for i in range(24))
+    svcs = tuple(Service(sid=0x4000 + i, label=f"SERVICE {i:02d}",
+                         components=(ServiceComponent(tmid=0, subchid=i),))
+                 for i in range(24))
+    ens = Ensemble(eid=0xBEEF, label="BIG MUX", subchannels=subs,
+                   services=svcs)
+    fp = FigParser()
+    got = None
+    for f in range(16):
+        fibs = build_fibs_for_ensemble(ens, f)
+        assert fibs.shape == (12, 32)
+        for fib in fibs:
+            fp.feed_fib(fib.tobytes())
+        got = fp.ensemble()
+        if (got is not None and len(got.subchannels) == 24
+                and len(got.services) == 24):
+            break
+    assert got is not None
+    assert {s.subchid for s in got.subchannels} == set(range(24))
+    assert {s.sid for s in got.services} == {0x4000 + i for i in range(24)}
+    # every frame still carries FIG 0/0 (the parser always sees the eid)
+    assert got.eid == 0xBEEF
