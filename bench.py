@@ -149,6 +149,11 @@ def main():
                     return process_block(x, rings, cif, ensemble=ens,
                                          n_frames=_nf)
 
+                # optional datapoint: don't burn the window-scale retry
+                # budget on it (the helper rejects the big program flat)
+                from dabtools_tpu.utils.retry import call_with_retries
+                jax.block_until_ready(call_with_retries(
+                    step_big, x2, rings, cif, retries=1, backoff_s=10.0))
                 t2 = _amortized_time(step_big, x2, rings, cif)
                 rt2 = nf2 * C.MODE_I.frame_size / t2 / C.SAMPLE_RATE
                 log(f"# [config 1b] {nf2}-frame blocks: "
