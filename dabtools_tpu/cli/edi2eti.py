@@ -1,8 +1,10 @@
 """``edi2eti``: EDI (AF-framed TAG items) in, ETI(NI) out.
 
 Usage: python -m dabtools_tpu.cli.edi2eti mux.edi > mux.eti
-Inverse of eti2edi; resynchronises on the AF sync word and drops
-CRC-failed packets (counts reported at exit).
+Input can be a file/stdin or a UDP listener (``udp://[host]:port``, one
+PFT fragment or AF packet per datagram; stops after ``--udp-idle``
+seconds without traffic).  Inverse of eti2edi; resynchronises on the AF
+sync word and drops CRC-failed packets (counts reported at exit).
 """
 
 from __future__ import annotations
@@ -21,6 +23,9 @@ def main(argv=None) -> int:
     p.add_argument("--pft-dest", default=None, metavar="ADDR",
                    help="accept only PFT fragments addressed to this 16-bit "
                         "destination (e.g. 0xBEEF)")
+    p.add_argument("--udp-idle", type=float, default=5.0, metavar="SECONDS",
+                   help="with a udp:// input: exit after this long without "
+                        "a datagram (0 = run forever)")
     p.add_argument("--output", "-o", default="-")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
@@ -29,14 +34,33 @@ def main(argv=None) -> int:
     from dabtools_tpu import constants as C
     from dabtools_tpu.eti.edi import PFT_SYNC, EdiReader, PftReassembler
 
-    f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    if args.input.startswith("udp://"):
+        import socket
+        host, _, port = args.input[6:].rpartition(":")
+        f = None
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.bind((host or "0.0.0.0", int(port)))
+        if args.udp_idle:
+            sock.settimeout(args.udp_idle)
+
+        def read_chunk():
+            import socket as _s
+            try:
+                return sock.recvfrom(65536)[0]
+            except (_s.timeout, TimeoutError):
+                return b""
+    else:
+        sock = None
+        f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+        read_chunk = lambda: f.read(1 << 20)  # noqa: E731
+
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     r = EdiReader(mode=C.MODES[args.mode])
     pft = None
     n = 0
     first = True
     while True:
-        chunk = f.read(1 << 20)
+        chunk = read_chunk()
         if not chunk:
             break
         if first:
@@ -55,7 +79,9 @@ def main(argv=None) -> int:
                 out.write(r.to_eti_bytes(frame))
                 n += 1
     out.flush()
-    if args.input != "-":
+    if sock is not None:
+        sock.close()
+    elif args.input != "-":
         f.close()
     if args.output != "-":
         out.close()

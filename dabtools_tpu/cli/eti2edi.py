@@ -1,7 +1,9 @@
 """``eti2edi``: ETI(NI) in, EDI (TAG items over AF framing) out.
 
 Usage: python -m dabtools_tpu.cli.eti2edi mux.eti > mux.edi
-See dabtools_tpu/eti/edi.py for scope (AF layer; no PFT).
+Output can be a file/stdout or a UDP destination (``-o udp://host:port``,
+the usual EDI transport — implies PFT fragmentation to the MTU, one
+fragment per datagram).  See dabtools_tpu/eti/edi.py for the framing.
 """
 
 from __future__ import annotations
@@ -40,10 +42,27 @@ def main(argv=None) -> int:
     if args.pft_addr:
         src, _, dst = args.pft_addr.partition(":")
         addr = (int(src, 0), int(dst, 0))
-    mtu = args.pft_mtu or (1400 if args.pft_fec or addr else None)
+
+    sock = None
+    if args.output.startswith("udp://"):
+        import socket
+        host, _, port = args.output[6:].rpartition(":")
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        dest = (host or "127.0.0.1", int(port))
+        out = None
+        mtu = args.pft_mtu or 1400      # UDP always fragments via PFT
+    else:
+        out = (sys.stdout.buffer if args.output == "-"
+               else open(args.output, "wb"))
+        mtu = args.pft_mtu or (1400 if args.pft_fec or addr else None)
+
+    def emit(frag: bytes) -> None:
+        if sock is not None:
+            sock.sendto(frag, dest)     # one PFT fragment per datagram
+        else:
+            out.write(frag)
 
     f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
-    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     w = EdiWriter(mode=C.MODES[args.mode])
     n = 0
     while True:
@@ -54,15 +73,18 @@ def main(argv=None) -> int:
             if mtu:
                 for frag in pft_fragments(pkt, n, mtu, fec=args.pft_fec,
                                           addr=addr):
-                    out.write(frag)
+                    emit(frag)
             else:
-                out.write(pkt)
+                emit(pkt)
             n += 1
-    out.flush()
+    if out is not None:
+        out.flush()
+        if args.output != "-":
+            out.close()
+    if sock is not None:
+        sock.close()
     if args.input != "-":
         f.close()
-    if args.output != "-":
-        out.close()
     log.info("wrote %d EDI AF packets", n)
     return 0 if n else 1
 

