@@ -131,12 +131,14 @@ class Channelizer:
         if n_out == 0:
             return np.zeros((len(self.offsets_hz), 0), dtype=np.complex64)
         phases = tuple(int((start) % m.size) for m in self._mixers)
-        y = _channelize(jnp.asarray(x[: used + self.num_taps - 1]),
-                        tuple(jnp.asarray(m) for m in self._mixers),
-                        jnp.asarray(phases, dtype=jnp.int32),
-                        taps=self._taps_key, decim=self.decim,
-                        q_list=tuple(m.size for m in self._mixers))
-        return np.asarray(y)
+        from dabtools_tpu.utils.retry import call_with_retries
+        return call_with_retries(
+            lambda: np.asarray(_channelize(
+                jnp.asarray(x[: used + self.num_taps - 1]),
+                tuple(jnp.asarray(m) for m in self._mixers),
+                jnp.asarray(phases, dtype=jnp.int32),
+                taps=self._taps_key, decim=self.decim,
+                q_list=tuple(m.size for m in self._mixers))))
 
     def _call_fft(self, x: np.ndarray, start: int) -> np.ndarray:
         n, hop = self.N_FFT, self.hop
@@ -156,11 +158,16 @@ class Channelizer:
             g = math.gcd(abs(f), self.fs_in) or self.fs_in
             p, q = f // g, self.fs_in // g
             phases[k] = np.exp(-2j * np.pi * ((starts % q) * p % q) / q)
-        y = _channelize_fft(jnp.asarray(x[: (n_chunks - 1) * hop + n]),
-                            jnp.asarray(self._hspec), jnp.asarray(phases),
-                            n_fft=n, hop=hop, decim=self.decim,
-                            shifts=tuple(self._bin_shift))
-        return np.asarray(y)
+        # Retried as one unit (transfer + compile + execute): on this
+        # machine's relay, bad windows fail any of the three transiently
+        # (see utils/retry.py).
+        from dabtools_tpu.utils.retry import call_with_retries
+        return call_with_retries(
+            lambda: np.asarray(_channelize_fft(
+                jnp.asarray(x[: (n_chunks - 1) * hop + n]),
+                jnp.asarray(self._hspec), jnp.asarray(phases),
+                n_fft=n, hop=hop, decim=self.decim,
+                shifts=tuple(self._bin_shift))))
 
 
 @functools.partial(jax.jit,
