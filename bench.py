@@ -169,14 +169,18 @@ def main():
         log(f"# profiler trace written to {profile_dir} (Perfetto/XProf)")
 
 
-SECTIONS = ("closedloop", "batched", "e2e", "channelizer", "rs", "kernels")
+# Priority order under the wall-clock budget: hardware bit-exactness
+# first (the round's key evidence), then true e2e, then throughput
+# configs.
+SECTIONS = ("closedloop", "e2e", "rs", "batched", "channelizer", "kernels")
 
 
 # The relay's FIRST device-to-host fetch in a process can stall ~5 min
 # on bad days (measured 281 s for 4 KB, instant afterwards); sections
-# that fetch decoded data get a budget covering one such stall.
-_SECTION_TIMEOUT = {"closedloop": 900, "e2e": 900, "channelizer": 900,
-                    "kernels": 900}
+# that fetch decoded data get a budget covering one such stall — but a
+# single section may not eat half the whole bench budget.
+_SECTION_TIMEOUT = {"closedloop": 600, "e2e": 600, "channelizer": 600,
+                    "kernels": 600}
 
 
 _PROBE_SRC = """
@@ -235,7 +239,10 @@ def _extras(ens, n_frames, rng, rt1):
         except subprocess.TimeoutExpired:
             return False
 
-    budget = float(os.environ.get("DABTOOLS_BENCH_BUDGET", 2400))
+    # r01's driver run was killed at its own (unknown) timeout with
+    # rc=124; keep total bench time under ~30 min so we exit gracefully
+    # with a complete summary instead.
+    budget = float(os.environ.get("DABTOOLS_BENCH_BUDGET", 1500))
     t0 = time.time()
     pending = list(SECTIONS)
     attempts = {}
