@@ -200,7 +200,12 @@ class DabReceiver:
         self._tii_powers = np.zeros((24, 8), dtype=np.float64)
         self._tii_floor = 0.0
         self.emit_eti = emit_eti
-        self._buf = np.zeros(0, dtype=np.complex64)
+        # Input ring: a list of caller-provided chunks consumed by view
+        # slicing.  Never concatenated wholesale — materializing a fresh
+        # multi-ten-MB buffer costs ~8 ms/MB in first-touch page faults on
+        # this host, which dominated the measured IQ->ETI rate.
+        self._chunks: list[np.ndarray] = []
+        self._buffered = 0
         self._fig = FigParser()
         self.ensemble = ensemble
         self._decode: Ensemble | None = None   # ensemble minus undecodables
@@ -244,12 +249,14 @@ class DabReceiver:
 
     def feed(self, samples: np.ndarray) -> list[bytes]:
         """Consume samples; return any completed ETI frames."""
-        self._buf = np.concatenate([self._buf,
-                                    np.asarray(samples, dtype=np.complex64)])
+        s = np.asarray(samples, dtype=np.complex64)
+        if s.size:
+            self._chunks.append(s)
+            self._buffered += s.size
         eti: list[bytes] = []
         need = block_samples(self.n_frames, self.mode)
-        while self._buf.size >= need:
-            eti.extend(self._process_one_block(self._buf[:need]))
+        while self._buffered >= need:
+            eti.extend(self._process_one_block(self._peek(need)))
             # Advance relative to the *measured* null position so sample-
             # clock drift cannot silently skip/repeat a frame (which would
             # desynchronize the CIF numbering and the deinterleaver); keep
@@ -258,8 +265,43 @@ class DabReceiver:
             ns = self.stats[-1].null_start if self.stats else 0
             advance = max(ns + self.n_frames * self.mode.frame_size
                           - self.PREROLL, 1)
-            self._buf = self._buf[min(advance, self._buf.size):]
+            self._drop(min(advance, self._buffered))
         return eti
+
+    def pending_samples(self) -> np.ndarray:
+        """Buffered-but-unprocessed samples (e.g. to carry across a
+        checkpoint/restore: feed them to the restored receiver first)."""
+        if not self._chunks:
+            return np.zeros(0, dtype=np.complex64)
+        return self._peek(self._buffered).copy()
+
+    def _peek(self, n: int) -> np.ndarray:
+        """First ``n`` buffered samples (zero-copy when one chunk covers
+        them; otherwise one block-sized gather)."""
+        first = self._chunks[0]
+        if first.size >= n:
+            return first[:n]
+        out = np.empty(n, dtype=np.complex64)
+        pos = 0
+        for c in self._chunks:
+            take = min(n - pos, c.size)
+            out[pos:pos + take] = c[:take]
+            pos += take
+            if pos == n:
+                break
+        return out
+
+    def _drop(self, n: int) -> None:
+        """Discard the first ``n`` buffered samples (view slicing only)."""
+        self._buffered -= n
+        while n:
+            c = self._chunks[0]
+            if c.size <= n:
+                n -= c.size
+                self._chunks.pop(0)
+            else:
+                self._chunks[0] = c[n:]
+                n = 0
 
     def tii(self, min_snr: float = 3.0):
         """Best transmitter identification accumulated so far, or None.

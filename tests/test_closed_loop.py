@@ -118,7 +118,7 @@ def test_closed_loop_two_subchannels_and_checkpoint():
     half = 9 * C.MODE_I.frame_size + 100
     eti = rx1.feed(x[:half])
     ckpt = rx1.checkpoint()
-    leftover = rx1._buf.copy()
+    leftover = rx1.pending_samples()
 
     rx2 = DabReceiver(n_frames=4)
     rx2.restore(ckpt)

@@ -47,7 +47,7 @@ def test_checkpoint_file_roundtrip(tmp_path):
     half = 9 * C.MODE_I.frame_size + 57
     rx1 = DabReceiver(n_frames=4)
     eti = rx1.feed(x[:half])
-    leftover = rx1._buf.copy()
+    leftover = rx1.pending_samples()
     path = tmp_path / "rx.ckpt"
     rx1.save_checkpoint(str(path))
 
