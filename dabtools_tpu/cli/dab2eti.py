@@ -38,8 +38,9 @@ def iter_samples(path: str, fmt: str):
             if not raw:
                 continue
             if fmt == "u8":
-                from dabtools_tpu.mod.impairments import u8_to_complex
-                yield u8_to_complex(np.frombuffer(raw, dtype=np.uint8))
+                # raw u8 IQ goes to the device as-is (2 B/sample, converted
+                # on device — 4x less host->device traffic than cf32)
+                yield np.frombuffer(raw, dtype=np.uint8)
             else:
                 yield np.frombuffer(raw, dtype=np.complex64)
     finally:
@@ -155,6 +156,9 @@ def main(argv=None) -> int:
     try:
         for chunk in samples:
             if resampler is not None:
+                if chunk.dtype == np.uint8:   # resampler works on cf32
+                    from dabtools_tpu.mod.impairments import u8_to_complex
+                    chunk = u8_to_complex(chunk)
                 chunk = resampler(chunk)
                 if chunk.size == 0:
                     continue

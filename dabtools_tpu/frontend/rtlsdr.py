@@ -106,7 +106,8 @@ class RtlSdrSource:
     def __init__(self, frequency_hz: float, gain_db: float | None = None,
                  device_index: int = 0, sample_rate: int = DEFAULT_RATE,
                  libhandle=None, lib_path: str | None = None,
-                 ring_capacity: int = 1 << 24):
+                 ring_capacity: int = 1 << 24, raw_u8: bool = True):
+        self.raw_u8 = raw_u8
         self._lib = libhandle if libhandle is not None \
             else load_librtlsdr(lib_path)
         self._dev = ctypes.c_void_p()
@@ -169,6 +170,10 @@ class RtlSdrSource:
                 break
         raw = np.frombuffer(b"".join(chunks), dtype=np.uint8)
         raw = raw[: raw.size // 2 * 2]
+        if self.raw_u8:
+            # wire-format u8: DabReceiver converts on device (4x less
+            # host->device traffic than cf32)
+            return raw
         from dabtools_tpu.mod.impairments import u8_to_complex
         return u8_to_complex(raw)
 

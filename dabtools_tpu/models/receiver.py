@@ -155,7 +155,15 @@ def process_block(x, rings, cif_count, *, ensemble: Ensemble | None,
     Returns ``(out, rings, cif_count')`` where ``out`` contains decoded FIB
     bits, per-sub-channel logical-frame bits + Viterbi metrics, and sync
     diagnostics.  ``ensemble=None`` = FIC-only acquisition pass.
+
+    ``x`` may be complex64 samples OR raw uint8 offset-128 interleaved IQ
+    (the RTL-SDR wire format, 2 bytes/sample) — converted on DEVICE, so a
+    u8 source ships 4x fewer bytes over the host->device link (which is
+    the e2e bottleneck on tunnelled hosts; real SDRs deliver u8 anyway).
     """
+    if x.dtype == jnp.uint8:
+        f = (x.astype(jnp.float32) - 128.0) / 64.0
+        x = jax.lax.complex(f[0::2], f[1::2])
     sync = coarse_null_sync(x, mode)
     ns = sync["null_start"]
     frame_off = jnp.arange(n_frames, dtype=jnp.int32) * mode.frame_size
@@ -248,13 +256,25 @@ class DabReceiver:
     PREROLL = 4096  # samples kept before the next frame's null symbol
 
     def feed(self, samples: np.ndarray) -> list[bytes]:
-        """Consume samples; return any completed ETI frames."""
-        s = np.asarray(samples, dtype=np.complex64)
+        """Consume samples; return any completed ETI frames.
+
+        ``samples``: complex64, or raw uint8 offset-128 interleaved IQ
+        (RTL-SDR wire format; converted on device — see
+        :func:`process_block`).  Do not mix formats on one receiver.
+        """
+        s = np.asarray(samples)
+        if s.dtype == np.uint8:
+            eps = 2                    # buffer elements per sample
+        else:
+            s = np.asarray(s, dtype=np.complex64)
+            eps = 1
+        if self._chunks and self._chunks[0].dtype != s.dtype:
+            raise ValueError("cannot mix u8 and complex64 feeds")
         if s.size:
             self._chunks.append(s)
             self._buffered += s.size
         eti: list[bytes] = []
-        need = block_samples(self.n_frames, self.mode)
+        need = block_samples(self.n_frames, self.mode) * eps
         while self._buffered >= need:
             eti.extend(self._process_one_block(self._peek(need)))
             # Advance relative to the *measured* null position so sample-
@@ -265,7 +285,7 @@ class DabReceiver:
             ns = self.stats[-1].null_start if self.stats else 0
             advance = max(ns + self.n_frames * self.mode.frame_size
                           - self.PREROLL, 1)
-            self._drop(min(advance, self._buffered))
+            self._drop(min(advance * eps, self._buffered))
         return eti
 
     def pending_samples(self) -> np.ndarray:
@@ -281,7 +301,7 @@ class DabReceiver:
         first = self._chunks[0]
         if first.size >= n:
             return first[:n]
-        out = np.empty(n, dtype=np.complex64)
+        out = np.empty(n, dtype=first.dtype)
         pos = 0
         for c in self._chunks:
             take = min(n - pos, c.size)

@@ -147,3 +147,20 @@ def test_low_latency_single_frame_blocks():
     a = rx._activation_cif
     for k, f in enumerate(frames):
         assert f.subchannel_data(1) == payload_bytes[1][a + k].tobytes(), k
+
+
+def test_u8_feed_matches_cf32_feed():
+    """Raw u8 IQ fed straight to the receiver (device-side conversion)
+    produces byte-identical ETI to host-converted cf32 of the same bytes."""
+    from dabtools_tpu.mod.impairments import quantize_u8, u8_to_complex
+
+    ens = build_ensemble()
+    x, _ = modulate(ens, 10, seed=3)
+    u8 = quantize_u8(x)
+    rx_u8 = DabReceiver(n_frames=4, ensemble=ens)
+    rx_cf = DabReceiver(n_frames=4, ensemble=ens)
+    # split across two feeds to exercise the chunked u8 ring (odd split)
+    cut = 12345
+    eti_u8 = rx_u8.feed(u8[:2 * cut + 1]) + rx_u8.feed(u8[2 * cut + 1:])
+    eti_cf = rx_cf.feed(u8_to_complex(u8))
+    assert eti_u8 and eti_u8 == eti_cf

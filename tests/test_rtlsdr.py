@@ -80,11 +80,18 @@ def test_source_streams_and_converts():
     fake = FakeRtlSdr(raw)
     with RtlSdrSource(227_360_000, gain_db=19.7, libhandle=fake) as src:
         x = src.read_block(100_000)
-    assert x.dtype == np.complex64 and x.size == 100_000
-    # Exact u8 -> cf32 conversion (same path as file input).
+        assert x.dtype == np.uint8 and x.size == 200_000   # wire format
+        np.testing.assert_array_equal(
+            x, np.frombuffer(raw, dtype=np.uint8))
+    # Legacy cf32 conversion path (raw_u8=False).
+    fake2 = FakeRtlSdr(raw)
+    with RtlSdrSource(227_360_000, gain_db=19.7, libhandle=fake2,
+                      raw_u8=False) as src2:
+        y = src2.read_block(100_000)
+    assert y.dtype == np.complex64 and y.size == 100_000
     from dabtools_tpu.mod.impairments import u8_to_complex
     ref = u8_to_complex(np.frombuffer(raw, dtype=np.uint8))
-    np.testing.assert_array_equal(x, ref)
+    np.testing.assert_array_equal(y, ref)
     # Control sequence matches the reference dab2eti frontend setup.
     assert ("rate", DEFAULT_RATE) in fake.calls
     assert ("freq", 227_360_000) in fake.calls
@@ -99,7 +106,7 @@ def test_agc_default_and_timeout_on_dry_stream():
     try:
         assert ("gain_mode", 0) in fake.calls      # AGC when no gain given
         x = src.read_block(5000, timeout_s=0.2)    # more than is available
-        assert x.size == 1000
+        assert x.size == 2000                      # u8 wire bytes
     finally:
         src.close()
 
