@@ -383,7 +383,10 @@ def _extra_e2e(ens, n_frames, rng):
     rt = n_samp / t / C.SAMPLE_RATE
     log(f"# [e2e] IQ->ETI incl. all host work (u8 wire format): "
         f"{rt:.0f}x real-time ({len(eti)} ETI frames from "
-        f"{n_samp / C.MODE_I.frame_size:.0f} frames)")
+        f"{n_samp / C.MODE_I.frame_size:.0f} frames; NOTE this machine's "
+        f"relay tunnel moves ~15-40 MB/s H2D, i.e. e2e here is "
+        f"transfer-bound at ~4-10x; a real TPU host's PCIe makes it "
+        f"compute-bound — see config 1)")
 
 
 def _extra_channelizer(ens, n_frames, rng):
