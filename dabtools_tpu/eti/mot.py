@@ -34,6 +34,9 @@ APP_MOT_CONT = 13        # continuation
 DG_TYPE_MOT_HEADER = 3   # MSC data group types (EN 300 401 table)
 DG_TYPE_MOT_BODY = 4
 DG_TYPE_MOT_DIRECTORY = 6   # EN 301 234 directory mode (uncompressed)
+DG_TYPE_MOT_DIRECTORY_Z = 7  # EN 301 234 directory mode (compressed)
+
+COMPRESSION_GZIP = 1     # TS 101 756 MOT compression type registry
 
 # TS 101 499: slideshow content type/subtype
 CONTENT_IMAGE = 2
@@ -178,6 +181,40 @@ def build_mot_directory(entries: list[tuple[int, bytes]],
     return (size & 0x3FFFFFFF).to_bytes(4, "big") + fixed + body
 
 
+def build_mot_directory_compressed(entries: list[tuple[int, bytes]],
+                                   carousel_period_ms: int = 0) -> bytes:
+    """Compressed MOT directory entity (data group type 7).
+
+    Layout [K-low — docs/INTEROP.md row 20]: rfu(2) EntitySize(30) |
+    CompressionId(8) = 1 (gzip, the only type the TS 101 756 registry
+    defines) | gzip stream of the complete UNCOMPRESSED directory entity
+    ([[build_mot_directory]]).  Closed-loop exact against our decoder;
+    field packing needs a real carousel capture to verify.
+    """
+    import gzip
+
+    z = gzip.compress(build_mot_directory(entries, carousel_period_ms),
+                      mtime=0)
+    size = 5 + len(z)
+    return ((size & 0x3FFFFFFF).to_bytes(4, "big")
+            + bytes([COMPRESSION_GZIP]) + z)
+
+
+def parse_mot_directory_compressed(data: bytes) -> dict[int, bytes] | None:
+    """Type-7 entity -> {transport_id: header}; None if malformed or the
+    compression type is unknown."""
+    import gzip
+
+    if len(data) < 5 or data[4] != COMPRESSION_GZIP:
+        return None
+    size = int.from_bytes(data[:4], "big") & 0x3FFFFFFF
+    try:
+        raw = gzip.decompress(data[5:size])
+    except OSError:
+        return None
+    return parse_mot_directory(raw)
+
+
 def parse_mot_directory(data: bytes) -> dict[int, bytes] | None:
     """Directory bytes -> {transport_id: object header}; None if malformed."""
     if len(data) < 13:
@@ -259,10 +296,12 @@ class MotEncoder:
 
     def carousel_subfields(
             self, objects: list[tuple[str, bytes]],
-            carousel_period_ms: int = 0) -> list[tuple[int, bytes]]:
+            carousel_period_ms: int = 0,
+            compress: bool = False) -> list[tuple[int, bytes]]:
         """DIRECTORY-mode carousel (EN 301 234 s6): one type-6 directory
         data group carries every object's header; bodies follow as type-4
-        groups keyed by transport id.  ``objects``: (name, body) pairs."""
+        groups keyed by transport id.  ``objects``: (name, body) pairs.
+        ``compress=True`` sends the TOC as a type-7 gzip'd directory."""
         entries = []
         body_groups = []
         for name, body in objects:
@@ -276,11 +315,17 @@ class MotEncoder:
                     DG_TYPE_MOT_BODY, self._continuity, i,
                     i == len(segs) - 1, self._tid, seg))
                 self._continuity = (self._continuity + 1) & 0x0F
-        directory = build_mot_directory(entries, carousel_period_ms)
+        if compress:
+            directory = build_mot_directory_compressed(entries,
+                                                       carousel_period_ms)
+            dir_type = DG_TYPE_MOT_DIRECTORY_Z
+        else:
+            directory = build_mot_directory(entries, carousel_period_ms)
+            dir_type = DG_TYPE_MOT_DIRECTORY
         self._tid = (self._tid + 1) & 0xFFFF
         dir_segs = mot_segments(directory, self.seg_size)
         dir_groups = [build_data_group(
-            DG_TYPE_MOT_DIRECTORY, self._continuity, i,
+            dir_type, self._continuity, i,
             i == len(dir_segs) - 1, self._tid, seg)
             for i, seg in enumerate(dir_segs)]
         self._continuity = (self._continuity + len(dir_segs)) & 0x0F
@@ -375,29 +420,32 @@ class MotDecoder:
                                 & 0x1FFF)]
         store = (self._headers if dg.dg_type == DG_TYPE_MOT_HEADER
                  else self._bodies if dg.dg_type == DG_TYPE_MOT_BODY
-                 else self._dirs if dg.dg_type == DG_TYPE_MOT_DIRECTORY
+                 else self._dirs if dg.dg_type in (DG_TYPE_MOT_DIRECTORY,
+                                                   DG_TYPE_MOT_DIRECTORY_Z)
                  else None)
         if store is None:
             return []
         store.setdefault(dg.transport_id, {})[dg.segment] = seg
         if dg.last:
             self._last_seg[(dg.dg_type, dg.transport_id)] = dg.segment
-        if dg.dg_type == DG_TYPE_MOT_DIRECTORY:
-            return self._try_directory(dg.transport_id)
+        if dg.dg_type in (DG_TYPE_MOT_DIRECTORY, DG_TYPE_MOT_DIRECTORY_Z):
+            return self._try_directory(dg.transport_id, dg.dg_type)
         return self._try_complete(dg.transport_id)
 
-    def _try_directory(self, tid: int) -> list[MotObject]:
-        """Assemble + adopt a completed type-6 directory, then re-check
+    def _try_directory(self, tid: int, dg_type: int) -> list[MotObject]:
+        """Assemble + adopt a completed type-6/7 directory, then re-check
         every pending body against the new table of contents."""
-        last = self._last_seg.get((DG_TYPE_MOT_DIRECTORY, tid))
+        last = self._last_seg.get((dg_type, tid))
         if last is None:
             return []
         raw = self._assemble(self._dirs.get(tid, {}), last)
         if raw is None:
             return []
-        directory = parse_mot_directory(raw)
+        directory = (parse_mot_directory_compressed(raw)
+                     if dg_type == DG_TYPE_MOT_DIRECTORY_Z
+                     else parse_mot_directory(raw))
         self._dirs.pop(tid, None)
-        self._last_seg.pop((DG_TYPE_MOT_DIRECTORY, tid), None)
+        self._last_seg.pop((dg_type, tid), None)
         if directory is None:
             self.stats["crc_failures"] += 1
             return []

@@ -226,3 +226,40 @@ def test_directory_mode_body_before_directory():
         got += dec.feed(apptype, data)
     got += dec.flush()
     assert [(o.name, o.body) for o in got] == [("x.jpg", b"Z" * 150)]
+
+
+def test_compressed_directory_roundtrip():
+    """Type-7 entity: gzip'd TOC parses back; junk/unknown-compression -> None."""
+    from dabtools_tpu.eti.mot import (build_mot_directory_compressed,
+                                      parse_mot_directory_compressed)
+    h1 = mot_header_core(100, 7, 2, 1)
+    h2 = mot_header_core(200, 7, 2, 3)
+    d = build_mot_directory_compressed([(10, h1), (20, h2)],
+                                       carousel_period_ms=5000)
+    assert parse_mot_directory_compressed(d) == {10: h1, 20: h2}
+    assert parse_mot_directory_compressed(d[:3]) is None
+    assert parse_mot_directory_compressed(
+        d[:4] + bytes([99]) + d[5:]) is None          # unknown CompressionId
+    assert parse_mot_directory_compressed(
+        d[:5] + b"\x00" * (len(d) - 5)) is None       # corrupt gzip stream
+
+
+def test_compressed_directory_carousel():
+    """compress=True carousel decodes end-to-end and caches repetitions."""
+    rng = np.random.default_rng(3)
+    objects = [("c.jpg", bytes(rng.integers(0, 256, 180, dtype=np.uint8))),
+               ("d.png", bytes(rng.integers(0, 256, 257, dtype=np.uint8)))]
+    enc, dec = MotEncoder(seg_size=40, subfield_size=24), MotDecoder()
+    sfs = enc.carousel_subfields(objects, compress=True)
+    got = []
+    for apptype, data in sfs:
+        got += dec.feed(apptype, data)
+    got += dec.flush()
+    assert sorted((o.name, o.body) for o in got) == sorted(objects)
+    assert dec.stats["directories"] == 1
+    # repetition: caching model absorbs it
+    again = []
+    for apptype, data in sfs:
+        again += dec.feed(apptype, data)
+    again += dec.flush()
+    assert again == []
