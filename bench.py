@@ -29,6 +29,13 @@ import numpy as np
 os.environ.setdefault("DABTOOLS_RETRIES", "6")
 os.environ.setdefault("DABTOOLS_RETRY_BACKOFF", "25")
 
+# On-disk compilation cache: any program compiled once in a good relay
+# window never depends on the compile helper again, and the executable
+# that was measured is pinned (ends the per-process quality lottery).
+from dabtools_tpu.utils.jitcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 def _median_time(fn, *args, iters=10, warmup=2):
     from dabtools_tpu.utils.retry import call_with_retries

@@ -49,6 +49,8 @@ def iter_samples(path: str, fmt: str):
 
 
 def main(argv=None) -> int:
+    from dabtools_tpu.utils.jitcache import enable_persistent_cache
+    enable_persistent_cache()   # fast, weather-proof startup
     p = argparse.ArgumentParser(
         prog="dab2eti", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)

@@ -20,6 +20,8 @@ log = logging.getLogger("dabtools_tpu.dabscan")
 
 
 def main(argv=None) -> int:
+    from dabtools_tpu.utils.jitcache import enable_persistent_cache
+    enable_persistent_cache()   # fast, weather-proof startup
     p = argparse.ArgumentParser(prog="dabscan", description=__doc__)
     p.add_argument("input", help="wideband IQ capture (u8 or cf32), '-' stdin")
     p.add_argument("--center", type=float, required=True,

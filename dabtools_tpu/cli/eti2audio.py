@@ -42,6 +42,8 @@ def safe_mot_filename(name: str | None, transport_id: int) -> str:
 
 
 def main(argv=None) -> int:
+    from dabtools_tpu.utils.jitcache import enable_persistent_cache
+    enable_persistent_cache()   # fast, weather-proof startup
     p = argparse.ArgumentParser(prog="eti2audio", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("input", help="ETI(NI) file, or '-' for stdin")

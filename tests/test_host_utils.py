@@ -111,3 +111,27 @@ class TestConvCode:
                     best, best_metric = bits, metric
             decoded = viterbi_decode_ref(soft)
             assert (decoded == best).all()
+
+
+def test_enable_persistent_cache(tmp_path, monkeypatch):
+    """Cache helper: creates the dir + sets jax config; env 'off' disables."""
+    import jax
+
+    from dabtools_tpu.utils.jitcache import enable_persistent_cache
+
+    monkeypatch.setenv("DABTOOLS_JIT_CACHE", "off")
+    assert enable_persistent_cache() is False
+
+    target = tmp_path / "jc"
+    monkeypatch.setenv("DABTOOLS_JIT_CACHE", str(target))
+    assert enable_persistent_cache() is True
+    assert target.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(target)
+    # compiling through the cache must not change results
+    import jax.numpy as jnp
+    import numpy as np
+    f = jax.jit(lambda x: x * 2 + 1)
+    np.testing.assert_array_equal(np.asarray(f(jnp.arange(4))),
+                                  [1, 3, 5, 7])
+    # tmp_path is deleted after the test: detach the global config again
+    jax.config.update("jax_compilation_cache_dir", None)
