@@ -395,6 +395,29 @@ def _extra_e2e(ens, n_frames, rng):
         f"transfer-bound at ~4-10x; a real TPU host's PCIe makes it "
         f"compute-bound — see config 1)")
 
+    # Host half in isolation (VERDICT r1 item 5): per-24ms-frame ETI
+    # assembly — FIB pairing, STC, CRCs, MST layout — with the device out
+    # of the picture.  This bounds the Python side of production rates.
+    from dabtools_tpu.eti.assemble import EtiAssembler
+    from dabtools_tpu.utils.native import crc16_ok_batch
+    asm = EtiAssembler(rx.ensemble)
+    subs = rx.ensemble.subchannels
+    rng2 = np.random.default_rng(1)
+    fibs = [[rng2.integers(0, 256, 32, dtype=np.uint8).tobytes()
+             for _ in range(3)] for _ in range(256)]
+    sub_data = {s.subchid: rng2.integers(
+        0, 256, s.data_bytes, dtype=np.uint8).tobytes() for s in subs}
+    n_cif = 4000                        # 96 s of stream
+    t0 = _time.perf_counter()
+    for i in range(n_cif):
+        crc16_ok_batch(np.frombuffer(
+            b"".join(fibs[i % 256]), np.uint8).reshape(3, 32))
+        asm.frame(fibs[i % 256], sub_data, error_level=0)
+    t_host = _time.perf_counter() - t0
+    log(f"# [e2e-host] ETI assembly alone (FIB CRC + pairing + STC + MST):"
+        f" {n_cif * 0.024 / t_host:.0f}x real-time "
+        f"({t_host / n_cif * 1e6:.0f} us/frame)")
+
 
 def _extra_channelizer(ens, n_frames, rng):
     from dabtools_tpu.ops.fir import Channelizer
