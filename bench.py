@@ -89,7 +89,15 @@ def main():
         f"block={n_frames} frames, mux=9x128kbit/s EEP-3A (864/864 CUs)")
 
     n = block_samples(n_frames)
-    x = _noise(n, rng)
+    # Headline input = a MODULATED flagship mux, not noise: the decode is
+    # data-independent (identical program and FLOPs either way), and the
+    # output then doubles as the hardware bit-exactness evidence (the
+    # [closedloop-inline] line below) with no second 26 MB H2D transfer —
+    # large transfers are exactly what the relay's bad windows kill.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.test_closed_loop import modulate
+    xm, payload = modulate(ens, n_frames + 4, seed=0)
+    x = jnp.asarray(xm[:n])
     # device_put ONCE: init_deinterleave_ring returns host numpy (receiver
     # construction must not touch the device), but re-uploading ~3.5 MB of
     # rings through the relay tunnel on every timed call costs ~2 ms/block
@@ -99,13 +107,26 @@ def main():
         for s in ens.subchannels})
     cif = jnp.asarray(0, dtype=jnp.int32)
 
+    # Jit static arg = decode_config() — the SAME key DabReceiver uses, so
+    # the headline, the inline bit-exactness check below, and the
+    # closedloop section all share ONE compiled executable (one cache
+    # entry to prewarm/pin, no fresh compiles at section time).
+    dc = ens.decode_config()
+
     def step(x, rings, cif):
-        return process_block(x, rings, cif, ensemble=ens, n_frames=n_frames)
+        return process_block(x, rings, cif, ensemble=dc, n_frames=n_frames)
 
     t0 = time.perf_counter()
     from dabtools_tpu.utils.retry import call_with_retries
     jax.block_until_ready(call_with_retries(step, x, rings, cif))
     log(f"# compile+first run: {time.perf_counter() - t0:.1f}s")
+    # Pay the relay's first-D2H-fetch stall (minutes on bad days) before
+    # any timed work or the correctness fetch below.
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda: jnp.zeros(8))())
+    if time.perf_counter() - t0 > 5:
+        log(f"# first-fetch warmup took {time.perf_counter() - t0:.0f}s "
+            f"(relay stall)")
 
     t = _amortized_time(step, x, rings, cif)
     samples = n_frames * C.MODE_I.frame_size
@@ -113,6 +134,20 @@ def main():
     log(f"# [config 1] full-ensemble decode: {t * 1e3:.2f} ms/block "
         f"(sustained), {samples / t / 1e6:.0f} Msamples/s, "
         f"{rt:.0f}x real-time")
+
+    if not quick:
+        # Hardware bit-exactness riding the ALREADY-COMPILED, already-
+        # measured headline program on the already-transferred input
+        # (VERDICT r1 item 1): one more execution + one ~250 KB fetch, so
+        # this evidence cannot be lost to a fresh compile or a big
+        # transfer hitting relay weather.  The separate [closedloop]
+        # section still exercises full DabReceiver orchestration on HW.
+        try:
+            out, _, _ = call_with_retries(step, x, rings, cif)
+            out = call_with_retries(jax.device_get, out)
+            _check_closedloop_inline(out, payload, n_frames)
+        except Exception as e:  # noqa: BLE001 — never cost the headline
+            log(f"# [closedloop-inline] SKIPPED ({str(e)[:120]})")
 
     if not quick and "--section" not in sys.argv and "--once" not in sys.argv:
         # The compile relay serves differently-optimized executables per
@@ -317,6 +352,33 @@ def _extra_batched(ens, n_frames, rng):
         f"{sps / 1e6:.0f} Msamples/s aggregate, "
         f"{sps / C.SAMPLE_RATE:.0f}x real-time "
         f"({sps / C.SAMPLE_RATE / n_ch:.0f}x per stream)")
+
+
+def _check_closedloop_inline(out, payload, n_frames):
+    """Bit-exactness compare of a fetched headline-program output against
+    the modulator's payload.  With zero-init deinterleaver rings, rows
+    >= 15 of each sub-channel are fully determined by in-block data
+    (16-CIF depth), so those are the rows compared."""
+    from dabtools_tpu import constants as C
+    from dabtools_tpu.utils.crc import crc16_ok_batch
+
+    fib = np.asarray(out["fib_bytes"]).reshape(-1, C.FIB_BYTES)
+    fibs_ok = int(crc16_ok_batch(fib).sum())
+    n_cifs = n_frames * C.MODE_I.n_cifs
+    good = bad = 0
+    for sc, pb in payload.items():
+        got = np.asarray(out["subch"][str(sc)])
+        for j in range(15, n_cifs):
+            if got[j].tobytes() == pb[j - 15].tobytes():
+                good += 1
+            else:
+                bad += 1
+    status = ("BIT-EXACT" if bad == 0 and good and fibs_ok == fib.shape[0]
+              else "MISMATCH")
+    log(f"# [closedloop-inline] TPU decode of modulated flagship mux "
+        f"(headline executable): {status} ({good}/{good + bad} payload "
+        f"rows over {len(payload)} subchannels, {fibs_ok}/{fib.shape[0]} "
+        f"FIB CRCs pass)")
 
 
 def _extra_closedloop(ens, n_frames, rng):
