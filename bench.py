@@ -95,9 +95,10 @@ def main():
     # [closedloop-inline] line below) with no second 26 MB H2D transfer —
     # large transfers are exactly what the relay's bad windows kill.
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dabtools_tpu.utils.retry import call_with_retries
     from tests.test_closed_loop import modulate
     xm, payload = modulate(ens, n_frames + 4, seed=0)
-    x = jnp.asarray(xm[:n])
+    x = call_with_retries(jnp.asarray, xm[:n])   # the one big H2D transfer
     # device_put ONCE: init_deinterleave_ring returns host numpy (receiver
     # construction must not touch the device), but re-uploading ~3.5 MB of
     # rings through the relay tunnel on every timed call costs ~2 ms/block
@@ -117,13 +118,15 @@ def main():
         return process_block(x, rings, cif, ensemble=dc, n_frames=n_frames)
 
     t0 = time.perf_counter()
-    from dabtools_tpu.utils.retry import call_with_retries
     jax.block_until_ready(call_with_retries(step, x, rings, cif))
     log(f"# compile+first run: {time.perf_counter() - t0:.1f}s")
     # Pay the relay's first-D2H-fetch stall (minutes on bad days) before
-    # any timed work or the correctness fetch below.
+    # any timed work or the correctness fetch below; non-fatal.
     t0 = time.perf_counter()
-    np.asarray(jax.jit(lambda: jnp.zeros(8))())
+    try:
+        call_with_retries(lambda: np.asarray(jax.jit(lambda: jnp.zeros(8))()))
+    except Exception:  # noqa: BLE001
+        log("# first-fetch warmup failed (relay); continuing")
     if time.perf_counter() - t0 > 5:
         log(f"# first-fetch warmup took {time.perf_counter() - t0:.0f}s "
             f"(relay stall)")

@@ -1,0 +1,60 @@
+"""Wait for a good relay window, then exec a command.
+
+The TPU relay's bad windows (fresh compiles and >MB transfers fail
+process-wide) last minutes to tens of minutes.  This tool polls a cheap
+probe in a fresh subprocess (compile + 4 MB device_put + fetch) and
+execs the given command once the probe passes.
+
+Usage: python tools/weatherwait.py [--max-wait S] -- cmd args...
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+PROBE = """
+import numpy as np, jax, jax.numpy as jnp
+np.asarray(jax.jit(lambda: jnp.zeros(8))())
+d = jax.device_put(np.zeros(1 << 20, np.float32)); d.block_until_ready()
+np.asarray(d[:8])
+"""
+
+
+def probe_ok(timeout: int = 90) -> bool:
+    try:
+        return subprocess.run([sys.executable, "-c", PROBE],
+                              capture_output=True,
+                              timeout=timeout).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    max_wait = 7200.0
+    if args and args[0] == "--max-wait":
+        max_wait = float(args[1])
+        args = args[2:]
+    if args and args[0] == "--":
+        args = args[1:]
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < max_wait:
+        n += 1
+        if probe_ok():
+            print(f"weather ok after {time.time() - t0:.0f}s "
+                  f"({n} probes)", flush=True)
+            if not args:
+                return 0
+            return subprocess.run(args).returncode
+        print(f"probe {n} failed ({time.time() - t0:.0f}s); waiting 45s",
+              flush=True)
+        time.sleep(45)
+    print("max-wait exhausted; weather still bad", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
