@@ -4,7 +4,9 @@ Superset of the reference's `eti2mpa` (`upstream:eti2mpa.c`): parses the
 FIC carried inside the ETI to find the requested service/sub-channel and
 its audio type, then emits either the MP2 elementary stream (DAB) or the
 AAC access units (DAB+, raw or ADTS-wrapped, via the RS(120,110)
-superframe decoder).
+superframe decoder).  A packet-mode data service (FIG 0/3) emits its
+reassembled MSC data groups instead, with optional MOT object decoding
+(``--objects DIR``).
 
 Frames are processed in ONE streaming pass (like the reference): only
 the frames seen before the MCI resolves the target are buffered, so a
@@ -42,6 +44,17 @@ def safe_mot_filename(name: str | None, transport_id: int) -> str:
 
 
 def main(argv=None) -> int:
+    # ETI processing is host-side byte work; the only jax use (the DAB+
+    # RS batch) is explicitly CPU-pinned.  Force the CPU platform before
+    # any backend resolution: merely ENUMERATING backends initializes the
+    # accelerator platform, which on relay-tunnelled hosts can hang for
+    # minutes during a relay bad window (observed: eti2audio --sid on a
+    # DAB+ service stuck >120 s in backend init).
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover - too late (backend already up)
+        pass
     from dabtools_tpu.utils.jitcache import enable_persistent_cache
     enable_persistent_cache()   # fast, weather-proof startup
     p = argparse.ArgumentParser(prog="eti2audio", description=__doc__,
@@ -61,6 +74,8 @@ def main(argv=None) -> int:
                    help="decode PAD dynamic labels (DLS) to stderr")
     p.add_argument("--slides", metavar="DIR", default=None,
                    help="decode MOT slideshow images from PAD into DIR")
+    p.add_argument("--objects", metavar="DIR", default=None,
+                   help="packet-mode service: decode MOT objects into DIR")
     p.add_argument("--mode", choices=("I", "II", "III", "IV"), default="I",
                    help="DAB transmission mode of the ETI source")
     p.add_argument("--output", "-o", default="-")
@@ -101,10 +116,20 @@ def main(argv=None) -> int:
         print(f"ensemble 0x{ens.eid:04X} {ens.label!r}")
         for svc in ens.services:
             for c in svc.components:
+                if c.tmid == 3:          # packet data service (FIG 0/3)
+                    try:
+                        pc = ens.packet_component(c.scid)
+                        where = (f"subch {pc.subchid:2d}  addr 0x{pc.address:03X}"
+                                 f"  DSCTy {pc.dscty}")
+                    except KeyError:
+                        where = f"SCId {c.scid} (FIG 0/3 pending)"
+                    print(f"  0x{svc.sid:08X} {svc.label or '':16s} {where}  "
+                          f"packet")
+                    continue
                 try:
                     rate = f"{ens.subchannel(c.subchid).bitrate_kbps:3d} kbit/s"
                 except KeyError:
-                    rate = "(unsignalled)"   # e.g. packet-data component
+                    rate = "(unsignalled)"
                 apps = "".join(
                     f" +{n}" for n in
                     ("SLS" if a == 2 else f"uapp{a}" for a in c.user_apps))
@@ -113,8 +138,9 @@ def main(argv=None) -> int:
                       f"{'DAB+' if c.is_dabplus else 'MP2'}{apps}")
         return 0
 
-    def try_resolve(final: bool) -> tuple[int, bool] | None:
-        """(subchid, is_dabplus), or None if not determinable (yet).
+    def try_resolve(final: bool) -> tuple[int, bool, int | None] | None:
+        """(subchid, is_dabplus, packet_address|None), or None if not
+        determinable (yet).
 
         ``final``: end of stream — report errors instead of waiting.
         """
@@ -128,7 +154,7 @@ def main(argv=None) -> int:
                     for c in svc.components:
                         if c.subchid == args.subch and c.is_dabplus:
                             is_dabplus = True
-            return args.subch, is_dabplus
+            return args.subch, is_dabplus, None
         if ens is None:
             if final:
                 log.error("no MCI in the ETI FIC; use --subch")
@@ -136,11 +162,11 @@ def main(argv=None) -> int:
         services = [s for s in ens.services
                     if any(c.tmid == 0 for c in s.components)] or ens.services
         if args.sid is not None:
-            matches = [s for s in services if s.sid == args.sid]
+            matches = [s for s in ens.services if s.sid == args.sid]
             if not matches:
                 if final:
                     log.error("service 0x%04X not found; have %s", args.sid,
-                              [hex(s.sid) for s in services])
+                              [hex(s.sid) for s in ens.services])
                 return None          # the service's FIG 0/2 may be pending
             svc = matches[0]
         elif services:
@@ -150,10 +176,21 @@ def main(argv=None) -> int:
                 log.error("no services signalled; use --subch")
             return None
         comp = next(c for c in svc.components if c.primary)
+        if comp.tmid == 3:           # packet-mode data service
+            try:
+                pc = ens.packet_component(comp.scid)
+            except KeyError:
+                if final:
+                    log.error("no FIG 0/3 for SCId %d", comp.scid)
+                return None          # FIG 0/3 may still arrive
+            log.info("service 0x%08X %r -> packet sub-channel %d "
+                     "address 0x%03X (DSCTy %d)", svc.sid, svc.label,
+                     pc.subchid, pc.address, pc.dscty)
+            return pc.subchid, False, pc.address
         log.info("service 0x%04X %r -> sub-channel %d (%s)", svc.sid,
                  svc.label, comp.subchid,
                  "DAB+" if (args.dabplus or comp.is_dabplus) else "DAB/MP2")
-        return comp.subchid, args.dabplus or comp.is_dabplus
+        return comp.subchid, args.dabplus or comp.is_dabplus, None
 
     pad = None
     if args.labels or args.slides:
@@ -165,17 +202,34 @@ def main(argv=None) -> int:
             log.info("dynamic label: %r (charset %d)", lab.text, lab.charset)
 
     # Streaming state, filled once the target resolves.
-    target: tuple[int, bool] | None = None
+    target: tuple[int, bool, int | None] | None = None
     dec = None                       # DAB+ SuperframeDecoder
+    pkt = None                       # packet-mode PacketDecoder
+    mot = None                       # packet-mode MotDecoder
+    mot_objects: list = []
     stats = {"frames": 0, "with_sub": 0, "mp2_bytes": 0,
-             "aus": 0, "aus_bad": 0}
+             "aus": 0, "aus_bad": 0, "data_groups": 0}
 
     def sink(frame) -> None:
-        subchid, is_dabplus = target
+        subchid, is_dabplus, pkt_addr = target
         if subchid not in frame.streams:
             return
         stats["with_sub"] += 1
         d = frame.subchannel_data(subchid)
+        if pkt_addr is not None:
+            nonlocal pkt, mot
+            if pkt is None:
+                from dabtools_tpu.eti.mot import MotDecoder
+                from dabtools_tpu.eti.packet import PacketDecoder
+                pkt, mot = PacketDecoder(), MotDecoder()
+            for addr, dg in pkt.feed(d):
+                if addr != pkt_addr:
+                    continue
+                stats["data_groups"] += 1
+                out.write(dg)        # concatenated MSC data groups
+                if args.objects is not None:
+                    mot_objects.extend(mot.feed_data_group(dg))
+            return
         if not is_dabplus:
             out.write(d)
             stats["mp2_bytes"] += len(d)
@@ -238,7 +292,20 @@ def main(argv=None) -> int:
     if not stats["with_sub"]:
         log.error("sub-channel %d not present in ETI", target[0])
         return 1
-    if not target[1]:
+    if target[2] is not None:
+        log.info("wrote %d MSC data groups; packet stats=%s",
+                 stats["data_groups"], pkt.stats if pkt else {})
+        if args.objects is not None:
+            import pathlib
+            outdir = pathlib.Path(args.objects)
+            outdir.mkdir(parents=True, exist_ok=True)
+            for i, obj in enumerate(mot_objects):
+                name = safe_mot_filename(obj.name, obj.transport_id)
+                path = outdir / f"{i:03d}_{name}"
+                path.write_bytes(obj.body)
+                log.info("MOT object: %s (%d bytes, type %d/%d)",
+                         path, len(obj.body), obj.content_type, obj.subtype)
+    elif not target[1]:
         log.info("wrote %d bytes MP2 from %d frames",
                  stats["mp2_bytes"], stats["with_sub"])
     else:

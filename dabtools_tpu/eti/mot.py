@@ -272,8 +272,11 @@ class MotEncoder:
         self._continuity = 0
         self._tid = 0
 
-    def object_subfields(self, body: bytes, name: str = "slide.jpg",
-                         subtype: int = SUBTYPE_JFIF) -> list[tuple[int, bytes]]:
+    def object_groups(self, body: bytes, name: str = "slide.jpg",
+                      subtype: int = SUBTYPE_JFIF) -> list[bytes]:
+        """HEADER-mode data groups for one object (type 3 + type 4s) —
+        the transport-agnostic form (X-PAD via ``object_subfields``,
+        packet mode via ``eti.packet.PacketEncoder.add_data_group``)."""
         self._tid = (self._tid + 1) & 0xFFFF
         header = self._make_header(body, name, subtype)
         groups = []
@@ -285,7 +288,12 @@ class MotEncoder:
                     dg_type, self._continuity, i, i == len(segs) - 1,
                     self._tid, seg))
                 self._continuity = (self._continuity + 1) & 0x0F
-        return self._groups_to_subfields(groups)
+        return groups
+
+    def object_subfields(self, body: bytes, name: str = "slide.jpg",
+                         subtype: int = SUBTYPE_JFIF) -> list[tuple[int, bytes]]:
+        return self._groups_to_subfields(
+            self.object_groups(body, name, subtype))
 
     def _make_header(self, body: bytes, name: str, subtype: int) -> bytes:
         """Header core + ContentName parameter (0x0C, charset 0) [K-med]."""
@@ -294,14 +302,15 @@ class MotEncoder:
         return mot_header_core(len(body), 7 + len(param),
                                CONTENT_IMAGE, subtype) + param
 
-    def carousel_subfields(
+    def carousel_groups(
             self, objects: list[tuple[str, bytes]],
             carousel_period_ms: int = 0,
-            compress: bool = False) -> list[tuple[int, bytes]]:
-        """DIRECTORY-mode carousel (EN 301 234 s6): one type-6 directory
-        data group carries every object's header; bodies follow as type-4
-        groups keyed by transport id.  ``objects``: (name, body) pairs.
-        ``compress=True`` sends the TOC as a type-7 gzip'd directory."""
+            compress: bool = False) -> list[bytes]:
+        """DIRECTORY-mode carousel (EN 301 234 s6) as raw data groups: one
+        type-6 directory group carries every object's header; bodies
+        follow as type-4 groups keyed by transport id.  ``objects``:
+        (name, body) pairs.  ``compress=True`` sends the TOC as a type-7
+        gzip'd directory."""
         entries = []
         body_groups = []
         for name, body in objects:
@@ -329,7 +338,15 @@ class MotEncoder:
             i == len(dir_segs) - 1, self._tid, seg)
             for i, seg in enumerate(dir_segs)]
         self._continuity = (self._continuity + len(dir_segs)) & 0x0F
-        return self._groups_to_subfields(dir_groups + body_groups)
+        return dir_groups + body_groups
+
+    def carousel_subfields(
+            self, objects: list[tuple[str, bytes]],
+            carousel_period_ms: int = 0,
+            compress: bool = False) -> list[tuple[int, bytes]]:
+        """X-PAD form of :meth:`carousel_groups`."""
+        return self._groups_to_subfields(
+            self.carousel_groups(objects, carousel_period_ms, compress))
 
     def _groups_to_subfields(self, groups) -> list[tuple[int, bytes]]:
         """Data groups -> DGLI + apptype-12/13 subfields."""
@@ -384,6 +401,16 @@ class MotDecoder:
     def flush(self) -> list[MotObject]:
         """Close any pending data group and return newly-completed objects."""
         return self._finish() if self._in_dg else []
+
+    def feed_data_group(self, raw: bytes) -> list[MotObject]:
+        """One complete MSC data group (packet-mode transport: already
+        reassembled by :class:`dabtools_tpu.eti.packet.PacketDecoder`,
+        so no X-PAD subfield/DGLI framing applies)."""
+        out = self._finish() if self._in_dg else []
+        self._dg = bytearray(raw)
+        self._dg_len = len(raw)
+        self._in_dg = True
+        return out + self._finish()
 
     @staticmethod
     def _dg_length(raw: bytes) -> int | None:

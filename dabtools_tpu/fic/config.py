@@ -81,16 +81,28 @@ class Subchannel:
 
 @dataclasses.dataclass(frozen=True)
 class ServiceComponent:
-    tmid: int                    # 0 = MSC stream audio
-    subchid: int
+    tmid: int                    # 0 = MSC stream audio, 3 = MSC packet data
+    subchid: int                 # -1 for tmid=3 (resolved via scid/FIG 0/3)
     ascty: int = 0               # 0 = DAB (MP2), 63 = DAB+ (AAC)
     primary: bool = True
     user_apps: tuple = ()        # FIG 0/13 user application types
                                  # (2 = MOT slideshow, TS 101 756)
+    scid: int = -1               # tmid=3: 12-bit service component id
 
     @property
     def is_dabplus(self) -> bool:
         return self.ascty == 63
+
+
+@dataclasses.dataclass(frozen=True)
+class PacketComponent:
+    """FIG 0/3 packet-mode description: SCId -> transport parameters."""
+
+    scid: int                    # 12-bit service component id
+    subchid: int
+    address: int                 # 10-bit packet address
+    dscty: int = 60              # TS 101 756: 60 = MOT
+    dg: bool = True              # FIG 0/3 DG flag 0 = data groups used
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,6 +118,7 @@ class Ensemble:
     subchannels: tuple[Subchannel, ...]
     services: tuple[Service, ...] = ()
     label: str = ""
+    packet_components: tuple[PacketComponent, ...] = ()
 
     def __post_init__(self):
         ends = [s.start_cu + s.size_cus for s in self.subchannels]
@@ -126,6 +139,12 @@ class Ensemble:
             if s.subchid == subchid:
                 return s
         raise KeyError(f"no sub-channel {subchid}")
+
+    def packet_component(self, scid: int) -> PacketComponent:
+        for pc in self.packet_components:
+            if pc.scid == scid:
+                return pc
+        raise KeyError(f"no packet component SCId {scid}")
 
     def sorted_subchannels(self) -> tuple[Subchannel, ...]:
         return tuple(sorted(self.subchannels, key=lambda s: s.start_cu))

@@ -6,9 +6,12 @@ FIG parsing is tested closed-loop (the reference could only test against
 live broadcasts); the *parser* produces the `Ensemble` config that
 specializes the jitted MSC decode.
 
-Supported FIGs (the MCI/label set dabtools handles [K-med]):
+Supported FIGs (the MCI/label set dabtools handles [K-med], plus the
+packet-mode and user-application signalling it lacks):
   0/0 ensemble info, 0/1 sub-channel organization (short+long form),
-  0/2 service organization, 1/0 ensemble label, 1/1 programme service label.
+  0/2 service organization (pd=0 programme + pd=1 data services),
+  0/3 service component in packet mode, 0/13 user application info,
+  1/0 ensemble label, 1/1 programme service label.
 """
 
 from __future__ import annotations
@@ -18,7 +21,13 @@ import dataclasses
 import numpy as np
 
 from dabtools_tpu import constants as C
-from dabtools_tpu.fic.config import Ensemble, Service, ServiceComponent, Subchannel
+from dabtools_tpu.fic.config import (
+    Ensemble,
+    PacketComponent,
+    Service,
+    ServiceComponent,
+    Subchannel,
+)
 from dabtools_tpu.utils.crc import crc16_ccitt, crc16_ok
 
 
@@ -91,22 +100,54 @@ def _fig_0_1(subchannels: tuple[Subchannel, ...]) -> list[bytes]:
     return figs
 
 
+def _is_data_service(svc: Service) -> bool:
+    return svc.sid > 0xFFFF or any(c.tmid == 3 for c in svc.components)
+
+
 def _fig_0_2(services: tuple[Service, ...]) -> list[bytes]:
     figs = []
-    for group in _chunks(services, 4):
+    prog = tuple(s for s in services if not _is_data_service(s))
+    data = tuple(s for s in services if _is_data_service(s))
+    # pd=0: programme services, 16-bit SIds; pd=1: data services, 32-bit.
+    for pd, svcs, sid_bits, per_fig in ((0, prog, 16, 4), (1, data, 32, 3)):
+        for group in _chunks(svcs, per_fig):
+            w = _BitWriter()
+            w.put(0, 1); w.put(0, 1); w.put(pd, 1); w.put(2, 5)   # ext=2
+            for svc in group:
+                w.put(svc.sid, sid_bits)
+                w.put(0, 1)                # local flag
+                w.put(0, 3)                # CAId
+                w.put(len(svc.components), 4)
+                for comp in svc.components:
+                    w.put(comp.tmid, 2)
+                    if comp.tmid == 3:     # packet data: SCId reference
+                        w.put(comp.scid, 12)
+                    else:
+                        w.put(comp.ascty, 6)
+                        w.put(comp.subchid, 6)
+                    w.put(1 if comp.primary else 0, 1)
+                    w.put(0, 1)            # CA flag
+            body = w.bytes()
+            figs.append(bytes([0x00 | len(body)]) + body)
+    return figs
+
+
+def _fig_0_3(pcs) -> list[bytes]:
+    """Service component in packet mode (EN 300 401 s6.3.2) [K-med]:
+    SCId(12) rfa(3) CAOrg-flag(1)=0 DG-flag(1) rfu(1) DSCTy(6)
+    SubChId(6) packet address(10) = 5 bytes/entry."""
+    figs = []
+    for group in _chunks(pcs, 5):
         w = _BitWriter()
-        w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(2, 5)   # ext=2
-        for svc in group:
-            w.put(svc.sid, 16)
-            w.put(0, 1)                # local flag
-            w.put(0, 3)                # CAId
-            w.put(len(svc.components), 4)
-            for comp in svc.components:
-                w.put(comp.tmid, 2)
-                w.put(comp.ascty, 6)
-                w.put(comp.subchid, 6)
-                w.put(1 if comp.primary else 0, 1)
-                w.put(0, 1)            # CA flag
+        w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(3, 5)   # ext=3
+        for pc in group:
+            w.put(pc.scid, 12)
+            w.put(0, 3); w.put(0, 1)
+            w.put(0 if pc.dg else 1, 1)
+            w.put(0, 1)
+            w.put(pc.dscty, 6)
+            w.put(pc.subchid, 6)
+            w.put(pc.address, 10)
         body = w.bytes()
         figs.append(bytes([0x00 | len(body)]) + body)
     return figs
@@ -118,6 +159,8 @@ def _fig_0_13(services: tuple[Service, ...]) -> list[bytes]:
     AppDataLength(5) (+ data, none emitted)."""
     figs = []
     for svc in services:
+        if _is_data_service(svc):      # 32-bit SIds need pd=1 (not emitted;
+            continue                   # packet MOT is signalled via DSCTy)
         comp = next((c for c in svc.components if c.user_apps), None)
         if comp is None:
             continue
@@ -140,7 +183,8 @@ def _fig_1(ext: int, ident: int, label: str) -> bytes:
     w.put(0, 4)                    # charset: EBU Latin
     w.put(0, 1)                    # OE / Rfu
     w.put(ext, 3)
-    w.put(ident, 16)
+    # ext 5 = data service label: 32-bit SId (EN 300 401 s8.1.14.2)
+    w.put(ident, 32 if ext == 5 else 16)
     body = w.bytes() + lab + b"\xff\x00"   # char flag field
     return bytes([0x20 | len(body)]) + body
 
@@ -175,6 +219,8 @@ def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
     if ens.services:
         rest += _fig_0_2(ens.services)
         rest += _fig_0_13(ens.services)
+    if ens.packet_components:
+        rest += _fig_0_3(ens.packet_components)
     # Labels are rotated across frames (each is ~21 B, most of a FIB; real
     # muxes repeat them at low rate).  Up to 3 label FIGs per frame.
     labels = []
@@ -182,7 +228,8 @@ def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
         labels.append(_fig_1(0, ens.eid, ens.label))
     for svc in ens.services:
         if svc.label:
-            labels.append(_fig_1(1, svc.sid, svc.label))
+            labels.append(_fig_1(5 if svc.sid > 0xFFFF else 1,
+                                 svc.sid, svc.label))
     if labels:
         start = (3 * frame_idx) % len(labels)
         rest += (labels[start:] + labels[:start])[:3]
@@ -245,6 +292,7 @@ class FigParser:
     services: dict = dataclasses.field(default_factory=dict)
     service_labels: dict = dataclasses.field(default_factory=dict)
     user_apps: dict = dataclasses.field(default_factory=dict)
+    packet_comps: dict = dataclasses.field(default_factory=dict)
     fibs_ok: int = 0
     fibs_bad: int = 0
     figs_malformed: int = 0
@@ -328,14 +376,22 @@ class FigParser:
                 self.subchannels[subchid] = sub
                 self._subch_seen[subchid] = self._tick
                 self._touched.append(subchid)
-        elif ext == 2 and pd == 0:
-            while remaining_bits() >= 24:
-                sid = r.get(16)
+        elif ext == 2:
+            sid_bits = 32 if pd else 16
+            while remaining_bits() >= sid_bits + 8:
+                sid = r.get(sid_bits)
                 r.get(1); r.get(3)
                 n_comp = r.get(4)
                 comps = []
                 for _ in range(n_comp):
                     tmid = r.get(2)
+                    if tmid == 3:                # packet data: SCId ref
+                        scid = r.get(12)
+                        primary = bool(r.get(1))
+                        r.get(1)
+                        comps.append(ServiceComponent(
+                            tmid=3, subchid=-1, scid=scid, primary=primary))
+                        continue
                     ascty = r.get(6)
                     subchid = r.get(6)
                     primary = bool(r.get(1))
@@ -346,6 +402,23 @@ class FigParser:
                 self.services[sid] = tuple(comps)
                 if sid in self.user_apps:        # re-attach on re-signal
                     self._attach_user_apps(sid)
+        elif ext == 3:
+            while remaining_bits() >= 40:
+                scid = r.get(12)
+                r.get(3)
+                ca_org = r.get(1)
+                dg = r.get(1)
+                r.get(1)
+                dscty = r.get(6)
+                subchid = r.get(6)
+                address = r.get(10)
+                if ca_org:
+                    if remaining_bits() < 16:
+                        break
+                    r.get(16)
+                self.packet_comps[scid] = PacketComponent(
+                    scid=scid, subchid=subchid, address=address,
+                    dscty=dscty, dg=(dg == 0))
         elif ext == 13 and pd == 0:
             while remaining_bits() >= 24:
                 sid = r.get(16)
@@ -372,14 +445,16 @@ class FigParser:
             for c in comps)
 
     def _parse_fig1(self, body: bytes) -> None:
-        r = _BitReader(body[:3])
+        r = _BitReader(body[:5])
         r.get(4); r.get(1)
         ext = r.get(3)
-        ident = r.get(16)
-        label = body[3:19].decode("latin-1", "replace").rstrip()
+        n_ident = 4 if ext == 5 else 2     # 1/5: 32-bit data-service SId
+        ident = r.get(8 * n_ident)
+        off = 1 + n_ident
+        label = body[off:off + 16].decode("latin-1", "replace").rstrip()
         if ext == 0:
             self.ensemble_label = label
-        elif ext == 1:
+        elif ext in (1, 5):
             self.service_labels[ident] = label
 
     def _live_subchannels(self) -> dict:
@@ -404,7 +479,10 @@ class FigParser:
             subchannels=tuple(sorted(live.values(),
                                      key=lambda s: s.start_cu)),
             services=services,
-            label=self.ensemble_label)
+            label=self.ensemble_label,
+            packet_components=tuple(
+                pc for _, pc in sorted(self.packet_comps.items())
+                if pc.subchid in live))
 
 
 def _eep_bitrate_from_size(size_cus: int, level: int, option: int) -> int:
