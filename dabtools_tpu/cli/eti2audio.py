@@ -114,6 +114,13 @@ def main(argv=None) -> int:
             print("no MCI decoded")
             return 1
         print(f"ensemble 0x{ens.eid:04X} {ens.label!r}")
+        if fig.ecc is not None:
+            print(f"  ECC 0x{fig.ecc:02X}  LTO "
+                  f"{fig.lto_half_hours * 30:+d} min  "
+                  f"(table {fig.intl_table})")
+        if fig.utc is not None:
+            print(f"  ensemble time {fig.utc.isoformat(sep=' ')} UTC "
+                  f"(FIG 0/10)")
         for svc in ens.services:
             for c in svc.components:
                 if c.tmid == 3:          # packet data service (FIG 0/3)

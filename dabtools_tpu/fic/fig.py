@@ -177,6 +177,46 @@ def _fig_0_13(services: tuple[Service, ...]) -> list[bytes]:
     return figs
 
 
+_MJD_EPOCH_ORDINAL = 678576        # 1858-11-17 (MJD 0) as date.toordinal()
+
+
+def fig_0_9(lto_half_hours: int = 0, ecc: int = 0,
+            table_id: int = 1) -> bytes:
+    """Country, LTO and international table (EN 300 401 s8.1.3.2) [K-med]:
+    ext-flag(1) rfa(1) ensemble-LTO(6, sign + half-hours) ECC(8)
+    table-id(8).  ``table_id`` 1 = the TS 101 756 PTy table."""
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(9, 5)
+    w.put(0, 1)                    # extended field flag
+    w.put(0, 1)                    # rfa
+    w.put((0x20 if lto_half_hours < 0 else 0) | min(abs(lto_half_hours), 31),
+          6)
+    w.put(ecc, 8)
+    w.put(table_id, 8)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
+def fig_0_10(utc) -> bytes:
+    """Date and time (EN 300 401 s8.1.3.1) [K-med]: rfu(1) MJD(17) LSI(1)
+    rfa(1) UTC-flag(1), then long-form UTC h(5) m(6) s(6) ms(10).
+    ``utc``: a ``datetime.datetime`` (naive = UTC)."""
+    mjd = utc.date().toordinal() - _MJD_EPOCH_ORDINAL
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(10, 5)
+    w.put(0, 1)                    # rfu
+    w.put(mjd, 17)
+    w.put(0, 1)                    # leap second indicator
+    w.put(0, 1)                    # rfa
+    w.put(1, 1)                    # UTC flag: long form (with seconds)
+    w.put(utc.hour, 5)
+    w.put(utc.minute, 6)
+    w.put(utc.second, 6)
+    w.put(utc.microsecond // 1000, 10)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
 def _fig_1(ext: int, ident: int, label: str) -> bytes:
     lab = label.encode("latin-1", "replace")[:16].ljust(16)
     w = _BitWriter()
@@ -203,7 +243,8 @@ def _fits_one_frame(figs: list[bytes], n_fibs: int) -> bool:
 
 
 def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
-                            n_fibs: int = C.MODE_I.n_fibs) -> np.ndarray:
+                            n_fibs: int = C.MODE_I.n_fibs,
+                            extra_figs: tuple = ()) -> np.ndarray:
     """Build one transmission frame's FIBs carrying the full MCI.
 
     FIG 0/0 (ensemble id + CIF counter) goes in EVERY frame; the rest of
@@ -221,6 +262,7 @@ def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
         rest += _fig_0_13(ens.services)
     if ens.packet_components:
         rest += _fig_0_3(ens.packet_components)
+    rest += list(extra_figs)       # e.g. fig_0_9 / fig_0_10
     # Labels are rotated across frames (each is ~21 B, most of a FIB; real
     # muxes repeat them at low rate).  Up to 3 label FIGs per frame.
     labels = []
@@ -293,6 +335,11 @@ class FigParser:
     service_labels: dict = dataclasses.field(default_factory=dict)
     user_apps: dict = dataclasses.field(default_factory=dict)
     packet_comps: dict = dataclasses.field(default_factory=dict)
+    # FIG 0/9 + 0/10 (informational, not part of the Ensemble config)
+    ecc: int | None = None
+    lto_half_hours: int | None = None
+    intl_table: int | None = None
+    utc: "object | None" = None    # datetime.datetime of the last FIG 0/10
     fibs_ok: int = 0
     fibs_bad: int = 0
     figs_malformed: int = 0
@@ -419,6 +466,23 @@ class FigParser:
                 self.packet_comps[scid] = PacketComponent(
                     scid=scid, subchid=subchid, address=address,
                     dscty=dscty, dg=(dg == 0))
+        elif ext == 9:
+            r.get(1); r.get(1)
+            lto = r.get(6)
+            self.lto_half_hours = -(lto & 0x1F) if lto & 0x20 else lto
+            self.ecc = r.get(8)
+            self.intl_table = r.get(8)
+        elif ext == 10:
+            r.get(1)
+            mjd = r.get(17)
+            r.get(1); r.get(1)
+            long_form = r.get(1)
+            h, m = r.get(5), r.get(6)
+            s, ms = (r.get(6), r.get(10)) if long_form else (0, 0)
+            import datetime
+            self.utc = datetime.datetime.fromordinal(
+                mjd + _MJD_EPOCH_ORDINAL).replace(
+                hour=h, minute=m, second=s, microsecond=ms * 1000)
         elif ext == 13 and pd == 0:
             while remaining_bits() >= 24:
                 sid = r.get(16)

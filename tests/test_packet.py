@@ -261,3 +261,24 @@ def test_eti2audio_packet_service_cli(tmp_path):
                for p in outdir.iterdir()}
     for name, body in objects:
         assert written.get(name) == body, f"object {name} mismatch"
+
+
+def test_fig_time_and_lto_roundtrip():
+    """FIG 0/9 (ECC/LTO) + FIG 0/10 (date & time) build -> parse."""
+    import datetime
+
+    from dabtools_tpu.fic.fig import fig_0_9, fig_0_10
+
+    ens = _packet_ensemble()
+    t = datetime.datetime(2026, 8, 17, 23, 41, 7, 250000)
+    extra = (fig_0_9(lto_half_hours=-2, ecc=0xE1, table_id=1), fig_0_10(t))
+    p = FigParser()
+    for f in range(4):
+        for fib in build_fibs_for_ensemble(ens, f, extra_figs=extra):
+            p.feed_fib(fib.tobytes())
+    assert p.figs_malformed == 0
+    assert (p.ecc, p.lto_half_hours, p.intl_table) == (0xE1, -2, 1)
+    assert p.utc == t
+    # MJD sanity against a known anchor: 2000-01-01 = MJD 51544
+    assert (datetime.date(2000, 1, 1).toordinal()
+            - datetime.date(1858, 11, 17).toordinal()) == 51544
