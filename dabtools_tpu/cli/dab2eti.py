@@ -48,6 +48,85 @@ def iter_samples(path: str, fmt: str):
             f.close()
 
 
+def _wideband(args, mode, n_frames) -> int:
+    """Wideband capture -> channelizer (N2) -> one ETI/EDI file per Band
+    III block under the -o directory.  One TPU pass decodes every
+    ensemble in the captured band (BASELINE config #4 as a CLI surface;
+    the batched device path is `parallel.channel` — here each block runs
+    through its own streaming DabReceiver for per-block sync state)."""
+    import pathlib
+
+    from dabtools_tpu import constants as C
+    from dabtools_tpu.mod.impairments import u8_to_complex
+    from dabtools_tpu.models.receiver import DabReceiver
+    from dabtools_tpu.ops.fir import Channelizer
+    from dabtools_tpu.tables.bandiii import blocks_within
+
+    fs = int(args.rate)
+    if fs % C.SAMPLE_RATE:
+        log.error("--wideband needs --rate = n x 2.048 MHz (got %.4f MHz)",
+                  fs / 1e6)
+        return 2
+    if args.output == "-":
+        log.error("--wideband writes one file per block; -o must be a "
+                  "directory")
+        return 2
+    cands = blocks_within(args.wideband, fs)
+    if args.blocks:
+        want = {b.strip().upper() for b in args.blocks.split(",")}
+        unknown = want - {n for n, _ in cands}
+        if unknown:
+            log.error("blocks %s not inside the capture band (have %s)",
+                      sorted(unknown), [n for n, _ in cands])
+            return 2
+        cands = [(n, f) for n, f in cands if n in want]
+    if not cands:
+        log.error("no Band III blocks inside the capture bandwidth")
+        return 1
+    outdir = pathlib.Path(args.output)
+    outdir.mkdir(parents=True, exist_ok=True)
+    ch = Channelizer(fs, offsets_hz=[int(f - args.wideband)
+                                     for _, f in cands])
+    log.info("channelizing %.4f Msps -> %d blocks: %s (%d taps)",
+             fs / 1e6, len(cands), [n for n, _ in cands], ch.num_taps)
+    ext = "edi" if args.edi else "eti"
+    rxs, outs, edis, counts = {}, {}, {}, {}
+    for name, _ in cands:
+        rxs[name] = DabReceiver(n_frames=n_frames, mode=mode)
+        outs[name] = open(outdir / f"{name}.{ext}", "wb")
+        counts[name] = 0
+        if args.edi:
+            from dabtools_tpu.eti.edi import EdiWriter
+            edis[name] = EdiWriter(mode=mode)
+    try:
+        for chunk in iter_samples(args.input, args.format):
+            if chunk.dtype == np.uint8:
+                chunk = u8_to_complex(chunk)
+            y = ch(chunk)
+            for i, (name, _) in enumerate(cands):
+                for frame in rxs[name].feed(y[i]):
+                    if args.edi:
+                        for pkt in edis[name].from_eti_bytes(frame):
+                            outs[name].write(pkt)
+                    else:
+                        outs[name].write(frame)
+                    counts[name] += 1
+    finally:
+        for f in outs.values():
+            f.close()
+    n_found = 0
+    for name, freq in cands:
+        ens = rxs[name].ensemble
+        if ens is None:
+            log.info("block %s (%.3f MHz): no ensemble", name, freq / 1e6)
+            continue
+        n_found += 1
+        log.info("block %s (%.3f MHz): ensemble 0x%04X %r -> %d %s frames",
+                 name, freq / 1e6, ens.eid, ens.label, counts[name],
+                 ext.upper())
+    return 0 if n_found else 1
+
+
 def main(argv=None) -> int:
     from dabtools_tpu.utils.jitcache import enable_persistent_cache
     enable_persistent_cache()   # fast, weather-proof startup
@@ -101,6 +180,13 @@ def main(argv=None) -> int:
                         "null symbol and report it at exit")
     p.add_argument("--cpu", action="store_true",
                    help="force the JAX CPU backend")
+    p.add_argument("--wideband", type=float, default=None,
+                   metavar="CENTER_HZ",
+                   help="treat the input as a wideband capture centred "
+                        "here: channelize every Band III block in band "
+                        "(N2) and decode each to <block>.eti under -o DIR")
+    p.add_argument("--blocks", default=None, metavar="5C,5D,...",
+                   help="with --wideband: decode only these blocks")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
@@ -119,6 +205,8 @@ def main(argv=None) -> int:
 
     mode = C.MODES[args.mode]
     n_frames = args.frames_per_block or (6 if args.mode == "III" else 8)
+    if args.wideband is not None:
+        return _wideband(args, mode, n_frames)
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
     rx = DabReceiver(n_frames=n_frames, mode=mode,
                      stats_jsonl=args.stats_json, tii=args.tii,

@@ -107,6 +107,11 @@ def main(argv=None) -> int:
         print("no MCI decoded from FIC")
     else:
         print(f"ensemble: 0x{ens.eid:04X} {ens.label!r}")
+        if fig.ecc is not None:
+            print(f"  ECC 0x{fig.ecc:02X}, LTO {fig.lto_half_hours * 30:+d}"
+                  f" min, international table {fig.intl_table}")
+        if fig.utc is not None:
+            print(f"  time {fig.utc.isoformat(sep=' ')} UTC (FIG 0/10)")
         for s in ens.sorted_subchannels():
             print(f"  subch {s.subchid:2d}: CU {s.start_cu:3d}+{s.size_cus:<3d}"
                   f" {s.protection_type}-{s.protection_level}"
@@ -114,9 +119,14 @@ def main(argv=None) -> int:
                   f" {s.bitrate_kbps} kbit/s")
         for svc in ens.services:
             comps = ", ".join(
+                f"SCId {c.scid} (packet)" if c.tmid == 3 else
                 f"subch {c.subchid} ({'DAB+' if c.is_dabplus else 'MP2'})"
                 for c in svc.components)
             print(f"  service 0x{svc.sid:04X} {svc.label!r}: {comps}")
+        for pc in ens.packet_components:
+            print(f"  packet SCId {pc.scid}: subch {pc.subchid}, "
+                  f"address 0x{pc.address:03X}, DSCTy {pc.dscty}, "
+                  f"{'data groups' if pc.dg else 'no data groups'}")
     return 0
 
 

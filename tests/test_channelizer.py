@@ -124,3 +124,68 @@ class TestMethodEquivalence:
     def test_unaligned_offset_falls_back_to_direct(self):
         ch = Channelizer(8_192_000, [1_712_000 + 1000], method="auto")
         assert ch.method == "direct"
+
+
+def test_dab2eti_wideband_cli(tmp_path):
+    """dab2eti --wideband: one wideband capture -> per-block ETI files,
+    driven through the real CLI (BASELINE config #4 surface)."""
+    import subprocess
+    import sys
+
+    from tests.test_closed_loop import build_ensemble, modulate
+    from dabtools_tpu.fic.config import Ensemble, Subchannel
+    from dabtools_tpu.fic.fig import FigParser
+    from dabtools_tpu.eti.parse import EtiParser
+
+    fs = 8_192_000
+    factor = fs // C.SAMPLE_RATE
+    center = 178_352_000                  # block 5C; 5B/5D at -/+1.712 MHz
+    ens_a = build_ensemble()
+    ens_b = Ensemble(eid=0xB10C, label="BLOCK B",
+                     subchannels=(Subchannel.eep(4, 0, 2, "B", 64),))
+    # 14 frames: the filter ramp-in clips frame 0's null, so coarse sync
+    # locks on frame 1 and each 4-frame block consumes ~5 frames of
+    # buffer; 10 frames would end one block short.
+    xa, _ = modulate(ens_a, 14, seed=31)
+    xb, _ = modulate(ens_b, 14, seed=32)
+    wide = (upconvert(xa, factor, -1_712_000, fs)
+            + upconvert(xb, factor, +1_712_000, fs)) * 0.5
+    cap = tmp_path / "wide.cf32"
+    wide.astype(np.complex64).tofile(cap)
+
+    outdir = tmp_path / "eti"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dab2eti", "--cpu",
+         "--format", "cf32", "--wideband", str(center), "--rate", str(fs),
+         "--blocks", "5B,5D", "--frames-per-block", "4",
+         str(cap), "-o", str(outdir)],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "block 5B" in r.stderr and "0x4FFF" in r.stderr
+    assert "block 5D" in r.stderr and "0xB10C" in r.stderr
+
+    for block, eid in (("5B", ens_a.eid), ("5D", 0xB10C)):
+        frames = list(EtiParser().feed((outdir / f"{block}.eti")
+                                       .read_bytes()))
+        assert len(frames) >= 4, block
+        assert all(f.header_crc_ok and f.mst_crc_ok for f in frames)
+        fig = FigParser()
+        for f in frames:
+            for i in range(0, len(f.fic), 32):
+                fig.feed_fib(f.fic[i:i + 32])
+        assert fig.ensemble().eid == eid
+
+
+def test_dab2eti_wideband_cli_errors(tmp_path):
+    import subprocess
+    import sys
+
+    cap = tmp_path / "x.cf32"
+    np.zeros(4096, np.complex64).tofile(cap)
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dab2eti", "--cpu",
+         "--format", "cf32", "--wideband", "178352000", "--rate", "8192000",
+         "--blocks", "9Z", str(cap), "-o", str(tmp_path / "d")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 2
+    assert "not inside" in r.stderr
