@@ -76,6 +76,9 @@ def main(argv=None) -> int:
                    help="decode MOT slideshow images from PAD into DIR")
     p.add_argument("--objects", metavar="DIR", default=None,
                    help="packet-mode service: decode MOT objects into DIR")
+    p.add_argument("--follow-announcements", action="store_true",
+                   help="switch to the announcement sub-channel while the "
+                        "service's cluster signals one (FIG 0/18, 0/19)")
     p.add_argument("--mode", choices=("I", "II", "III", "IV"), default="I",
                    help="DAB transmission mode of the ETI source")
     p.add_argument("--output", "-o", default="-")
@@ -183,6 +186,7 @@ def main(argv=None) -> int:
                 log.error("no services signalled; use --subch")
             return None
         comp = next(c for c in svc.components if c.primary)
+        resolved_sid[0] = svc.sid
         if comp.tmid == 3:           # packet-mode data service
             try:
                 pc = ens.packet_component(comp.scid)
@@ -210,15 +214,39 @@ def main(argv=None) -> int:
 
     # Streaming state, filled once the target resolves.
     target: tuple[int, bool, int | None] | None = None
-    dec = None                       # DAB+ SuperframeDecoder
+    resolved_sid: list = [None]      # service id behind `target`, if any
+    ann_current: list = [None]       # announcement sub-channel in effect
+    decs: dict = {}                  # DAB+ SuperframeDecoder per subchid
     pkt = None                       # packet-mode PacketDecoder
     mot = None                       # packet-mode MotDecoder
     mot_objects: list = []
     stats = {"frames": 0, "with_sub": 0, "mp2_bytes": 0,
-             "aus": 0, "aus_bad": 0, "data_groups": 0}
+             "aus": 0, "aus_bad": 0, "data_groups": 0, "switches": 0}
+
+    def subch_is_dabplus(subchid: int) -> bool:
+        ens = fig.ensemble()
+        return ens is not None and any(
+            c.subchid == subchid and c.is_dabplus
+            for svc in ens.services for c in svc.components)
 
     def sink(frame) -> None:
         subchid, is_dabplus, pkt_addr = target
+        if (args.follow_announcements and pkt_addr is None
+                and resolved_sid[0] is not None):
+            ann = fig.announcement_for(resolved_sid[0])
+            asub = ann[1] if ann is not None else None
+            if (asub is not None and asub != subchid
+                    and asub in frame.streams):
+                if ann_current[0] != asub:
+                    log.info("announcement active: switching to "
+                             "sub-channel %d (ASw 0x%04X)", asub, ann[0])
+                    stats["switches"] += 1
+                    ann_current[0] = asub
+                subchid, is_dabplus = asub, subch_is_dabplus(asub)
+            elif asub is None and ann_current[0] is not None:
+                log.info("announcement ended: back to sub-channel %d",
+                         subchid)
+                ann_current[0] = None
         if subchid not in frame.streams:
             return
         stats["with_sub"] += 1
@@ -243,11 +271,10 @@ def main(argv=None) -> int:
             if pad is not None:
                 show(pad.feed_mp2_frame(d))
             return
-        nonlocal dec
+        from dabtools_tpu.eti.dabplus import SuperframeDecoder, adts_wrap
+        dec = decs.get(subchid)
         if dec is None:
-            from dabtools_tpu.eti.dabplus import SuperframeDecoder
-            dec = SuperframeDecoder(len(d) // 3)
-        from dabtools_tpu.eti.dabplus import adts_wrap
+            dec = decs[subchid] = SuperframeDecoder(len(d) // 3)
         for au in dec.feed(d):
             if not au.crc_ok:
                 stats["aus_bad"] += 1
@@ -318,7 +345,9 @@ def main(argv=None) -> int:
     else:
         log.info("wrote %d AAC AUs (%d failed CRC); stats=%s",
                  stats["aus"], stats["aus_bad"],
-                 dec.stats if dec is not None else {})
+                 {sc: d.stats for sc, d in decs.items()})
+    if args.follow_announcements and stats["switches"]:
+        log.info("announcement switches: %d", stats["switches"])
     if pad is not None:
         pad.flush()
         if args.labels:

@@ -180,6 +180,38 @@ def _fig_0_13(services: tuple[Service, ...]) -> list[bytes]:
 _MJD_EPOCH_ORDINAL = 678576        # 1858-11-17 (MJD 0) as date.toordinal()
 
 
+def fig_0_18(sid: int, asu_flags: int, clusters: tuple[int, ...]) -> bytes:
+    """Announcement support (EN 300 401 s8.1.6.1) [K-med]: SId(16)
+    ASu-flags(16) rfa(5) n-clusters(3) + cluster ids (8 each).
+    ``asu_flags`` bit 0 = alarm, bit 1 = traffic, ... (TS 101 756)."""
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(18, 5)
+    w.put(sid, 16)
+    w.put(asu_flags, 16)
+    w.put(0, 5)
+    w.put(len(clusters), 3)
+    for c in clusters:
+        w.put(c, 8)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
+def fig_0_19(cluster: int, asw_flags: int, subchid: int,
+             new_flag: bool = True) -> bytes:
+    """Announcement switching (EN 300 401 s8.1.6.2) [K-med]: ClusterId(8)
+    ASw-flags(16) NewFlag(1) RegionFlag(1)=0 SubChId(6).  ``asw_flags``
+    == 0 signals the announcement has ENDED for this cluster."""
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(19, 5)
+    w.put(cluster, 8)
+    w.put(asw_flags, 16)
+    w.put(1 if new_flag else 0, 1)
+    w.put(0, 1)                    # region flag (no region id follows)
+    w.put(subchid, 6)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
 def fig_0_9(lto_half_hours: int = 0, ecc: int = 0,
             table_id: int = 1) -> bytes:
     """Country, LTO and international table (EN 300 401 s8.1.3.2) [K-med]:
@@ -335,6 +367,10 @@ class FigParser:
     service_labels: dict = dataclasses.field(default_factory=dict)
     user_apps: dict = dataclasses.field(default_factory=dict)
     packet_comps: dict = dataclasses.field(default_factory=dict)
+    # FIG 0/18 + 0/19 announcements: sid -> (ASu flags, cluster ids);
+    # cluster -> (ASw flags, subchid) while an announcement is active.
+    announce_support: dict = dataclasses.field(default_factory=dict)
+    announce_active: dict = dataclasses.field(default_factory=dict)
     # FIG 0/9 + 0/10 (informational, not part of the Ensemble config)
     ecc: int | None = None
     lto_half_hours: int | None = None
@@ -483,6 +519,31 @@ class FigParser:
             self.utc = datetime.datetime.fromordinal(
                 mjd + _MJD_EPOCH_ORDINAL).replace(
                 hour=h, minute=m, second=s, microsecond=ms * 1000)
+        elif ext == 18:
+            while remaining_bits() >= 40:
+                sid = r.get(16)
+                asu = r.get(16)
+                r.get(5)
+                n_cl = r.get(3)
+                if remaining_bits() < 8 * n_cl:
+                    break
+                clusters = tuple(r.get(8) for _ in range(n_cl))
+                self.announce_support[sid] = (asu, clusters)
+        elif ext == 19:
+            while remaining_bits() >= 32:
+                cluster = r.get(8)
+                asw = r.get(16)
+                r.get(1)                         # new flag
+                region = r.get(1)
+                subchid = r.get(6)
+                if region:
+                    if remaining_bits() < 8:
+                        break
+                    r.get(8)                     # region id lower + rfa
+                if asw:
+                    self.announce_active[cluster] = (asw, subchid)
+                else:
+                    self.announce_active.pop(cluster, None)
         elif ext == 13 and pd == 0:
             while remaining_bits() >= 24:
                 sid = r.get(16)
@@ -520,6 +581,19 @@ class FigParser:
             self.ensemble_label = label
         elif ext in (1, 5):
             self.service_labels[ident] = label
+
+    def announcement_for(self, sid: int) -> tuple[int, int] | None:
+        """(ASw flags, subchid) of an active announcement this service
+        supports and should switch to, else None (EN 300 401 s8.1.6)."""
+        sup = self.announce_support.get(sid)
+        if not sup:
+            return None
+        asu, clusters = sup
+        for c in clusters:
+            act = self.announce_active.get(c)
+            if act is not None and (act[0] & asu):
+                return act
+        return None
 
     def _live_subchannels(self) -> dict:
         horizon = self._tick - self.max_subch_age_fibs
