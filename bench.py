@@ -69,6 +69,34 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _wait_for_relay():
+    """Don't START inside a relay bad window (observed lasting 60+ min):
+    probe compile+transfer+fetch in FRESH subprocesses (a wedged process
+    proves nothing about a new one) and wait up to DABTOOLS_WEATHER_WAIT
+    seconds before the first device touch.  The headline then begins in
+    a window that just passed a probe, maximizing the chance it and the
+    inline bit-exactness check land before the weather turns."""
+    import subprocess
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return                     # CPU run: no relay in the path
+    budget = float(os.environ.get("DABTOOLS_WEATHER_WAIT", 600))
+    t0 = time.time()
+    while time.time() - t0 < budget:
+        try:
+            if subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                              capture_output=True,
+                              timeout=90).returncode == 0:
+                if time.time() - t0 > 5:
+                    log(f"# waited {time.time() - t0:.0f}s for a good "
+                        f"relay window")
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        log("# relay in a bad window; waiting 60s before starting")
+        time.sleep(60)
+    log(f"# relay still bad after {budget:.0f}s pre-flight; trying anyway")
+
+
 def main():
     from __graft_entry__ import _flagship_ensemble
     from dabtools_tpu import constants as C
@@ -77,6 +105,8 @@ def main():
 
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     quick = "--quick" in sys.argv
+    if "--once" not in sys.argv:   # subprocess runs inherit a good window
+        _wait_for_relay()
     profile_dir = None
     if "--profile" in sys.argv:      # device timeline (SURVEY.md s5.1)
         profile_dir = "/tmp/dabtools_profile"
@@ -368,6 +398,10 @@ def _check_closedloop_inline(out, payload, n_frames):
     fib = np.asarray(out["fib_bytes"]).reshape(-1, C.FIB_BYTES)
     fibs_ok = int(crc16_ok_batch(fib).sum())
     n_cifs = n_frames * C.MODE_I.n_cifs
+    if n_cifs <= 15:
+        log(f"# [closedloop-inline] SKIPPED (block of {n_frames} frames "
+            f"has no fully-primed deinterleaver rows; use >= 4 frames)")
+        return
     good = bad = 0
     for sc, pb in payload.items():
         got = np.asarray(out["subch"][str(sc)])

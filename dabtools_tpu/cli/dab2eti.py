@@ -196,6 +196,10 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     if args.device == "rtlsdr" and args.frequency is None:
         p.error("--device rtlsdr requires --frequency")
+    if args.wideband is not None and args.device != "file":
+        p.error("--wideband reads a wideband capture file/stream; it does "
+                "not drive an SDR frontend (the RTL-SDR samples a single "
+                "2.048 MHz block)")
     if args.frequency and args.device == "file":
         log.info("frequency %.3f MHz (file/stream input; not tuning)",
                  args.frequency / 1e6)

@@ -219,9 +219,29 @@ def main(argv=None) -> int:
     decs: dict = {}                  # DAB+ SuperframeDecoder per subchid
     pkt = None                       # packet-mode PacketDecoder
     mot = None                       # packet-mode MotDecoder
-    mot_objects: list = []
-    stats = {"frames": 0, "with_sub": 0, "mp2_bytes": 0,
-             "aus": 0, "aus_bad": 0, "data_groups": 0, "switches": 0}
+    mot_written: dict = {}           # name -> body hash already on disk
+    stats = {"frames": 0, "with_sub": 0, "mp2_bytes": 0, "aus": 0,
+             "aus_bad": 0, "data_groups": 0, "switches": 0, "objects": 0}
+
+    def write_mot_objects(objs) -> None:
+        """Write completed MOT objects AS THEY ARRIVE (a live stream has
+        no EOF) and dedupe carousel repetitions (header-mode objects
+        re-complete every cycle) so memory and disk stay bounded."""
+        import hashlib
+        import pathlib
+        outdir = pathlib.Path(args.objects)
+        outdir.mkdir(parents=True, exist_ok=True)
+        for obj in objs:
+            name = safe_mot_filename(obj.name, obj.transport_id)
+            digest = hashlib.sha256(obj.body).hexdigest()
+            if mot_written.get(name) == digest:
+                continue
+            path = outdir / name
+            path.write_bytes(obj.body)
+            mot_written[name] = digest
+            stats["objects"] += 1
+            log.info("MOT object: %s (%d bytes, type %d/%d)",
+                     path, len(obj.body), obj.content_type, obj.subtype)
 
     def subch_is_dabplus(subchid: int) -> bool:
         ens = fig.ensemble()
@@ -263,7 +283,7 @@ def main(argv=None) -> int:
                 stats["data_groups"] += 1
                 out.write(dg)        # concatenated MSC data groups
                 if args.objects is not None:
-                    mot_objects.extend(mot.feed_data_group(dg))
+                    write_mot_objects(mot.feed_data_group(dg))
             return
         if not is_dabplus:
             out.write(d)
@@ -327,18 +347,11 @@ def main(argv=None) -> int:
         log.error("sub-channel %d not present in ETI", target[0])
         return 1
     if target[2] is not None:
-        log.info("wrote %d MSC data groups; packet stats=%s",
-                 stats["data_groups"], pkt.stats if pkt else {})
-        if args.objects is not None:
-            import pathlib
-            outdir = pathlib.Path(args.objects)
-            outdir.mkdir(parents=True, exist_ok=True)
-            for i, obj in enumerate(mot_objects):
-                name = safe_mot_filename(obj.name, obj.transport_id)
-                path = outdir / f"{i:03d}_{name}"
-                path.write_bytes(obj.body)
-                log.info("MOT object: %s (%d bytes, type %d/%d)",
-                         path, len(obj.body), obj.content_type, obj.subtype)
+        if args.objects is not None and mot is not None:
+            write_mot_objects(mot.flush())
+        log.info("wrote %d MSC data groups, %d MOT objects; "
+                 "packet stats=%s", stats["data_groups"], stats["objects"],
+                 pkt.stats if pkt else {})
     elif not target[1]:
         log.info("wrote %d bytes MP2 from %d frames",
                  stats["mp2_bytes"], stats["with_sub"])

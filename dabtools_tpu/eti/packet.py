@@ -99,6 +99,13 @@ class PacketEncoder:
         """Exactly ``frame_bytes`` of packet stream (multiple of 24)."""
         if frame_bytes % 24:
             raise ValueError("packet-mode sub-channel frames are n x 24 B")
+        if self._queue and len(self._queue[0]) > frame_bytes:
+            # would never drain: the standard drain loop (`while
+            # pending_bytes: take_frame(...)`) must not spin forever
+            raise ValueError(
+                f"packet size {len(self._queue[0])} exceeds the "
+                f"sub-channel frame capacity {frame_bytes}; construct the "
+                f"encoder with packet_size <= frame capacity")
         out = bytearray()
         while self._queue and len(out) + len(self._queue[0]) <= frame_bytes:
             out += self._queue.pop(0)
@@ -129,7 +136,7 @@ class PacketDecoder:
         self._asm: dict[int, _Assembly] = {}
         self.stats = {"packets": 0, "padding": 0, "crc_failures": 0,
                       "continuity_errors": 0, "orphans": 0, "command": 0,
-                      "data_groups": 0}
+                      "malformed": 0, "data_groups": 0}
 
     def feed(self, data: bytes) -> list[tuple[int, bytes]]:
         self._buf += data
@@ -146,13 +153,21 @@ class PacketDecoder:
             del self._buf[:size]
             self.stats["packets"] += 1
             address = (pkt[0] & 3) << 8 | pkt[1]
+            continuity = pkt[0] >> 4 & 3
             if address == PADDING_ADDRESS:
                 self.stats["padding"] += 1
                 continue
-            if pkt[2] & 0x80:          # command packet (e.g. CA): not data
-                self.stats["command"] += 1
+            if pkt[2] & 0x80:          # command packet (e.g. CA): not data,
+                self.stats["command"] += 1   # but it advances the address's
+                st = self._asm.get(address)  # continuity chain
+                if st is not None and (st.continuity + 1) & 3 == continuity:
+                    st.continuity = continuity
                 continue
-            continuity = pkt[0] >> 4 & 3
+            if (pkt[2] & 0x7F) > size - _OVERHEAD:
+                # CRC-aliased corrupt header: never leak padding/CRC bytes
+                # into a data group
+                self.stats["malformed"] += 1
+                continue
             first, last = pkt[0] >> 3 & 1, pkt[0] >> 2 & 1
             useful = pkt[_HEADER_LEN:_HEADER_LEN + (pkt[2] & 0x7F)]
             st = self._asm.get(address)

@@ -109,8 +109,28 @@ def _fig_0_2(services: tuple[Service, ...]) -> list[bytes]:
     prog = tuple(s for s in services if not _is_data_service(s))
     data = tuple(s for s in services if _is_data_service(s))
     # pd=0: programme services, 16-bit SIds; pd=1: data services, 32-bit.
-    for pd, svcs, sid_bits, per_fig in ((0, prog, 16, 4), (1, data, 32, 3)):
-        for group in _chunks(svcs, per_fig):
+    for pd, svcs, sid_bits in ((0, prog, 16), (1, data, 32)):
+        # Greedy BYTE-budget chunking (not a fixed per-FIG count): a FIG
+        # body is capped at 29 bytes and component counts vary, so a
+        # fixed count can overflow the 5-bit length field and corrupt
+        # the whole FIB.
+        groups: list[list[Service]] = []
+        cur: list[Service] = []
+        used = 0
+        for svc in svcs:
+            size = sid_bits // 8 + 1 + 2 * len(svc.components)
+            if 1 + size > 29:
+                raise ValueError(
+                    f"service 0x{svc.sid:X}: too many components for one "
+                    f"FIG 0/2")
+            if cur and used + size > 28:   # 1 FIG-0 header byte + 28
+                groups.append(cur)
+                cur, used = [], 0
+            cur.append(svc)
+            used += size
+        if cur:
+            groups.append(cur)
+        for group in groups:
             w = _BitWriter()
             w.put(0, 1); w.put(0, 1); w.put(pd, 1); w.put(2, 5)   # ext=2
             for svc in group:
@@ -184,6 +204,8 @@ def fig_0_18(sid: int, asu_flags: int, clusters: tuple[int, ...]) -> bytes:
     """Announcement support (EN 300 401 s8.1.6.1) [K-med]: SId(16)
     ASu-flags(16) rfa(5) n-clusters(3) + cluster ids (8 each).
     ``asu_flags`` bit 0 = alarm, bit 1 = traffic, ... (TS 101 756)."""
+    if len(clusters) > 7:
+        raise ValueError("FIG 0/18 carries at most 7 cluster ids")
     w = _BitWriter()
     w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(18, 5)
     w.put(sid, 16)
@@ -383,6 +405,10 @@ class FigParser:
     # stay live (real multiplexes repeat the MCI every frame); stale
     # sub-channels age out so a reconfigured ensemble replaces, not merges.
     max_subch_age_fibs: int = 120
+    # FIG 0/19 repeats at least once per second while an announcement is
+    # live (EN 300 401 s8.1.6.2); ~2.5 s of FIBs without a re-signal
+    # means it ended and we missed the ASw=0.
+    max_announce_age_fibs: int = 300
     _tick: int = 0
     _subch_seen: dict = dataclasses.field(default_factory=dict)
 
@@ -541,7 +567,8 @@ class FigParser:
                         break
                     r.get(8)                     # region id lower + rfa
                 if asw:
-                    self.announce_active[cluster] = (asw, subchid)
+                    self.announce_active[cluster] = (asw, subchid,
+                                                     self._tick)
                 else:
                     self.announce_active.pop(cluster, None)
         elif ext == 13 and pd == 0:
@@ -584,15 +611,27 @@ class FigParser:
 
     def announcement_for(self, sid: int) -> tuple[int, int] | None:
         """(ASw flags, subchid) of an active announcement this service
-        supports and should switch to, else None (EN 300 401 s8.1.6)."""
+        supports and should switch to, else None (EN 300 401 s8.1.6).
+
+        An active cluster must keep being re-signalled: if its FIG 0/19
+        stops repeating (or the single ASw=0 end marker is lost to a FIB
+        CRC failure) it ages out after ``max_announce_age_fibs`` instead
+        of pinning the receiver to the announcement forever."""
         sup = self.announce_support.get(sid)
         if not sup:
             return None
         asu, clusters = sup
+        horizon = self._tick - self.max_announce_age_fibs
         for c in clusters:
             act = self.announce_active.get(c)
-            if act is not None and (act[0] & asu):
-                return act
+            if act is None:
+                continue
+            asw, subchid, seen = act
+            if seen <= horizon:
+                del self.announce_active[c]
+                continue
+            if asw & asu:
+                return asw, subchid
         return None
 
     def _live_subchannels(self) -> dict:

@@ -257,8 +257,7 @@ def test_eti2audio_packet_service_cli(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "packet sub-channel 2 address 0x021" in r.stderr
     assert dgs_out.stat().st_size > 0
-    written = {p.name.split("_", 1)[1]: p.read_bytes()
-               for p in outdir.iterdir()}
+    written = {p.name: p.read_bytes() for p in outdir.iterdir()}
     for name, body in objects:
         assert written.get(name) == body, f"object {name} mismatch"
 
@@ -282,3 +281,44 @@ def test_fig_time_and_lto_roundtrip():
     # MJD sanity against a known anchor: 2000-01-01 = MJD 51544
     assert (datetime.date(2000, 1, 1).toordinal()
             - datetime.date(1858, 11, 17).toordinal()) == 51544
+
+
+def test_take_frame_rejects_oversized_packets():
+    """A queue head that can never fit the frame must raise, not spin the
+    standard `while pending_bytes` drain loop forever."""
+    enc = PacketEncoder(address=1, packet_size=96)
+    enc.add_data_group(b"x" * 200)
+    with pytest.raises(ValueError, match="exceeds"):
+        enc.take_frame(72)
+
+
+def test_command_packet_advances_continuity():
+    """A command packet (e.g. CA) inside a data group advances the
+    address's continuity chain; the group must still assemble."""
+    enc = PacketEncoder(address=6, packet_size=24)
+    enc.add_data_group(b"D" * 40)            # 3 packets: cont 0,1,2
+    packets = list(enc._queue)
+    cmd = build_packet(6, b"", 1, False, False, 24, command=True)
+    # fix continuity: cmd took index 1, so shift the data packets after it
+    p1 = bytearray(packets[1]); p1[0] = (p1[0] & 0xCF) | (2 << 4)
+    p2 = bytearray(packets[2]); p2[0] = (p2[0] & 0xCF) | (3 << 4)
+    from dabtools_tpu.utils.crc import crc16_ccitt
+    for p in (p1, p2):
+        p[-2:] = crc16_ccitt(bytes(p[:-2])).to_bytes(2, "big")
+    dec = PacketDecoder()
+    got = dec.feed(packets[0] + cmd + bytes(p1) + bytes(p2))
+    assert got == [(6, b"D" * 40)]
+    assert dec.stats["command"] == 1
+    assert dec.stats["continuity_errors"] == 0
+
+
+def test_malformed_useful_length_dropped():
+    """A CRC-aliased header claiming more useful bytes than the data
+    field holds must be dropped, never leak padding/CRC into a group."""
+    p = bytearray(build_packet(7, b"hi", 0, True, True, 24))
+    p[2] = 120                               # useful length > 24 - 5
+    from dabtools_tpu.utils.crc import crc16_ccitt
+    p[-2:] = crc16_ccitt(bytes(p[:-2])).to_bytes(2, "big")
+    dec = PacketDecoder()
+    assert dec.feed(bytes(p)) == []
+    assert dec.stats["malformed"] == 1

@@ -35,7 +35,11 @@ def main() -> int:
     args = sys.argv[1:]
     max_wait = 7200.0
     if args and args[0] == "--max-wait":
-        max_wait = float(args[1])
+        try:
+            max_wait = float(args[1])
+        except (IndexError, ValueError):
+            print(__doc__, file=sys.stderr)
+            return 2
         args = args[2:]
     if args and args[0] == "--":
         args = args[1:]
