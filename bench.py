@@ -138,14 +138,22 @@ def main():
         for s in ens.subchannels})
     cif = jnp.asarray(0, dtype=jnp.int32)
 
-    # Jit static arg = decode_config() — the SAME key DabReceiver uses, so
-    # the headline, the inline bit-exactness check below, and the
-    # closedloop section all share ONE compiled executable (one cache
-    # entry to prewarm/pin, no fresh compiles at section time).
+    # Jit static args = decode_config() + explicit mode — the SAME
+    # signature DabReceiver uses, so the headline, the inline
+    # bit-exactness check below, and the closedloop section lower to
+    # identical HLO and share ONE persistent-cache entry (one program to
+    # prewarm/pin; no compile-helper involvement at section time).  The
+    # receiver's first call still re-traces in-memory (numpy scalar cif /
+    # host rings are part of jit's dispatch key) but that re-lowering
+    # hits the disk cache, never the relay.
     dc = ens.decode_config()
 
     def step(x, rings, cif):
-        return process_block(x, rings, cif, ensemble=dc, n_frames=n_frames)
+        # kwargs must match DabReceiver._process_one_block EXACTLY
+        # (ensemble, mode, n_frames): jit keys on the passed-kwarg set,
+        # so relying on the `mode` default would be a second cache entry.
+        return process_block(x, rings, cif, ensemble=dc, mode=C.MODE_I,
+                             n_frames=n_frames)
 
     t0 = time.perf_counter()
     jax.block_until_ready(call_with_retries(step, x, rings, cif))
