@@ -43,6 +43,148 @@ def safe_mot_filename(name: str | None, transport_id: int) -> str:
     return name or f"slide_{transport_id}"
 
 
+def _safe_label(label: str, sid: int) -> str:
+    import re
+    s = re.sub(r"[^A-Za-z0-9._-]+", "_", (label or "").strip()).strip("_.")
+    return f"0x{sid:X}" + (f"_{s}" if s else "")
+
+
+def _extract_all(args, f, parser, fig) -> int:
+    """One-pass whole-mux extraction (``--all DIR``): every audio service
+    to its own elementary-stream file, every packet data service's MOT
+    objects to a per-service directory.  The reference needs one
+    `eti2mpa` process per service; this is the single-pass equivalent."""
+    import hashlib
+    import pathlib
+
+    from dabtools_tpu.eti.dabplus import SuperframeDecoder, adts_wrap
+
+    outdir = pathlib.Path(args.all)
+    outdir.mkdir(parents=True, exist_ok=True)
+    sinks: dict[int, dict] = {}
+    pending: list = []
+    n_frames = 0
+
+    def ensure_sinks(force: bool = False) -> bool:
+        ens = fig.ensemble()
+        if ens is None:
+            return False
+        # Filenames carry the service labels, which rotate in at a lower
+        # FIG rate than the MCI: hold off until every service is labeled
+        # (or ~1.5 s / EOF) — the pending buffer makes the wait lossless.
+        if (not sinks and not force and n_frames < 16
+                and not all(s.label for s in ens.services)):
+            return False
+        added = False
+        for svc in ens.services:
+            if svc.sid in sinks:
+                continue
+            comp = next((c for c in svc.components if c.primary), None)
+            if comp is None:
+                continue
+            if comp.tmid == 3:
+                try:
+                    pc = ens.packet_component(comp.scid)
+                except KeyError:
+                    continue         # FIG 0/3 may still arrive
+                from dabtools_tpu.eti.mot import MotDecoder
+                from dabtools_tpu.eti.packet import PacketDecoder
+                sinks[svc.sid] = {
+                    "kind": "packet", "subchid": pc.subchid,
+                    "address": pc.address, "pkt": PacketDecoder(),
+                    "mot": MotDecoder(), "written": {}, "count": 0,
+                    "dir": outdir
+                           / f"{_safe_label(svc.label, svc.sid)}_objects"}
+            elif comp.tmid == 0:
+                ext = "aac" if comp.is_dabplus else "mp2"
+                path = outdir / f"{_safe_label(svc.label, svc.sid)}.{ext}"
+                sinks[svc.sid] = {
+                    "kind": "dab+" if comp.is_dabplus else "mp2",
+                    "subchid": comp.subchid, "out": open(path, "wb"),
+                    "path": path, "dec": None, "count": 0}
+            else:
+                continue
+            added = True
+            log.info("service 0x%X %r -> %s", svc.sid, svc.label,
+                     sinks[svc.sid].get("path")
+                     or sinks[svc.sid].get("dir"))
+        return added
+
+    def feed_sinks(frame) -> None:
+        for s in sinks.values():
+            if s["subchid"] not in frame.streams:
+                continue
+            d = frame.subchannel_data(s["subchid"])
+            if s["kind"] == "mp2":
+                s["out"].write(d)
+                s["count"] += len(d)
+            elif s["kind"] == "dab+":
+                if s["dec"] is None:
+                    s["dec"] = SuperframeDecoder(len(d) // 3)
+                for au in s["dec"].feed(d):
+                    if not au.crc_ok:
+                        continue
+                    s["out"].write(adts_wrap(au.data, s["dec"].config)
+                                   if args.adts else au.data)
+                    s["count"] += 1
+            else:                    # packet-mode data service
+                for addr, dg in s["pkt"].feed(d):
+                    if addr != s["address"]:
+                        continue
+                    for obj in s["mot"].feed_data_group(dg):
+                        name = safe_mot_filename(obj.name,
+                                                 obj.transport_id)
+                        digest = hashlib.sha256(obj.body).hexdigest()
+                        if s["written"].get(name) == digest:
+                            continue
+                        s["dir"].mkdir(parents=True, exist_ok=True)
+                        (s["dir"] / name).write_bytes(obj.body)
+                        s["written"][name] = digest
+                        s["count"] += 1
+
+    while True:
+        chunk = f.read(1 << 20)
+        if not chunk:
+            break
+        for frame in parser.feed(chunk):
+            n_frames += 1
+            for i in range(0, len(frame.fic), 32):
+                fig.feed_fib(frame.fic[i:i + 32])
+            ensure_sinks()
+            if not sinks:            # buffer the pre-MCI prefix
+                pending.append(frame)
+                if len(pending) > MAX_PENDING_FRAMES:
+                    pending.pop(0)
+                continue
+            for fr in pending:       # first sink(s): replay the prefix
+                feed_sinks(fr)
+            pending.clear()
+            feed_sinks(frame)
+
+    if not n_frames:
+        log.error("no ETI frames found")
+        return 1
+    if not sinks:                    # short stream: create sinks at EOF
+        ensure_sinks(force=True)
+        for fr in pending:
+            feed_sinks(fr)
+        pending.clear()
+    if not sinks:
+        log.error("no MCI decoded from FIC; nothing extracted")
+        return 1
+    for sid, s in sinks.items():
+        if s["kind"] == "mp2":
+            log.info("0x%X: %d MP2 bytes -> %s", sid, s["count"], s["path"])
+            s["out"].close()
+        elif s["kind"] == "dab+":
+            log.info("0x%X: %d AAC AUs -> %s", sid, s["count"], s["path"])
+            s["out"].close()
+        else:
+            log.info("0x%X: %d MOT objects -> %s (packet stats=%s)",
+                     sid, s["count"], s["dir"], s["pkt"].stats)
+    return 0
+
+
 def main(argv=None) -> int:
     # ETI processing is host-side byte work; the only jax use (the DAB+
     # RS batch) is explicitly CPU-pinned.  Force the CPU platform before
@@ -64,6 +206,10 @@ def main(argv=None) -> int:
     sel.add_argument("--sid", type=lambda s: int(s, 0),
                      help="service id (hex ok); default: first audio service")
     sel.add_argument("--subch", type=int, help="sub-channel id")
+    sel.add_argument("--all", metavar="DIR", default=None,
+                     help="extract EVERY service in one pass: audio to "
+                          "DIR/<sid>_<label>.mp2/.aac, packet services' "
+                          "MOT objects to DIR/<sid>_objects/")
     p.add_argument("--list", action="store_true",
                    help="list the ensemble's services and exit")
     p.add_argument("--adts", action="store_true",
@@ -90,11 +236,18 @@ def main(argv=None) -> int:
     from dabtools_tpu.fic.fig import FigParser
 
     f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
-    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
 
     from dabtools_tpu import constants as C
     parser = EtiParser(mode=C.MODES[args.mode])
     fig = FigParser()
+
+    if args.all is not None:
+        rc = _extract_all(args, f, parser, fig)
+        if args.input != "-":
+            f.close()
+        return rc
+
+    out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
 
     if args.list:
         # FIC-only scan: no frame retention at all.

@@ -184,3 +184,20 @@ def test_eti2audio_list(eti_file):
     assert "ensemble 0xC0DE 'CLI TEST'" in r.stdout
     assert "0x1111" in r.stdout and "MP2" in r.stdout
     assert "0x2222" in r.stdout and "DAB+" in r.stdout
+
+
+def test_eti2audio_all_services(eti_file, capture, tmp_path):
+    """--all extracts every service in one pass: MP2 bytes and AAC AUs
+    land in per-service files."""
+    outdir = tmp_path / "mux"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--all", str(outdir), str(eti_file)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    mp2 = (outdir / "0x1111_MP2_SVC.mp2").read_bytes()
+    assert len(mp2) >= 16 * 192
+    assert mp2 in capture["mp2"].reshape(-1).tobytes()
+    aac = (outdir / "0x2222_AAC_SVC.aac").read_bytes()
+    all_aus = b"".join(b"".join(aus) for aus in capture["sf_aus"])
+    assert len(aac) > 0 and aac in all_aus

@@ -322,3 +322,41 @@ def test_malformed_useful_length_dropped():
     dec = PacketDecoder()
     assert dec.feed(bytes(p)) == []
     assert dec.stats["malformed"] == 1
+
+
+def test_eti2audio_all_includes_packet_service(tmp_path):
+    """--all also extracts packet data services' MOT objects."""
+    import subprocess
+    import sys
+
+    from dabtools_tpu.eti.assemble import EtiAssembler
+
+    ens = _packet_ensemble()
+    pc = ens.packet_component(7)
+    sub = ens.subchannel(pc.subchid)
+    rng = np.random.default_rng(8)
+    objects = [("a.png", rng.integers(0, 256, 200, dtype=np.uint8)
+                .tobytes())]
+    mot = MotEncoder(seg_size=64)
+    enc = PacketEncoder(address=pc.address, packet_size=96)
+    for dg in mot.carousel_groups(objects):
+        enc.add_data_group(dg)
+    asm = EtiAssembler(ens)
+    eti = bytearray()
+    for n in range(24):
+        fibs = [f.tobytes() for f in build_fibs_for_ensemble(ens, n // 4)[
+            3 * (n % 4): 3 * (n % 4) + 3]]
+        eti += asm.frame(fibs, {
+            1: rng.integers(0, 256, 192, dtype=np.uint8).tobytes(),
+            pc.subchid: enc.take_frame(sub.data_bytes)})
+    src = tmp_path / "mux.eti"
+    src.write_bytes(bytes(eti))
+    outdir = tmp_path / "all"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--all", str(outdir), str(src)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert (outdir / "0x1001_AUDIO.mp2").stat().st_size == 24 * 192
+    got = (outdir / "0xE1C00042_DATA_SVC_objects" / "a.png").read_bytes()
+    assert got == objects[0][1]
