@@ -296,6 +296,10 @@ def main(argv=None) -> int:
                 apps = "".join(
                     f" +{n}" for n in
                     ("SLS" if a == 2 else f"uapp{a}" for a in c.user_apps))
+                ann = fig.announce_support.get(svc.sid)
+                if ann is not None:
+                    apps += (f" +ann(0x{ann[0]:04X} clusters "
+                             f"{','.join(map(str, ann[1]))})")
                 print(f"  0x{svc.sid:04X} {svc.label or '':16s} subch "
                       f"{c.subchid:2d}  {rate}  "
                       f"{'DAB+' if c.is_dabplus else 'MP2'}{apps}")
