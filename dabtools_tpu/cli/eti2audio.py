@@ -286,8 +286,12 @@ def main(argv=None) -> int:
                                  f"  DSCTy {pc.dscty}")
                     except KeyError:
                         where = f"SCId {c.scid} (FIG 0/3 pending)"
+                    apps = "".join(
+                        f" +{n}" for n in
+                        ("EPG" if a == 7 else "SLS" if a == 2
+                         else f"uapp{a}" for a in c.user_apps))
                     print(f"  0x{svc.sid:08X} {svc.label or '':16s} {where}  "
-                          f"packet")
+                          f"packet{apps}")
                     continue
                 try:
                     rate = f"{ens.subchannel(c.subchid).bitrate_kbps:3d} kbit/s"

@@ -175,23 +175,47 @@ def _fig_0_3(pcs) -> list[bytes]:
 
 def _fig_0_13(services: tuple[Service, ...]) -> list[bytes]:
     """User application information (EN 300 401 s6.3.6) [K-med packing]:
-    per service: SId(16) SCIdS(4) NumApps(4); per app: AppType(11)
-    AppDataLength(5) (+ data, none emitted)."""
+    per service: SId(16 / 32 for pd=1) SCIdS(4) NumApps(4); per app:
+    AppType(11) AppDataLength(5) (+ data, none emitted)."""
     figs = []
     for svc in services:
-        if _is_data_service(svc):      # 32-bit SIds need pd=1 (not emitted;
-            continue                   # packet MOT is signalled via DSCTy)
         comp = next((c for c in svc.components if c.user_apps), None)
         if comp is None:
             continue
+        pd = 1 if _is_data_service(svc) else 0
         w = _BitWriter()
-        w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(13, 5)
-        w.put(svc.sid, 16)
+        w.put(0, 1); w.put(0, 1); w.put(pd, 1); w.put(13, 5)
+        w.put(svc.sid, 32 if pd else 16)
         w.put(0, 4)                    # SCIdS (primary component)
         w.put(len(comp.user_apps), 4)
         for app in comp.user_apps:
             w.put(app, 11)
             w.put(0, 5)
+        body = w.bytes()
+        figs.append(bytes([0x00 | len(body)]) + body)
+    return figs
+
+
+def _fig_0_8(services: tuple[Service, ...]) -> list[bytes]:
+    """Service component global definition (EN 300 401 s6.3.5) [K-med]:
+    SId(16/32) ext-flag(1) rfa(3) SCIdS(4), then long form rfa(3)+SCId(12)
+    for packet components or short form rfa(1)+SubChId(6).  Links the
+    SCIdS used by FIG 0/13 to the transport (FIG 0/3's SCId)."""
+    figs = []
+    for svc in services:
+        comp = next((c for c in svc.components if c.primary), None)
+        if comp is None or comp.tmid != 3:
+            continue                   # only needed for packet components
+        pd = 1 if _is_data_service(svc) else 0
+        w = _BitWriter()
+        w.put(0, 1); w.put(0, 1); w.put(pd, 1); w.put(8, 5)
+        w.put(svc.sid, 32 if pd else 16)
+        w.put(0, 1)                    # ext flag (no rfa byte)
+        w.put(0, 3)
+        w.put(0, 4)                    # SCIdS 0 = primary
+        w.put(1, 1)                    # LS flag: long form
+        w.put(0, 3)
+        w.put(comp.scid, 12)
         body = w.bytes()
         figs.append(bytes([0x00 | len(body)]) + body)
     return figs
@@ -316,6 +340,7 @@ def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
         rest += _fig_0_13(ens.services)
     if ens.packet_components:
         rest += _fig_0_3(ens.packet_components)
+        rest += _fig_0_8(ens.services)
     rest += list(extra_figs)       # e.g. fig_0_9 / fig_0_10
     # Labels are rotated across frames (each is ~21 B, most of a FIB; real
     # muxes repeat them at low rate).  Up to 3 label FIGs per frame.
@@ -389,6 +414,9 @@ class FigParser:
     service_labels: dict = dataclasses.field(default_factory=dict)
     user_apps: dict = dataclasses.field(default_factory=dict)
     packet_comps: dict = dataclasses.field(default_factory=dict)
+    # FIG 0/8: (sid, SCIdS) -> ("scid", SCId) | ("subch", SubChId)
+    scids_map: dict = dataclasses.field(default_factory=dict)
+    _user_apps_scids: dict = dataclasses.field(default_factory=dict)
     # FIG 0/18 + 0/19 announcements: sid -> (ASu flags, cluster ids);
     # cluster -> (ASw flags, subchid) while an announcement is active.
     announce_support: dict = dataclasses.field(default_factory=dict)
@@ -571,10 +599,30 @@ class FigParser:
                                                      self._tick)
                 else:
                     self.announce_active.pop(cluster, None)
-        elif ext == 13 and pd == 0:
-            while remaining_bits() >= 24:
-                sid = r.get(16)
-                r.get(4)                         # SCIdS
+        elif ext == 8:
+            # Service component global definition: SCIdS -> transport
+            sid_bits = 32 if pd else 16
+            while remaining_bits() >= sid_bits + 16:
+                sid = r.get(sid_bits)
+                ext_flag = r.get(1)
+                r.get(3)
+                scids = r.get(4)
+                if r.get(1):                     # LS=1: long form (SCId)
+                    r.get(3)
+                    self.scids_map[(sid, scids)] = ("scid", r.get(12))
+                else:                            # short form (SubChId)
+                    r.get(1)
+                    self.scids_map[(sid, scids)] = ("subch", r.get(6))
+                if ext_flag:
+                    if remaining_bits() < 8:
+                        break
+                    r.get(8)                     # rfa byte
+                self._attach_user_apps(sid)
+        elif ext == 13:
+            sid_bits = 32 if pd else 16
+            while remaining_bits() >= sid_bits + 8:
+                sid = r.get(sid_bits)
+                scids = r.get(4)
                 n_apps = r.get(4)
                 apps = []
                 for _ in range(n_apps):
@@ -585,6 +633,7 @@ class FigParser:
                     for _ in range(dlen):        # skip app data bytes
                         r.get(8)
                 self.user_apps[sid] = tuple(apps)
+                self._user_apps_scids[(sid, scids)] = tuple(apps)
                 self._attach_user_apps(sid)
 
     def _attach_user_apps(self, sid: int) -> None:
@@ -592,9 +641,27 @@ class FigParser:
         apps = self.user_apps.get(sid)
         if not comps or not apps:
             return
-        self.services[sid] = tuple(
-            dataclasses.replace(c, user_apps=apps) if c.primary else c
-            for c in comps)
+        # FIG 0/8 tells which component each SCIdS's apps belong to
+        # (matched via SCId for packet components, SubChId for stream);
+        # without a mapping, the reference-era assumption: primary.
+        new = list(comps)
+        attached = False
+        for (s, scids), apps2 in self._user_apps_scids.items():
+            if s != sid:
+                continue
+            m = self.scids_map.get((sid, scids))
+            if m is None:
+                continue
+            kind, ident = m
+            for i, c in enumerate(new):
+                if ((kind == "scid" and c.scid == ident)
+                        or (kind == "subch" and c.subchid == ident)):
+                    new[i] = dataclasses.replace(c, user_apps=apps2)
+                    attached = True
+        if not attached:
+            new = [dataclasses.replace(c, user_apps=apps)
+                   if c.primary else c for c in new]
+        self.services[sid] = tuple(new)
 
     def _parse_fig1(self, body: bytes) -> None:
         r = _BitReader(body[:5])

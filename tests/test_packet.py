@@ -114,7 +114,8 @@ def _packet_ensemble():
             Service(sid=0x1001, label="AUDIO", components=(
                 ServiceComponent(tmid=0, subchid=1),)),
             Service(sid=0xE1C00042, label="DATA SVC", components=(
-                ServiceComponent(tmid=3, subchid=-1, scid=7),)),
+                ServiceComponent(tmid=3, subchid=-1, scid=7,
+                                 user_apps=(7,)),)),    # 7 = EPG
         ),
         packet_components=(
             PacketComponent(scid=7, subchid=2, address=0x21, dscty=60),),
@@ -134,6 +135,8 @@ def test_fig_packet_signalling_roundtrip():
     data_svc = next(s for s in got.services if s.sid == 0xE1C00042)
     comp = data_svc.components[0]
     assert comp.tmid == 3 and comp.scid == 7
+    # FIG 0/13 pd=1 apps land on the component FIG 0/8 maps via SCId
+    assert comp.user_apps == (7,)
     assert data_svc.label == "DATA SVC"
     pc = got.packet_component(7)
     assert (pc.subchid, pc.address, pc.dscty, pc.dg) == (2, 0x21, 60, True)
