@@ -1,0 +1,255 @@
+"""``dabmux``: JSON mux configuration in, ETI(NI) stream out (the
+`ODR-DabMux` role in the dabtools ecosystem).
+
+Builds a standards-complete ensemble from the framework's own encoders:
+FIG MCI/labels (fic.fig), MP2 stream with optional X-PAD dynamic labels
+(eti.pad), DAB+ superframes (eti.dabplus), packet-mode MOT object
+carousels (eti.packet + eti.mot), FIG 0/9 / 0/10 time signalling — then
+frames everything with the ETI assembler.  Together with ``eti2iq`` the
+framework covers the full lab chain: config -> ETI -> IQ -> (receiver)
+-> ETI -> audio/objects.
+
+Config example (JSON)::
+
+    {"eid": "0x4FFF", "label": "MY MUX", "time": true,
+     "services": [
+       {"sid": "0x1111", "label": "POP", "type": "mp2",
+        "subch": {"id": 1, "start_cu": 0, "protection": "EEP-3A",
+                  "bitrate": 128},
+        "source": "prbs", "dls": "Now playing: demo"},
+       {"sid": "0x2222", "label": "NEWS+", "type": "dab+",
+        "subch": {"id": 2, "start_cu": 96, "protection": "EEP-3A",
+                  "bitrate": 72}, "source": "prbs"},
+       {"sid": "0xE1C00042", "label": "EPG", "type": "packet",
+        "subch": {"id": 3, "start_cu": 123, "protection": "EEP-3A",
+                  "bitrate": 32},
+        "scid": 7, "address": 33, "objects": ["logo.png"]}]}
+
+``source``: "prbs" (deterministic pseudo-random payload) or a file path
+whose bytes fill the sub-channel's logical frames (e.g. an MP2 elementary
+stream, or raw DAB+ superframe bytes from ``eti2audio``-style capture).
+
+Usage: python -m dabtools_tpu.cli.dabmux mux.json --cifs 400 -o out.eti
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+import numpy as np
+
+log = logging.getLogger("dabtools_tpu.dabmux")
+
+
+def _parse_protection(spec: str):
+    """'EEP-3A' / 'UEP-12' -> kwargs for the Subchannel constructors."""
+    kind, _, rest = spec.partition("-")
+    kind = kind.upper()
+    if kind == "EEP":
+        return {"level": int(rest[:-1]), "option": rest[-1].upper()}
+    if kind == "UEP":
+        return {"table_index": int(rest)}
+    raise ValueError(f"unknown protection {spec!r} (use EEP-3A / UEP-12)")
+
+
+class _Mp2Source:
+    """Raw MP2 bytes (file or PRBS) sliced per logical frame, with an
+    optional rotating X-PAD dynamic label."""
+
+    def __init__(self, frame_bytes: int, data: bytes | None, dls: str | None,
+                 rng):
+        self.frame_bytes = frame_bytes
+        self.data = data
+        self.rng = rng
+        self.pos = 0
+        self.groups = None
+        if dls:
+            from dabtools_tpu.eti.pad import dls_data_groups
+            self.groups = dls_data_groups(dls, toggle=0)
+        self.n = 0
+
+    def frame(self) -> bytes:
+        if self.data is not None:
+            row = bytearray(self.frame_bytes)
+            chunk = self.data[self.pos:self.pos + self.frame_bytes]
+            self.pos = (self.pos + self.frame_bytes) % max(len(self.data), 1)
+            row[:len(chunk)] = chunk
+        else:
+            row = bytearray(self.rng.integers(
+                0, 256, self.frame_bytes, dtype=np.uint8).tobytes())
+        if self.groups is not None:
+            from dabtools_tpu.eti.pad import (APP_DLS_START, attach_pad_mp2,
+                                              build_xpad)
+            xpad, fpad = build_xpad(
+                [(APP_DLS_START, self.groups[self.n % len(self.groups)])])
+            attach_pad_mp2(row, xpad, fpad)
+            self.n += 1
+        return bytes(row)
+
+
+class _DabPlusSource:
+    """DAB+ superframes: file bytes pass through verbatim (already
+    superframe-formatted); PRBS AUs are built via SuperframeBuilder."""
+
+    def __init__(self, bitrate_kbps: int, data: bytes | None, rng):
+        self.frame_bytes = bitrate_kbps * 3
+        self.data = data
+        self.pos = 0
+        self.rng = rng
+        self.pending: list[bytes] = []
+        if data is None:
+            from dabtools_tpu.eti.dabplus import SuperframeBuilder
+            self.sb = SuperframeBuilder(bitrate_kbps)
+
+    def frame(self) -> bytes:
+        if self.data is not None:
+            chunk = self.data[self.pos:self.pos + self.frame_bytes]
+            self.pos = (self.pos + self.frame_bytes) % max(len(self.data), 1)
+            return chunk.ljust(self.frame_bytes, b"\x00")
+        if not self.pending:
+            aus = [self.rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+                   for n in self.sb.au_sizes()]
+            self.pending = [r.tobytes() for r in self.sb.build(aus)]
+        return self.pending.pop(0)
+
+
+class _PacketSource:
+    """MOT carousel of files over packet mode; re-queues the carousel
+    whenever the encoder runs dry (continuous transmission)."""
+
+    def __init__(self, frame_bytes: int, address: int,
+                 objects: list[tuple[str, bytes]]):
+        from dabtools_tpu.eti.mot import MotEncoder
+        from dabtools_tpu.eti.packet import PACKET_SIZES, PacketEncoder
+        self.frame_bytes = frame_bytes
+        size = max(s for s in PACKET_SIZES if s <= frame_bytes)
+        self.enc = PacketEncoder(address=address, packet_size=size)
+        self.mot = MotEncoder(seg_size=64)
+        self.objects = objects
+
+    def frame(self) -> bytes:
+        if not self.enc.pending_bytes and self.objects:
+            for dg in self.mot.carousel_groups(self.objects):
+                self.enc.add_data_group(dg)
+        return self.enc.take_frame(self.frame_bytes)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="dabmux", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("config", help="mux configuration JSON file")
+    p.add_argument("--cifs", type=int, default=None,
+                   help="number of 24 ms CIFs to generate")
+    p.add_argument("--seconds", type=float, default=None,
+                   help="stream duration (alternative to --cifs)")
+    p.add_argument("--output", "-o", default="-")
+    p.add_argument("--tist", action="store_true",
+                   help="stamp ETI frames with TIST timestamps")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(name)s: %(message)s")
+
+    from dabtools_tpu.eti.assemble import EtiAssembler
+    from dabtools_tpu.fic.config import (
+        Ensemble,
+        PacketComponent,
+        Service,
+        ServiceComponent,
+        Subchannel,
+    )
+    from dabtools_tpu.fic.fig import build_fibs_for_ensemble, fig_0_9, fig_0_10
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+    n_cifs = args.cifs if args.cifs is not None else int(
+        (args.seconds or 2.4) / 0.024)
+
+    rng = np.random.default_rng(int(cfg.get("seed", 0)))
+    subchannels, services, pcs, sources = [], [], [], {}
+    for svc in cfg["services"]:
+        sc = svc["subch"]
+        prot = _parse_protection(sc["protection"])
+        if "table_index" in prot:
+            sub = Subchannel.uep(sc["id"], sc["start_cu"],
+                                 prot["table_index"])
+        else:
+            sub = Subchannel.eep(sc["id"], sc["start_cu"], prot["level"],
+                                 prot["option"], sc["bitrate"])
+        subchannels.append(sub)
+        sid = int(str(svc["sid"]), 0)
+        kind = svc.get("type", "mp2")
+        src = svc.get("source", "prbs")
+        data = None if src == "prbs" else open(src, "rb").read()
+        if kind == "packet":
+            scid = int(svc.get("scid", len(pcs) + 1))
+            address = int(svc.get("address", len(pcs) + 1))
+            pcs.append(PacketComponent(scid=scid, subchid=sub.subchid,
+                                       address=address))
+            services.append(Service(
+                sid=sid, label=svc.get("label", ""),
+                components=(ServiceComponent(tmid=3, subchid=-1, scid=scid,
+                                             user_apps=(7,)),)))
+            objs = [(name.rsplit("/", 1)[-1], open(name, "rb").read())
+                    for name in svc.get("objects", [])]
+            sources[sub.subchid] = _PacketSource(sub.data_bytes, address,
+                                                 objs)
+        elif kind == "dab+":
+            services.append(Service(
+                sid=sid, label=svc.get("label", ""),
+                components=(ServiceComponent(tmid=0, subchid=sub.subchid,
+                                             ascty=63),)))
+            sources[sub.subchid] = _DabPlusSource(sub.bitrate_kbps, data,
+                                                  rng)
+        else:
+            services.append(Service(
+                sid=sid, label=svc.get("label", ""),
+                components=(ServiceComponent(tmid=0, subchid=sub.subchid,
+                                             ascty=0),)))
+            sources[sub.subchid] = _Mp2Source(sub.data_bytes, data,
+                                              svc.get("dls"), rng)
+
+    ens = Ensemble(eid=int(str(cfg.get("eid", "0xC0FE")), 0),
+                   label=cfg.get("label", ""),
+                   subchannels=tuple(subchannels),
+                   services=tuple(services),
+                   packet_components=tuple(pcs))
+    asm = EtiAssembler(ens, tist_start=0.0 if args.tist else None)
+    out = sys.stdout.buffer if args.output == "-" else open(args.output,
+                                                            "wb")
+    extra: tuple = ()
+    if cfg.get("time"):
+        import datetime
+        extra = (fig_0_9(int(cfg.get("lto_half_hours", 0)),
+                         int(str(cfg.get("ecc", "0xE1")), 0)),)
+        base_time = datetime.datetime(2026, 1, 1)
+
+    fib_cache: dict[int, np.ndarray] = {}
+    for n in range(n_cifs):
+        t = n // 4
+        if cfg.get("time"):
+            import datetime
+            figs = extra + (fig_0_10(
+                base_time + datetime.timedelta(milliseconds=24 * n)),)
+            fibs_frame = build_fibs_for_ensemble(ens, t, extra_figs=figs)
+        else:
+            if t not in fib_cache:
+                fib_cache.clear()
+                fib_cache[t] = build_fibs_for_ensemble(ens, t)
+            fibs_frame = fib_cache[t]
+        fibs = [f.tobytes() for f in fibs_frame[3 * (n % 4): 3 * (n % 4) + 3]]
+        out.write(asm.frame(
+            fibs, {sc: src.frame() for sc, src in sources.items()}))
+    out.flush()
+    if args.output != "-":
+        out.close()
+    log.info("wrote %d ETI frames (%.2f s), ensemble 0x%04X %r, "
+             "%d services", n_cifs, n_cifs * 0.024, ens.eid, ens.label,
+             len(services))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

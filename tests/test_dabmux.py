@@ -1,0 +1,107 @@
+"""dabmux (config -> ETI): service encoders wired end-to-end, plus the
+full lab chain dabmux -> eti2iq -> DabReceiver -> eti2audio."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mux(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dabmux")
+    logo = tmp / "logo.png"
+    logo.write_bytes(np.random.default_rng(3).integers(
+        0, 256, 300, dtype=np.uint8).tobytes())
+    cfg = {
+        "eid": "0x4D58", "label": "MUX TEST", "time": True,
+        "services": [
+            {"sid": "0x1111", "label": "POP", "type": "mp2",
+             "subch": {"id": 1, "start_cu": 0, "protection": "EEP-3A",
+                       "bitrate": 64},
+             "source": "prbs", "dls": "dabmux demo"},
+            {"sid": "0x2222", "label": "NEWSPLUS", "type": "dab+",
+             "subch": {"id": 2, "start_cu": 48, "protection": "EEP-3A",
+                       "bitrate": 72}, "source": "prbs"},
+            {"sid": "0xE1C00042", "label": "EPG", "type": "packet",
+             "subch": {"id": 3, "start_cu": 102, "protection": "EEP-3A",
+                       "bitrate": 32},
+             "scid": 7, "address": 33, "objects": [str(logo)]},
+        ],
+    }
+    cfg_path = tmp / "mux.json"
+    cfg_path.write_text(json.dumps(cfg))
+    eti = tmp / "out.eti"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dabmux", str(cfg_path),
+         "--cifs", "60", "-o", str(eti)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    return {"tmp": tmp, "eti": eti, "logo": logo.read_bytes()}
+
+
+def test_dabmux_list_and_info(mux):
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio", "--list",
+         str(mux["eti"])], capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "ensemble 0x4D58 'MUX TEST'" in r.stdout
+    assert "POP" in r.stdout and "MP2" in r.stdout
+    assert "NEWSPLUS" in r.stdout and "DAB+" in r.stdout
+    assert "EPG" in r.stdout and "packet +EPG" in r.stdout
+    assert "ensemble time 2026-01-01" in r.stdout
+
+
+def test_dabmux_dls_and_dabplus(mux):
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--sid", "0x1111", "--labels", str(mux["eti"]),
+         "-o", str(mux["tmp"] / "pop.mp2")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "dynamic label: 'dabmux demo'" in r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--sid", "0x2222", str(mux["eti"]),
+         "-o", str(mux["tmp"] / "news.aac")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert (mux["tmp"] / "news.aac").stat().st_size > 0
+
+
+def test_dabmux_packet_objects(mux):
+    outdir = mux["tmp"] / "objs"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--sid", "0xE1C00042", "--objects", str(outdir), str(mux["eti"]),
+         "-o", str(mux["tmp"] / "dg.bin")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert (outdir / "logo.png").read_bytes() == mux["logo"]
+
+
+def test_full_lab_chain(mux):
+    """dabmux -> eti2iq -> DabReceiver -> byte-compare against the
+    original ETI's sub-channel payloads."""
+    from dabtools_tpu.eti.parse import EtiParser
+    from dabtools_tpu.models.receiver import DabReceiver
+
+    iq = mux["tmp"] / "chain.cf32"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2iq", str(mux["eti"]),
+         "-o", str(iq)], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+
+    src = list(EtiParser().feed(mux["eti"].read_bytes()))
+    rx = DabReceiver(n_frames=4)
+    eti2 = rx.feed(np.fromfile(iq, dtype=np.complex64))
+    assert rx.ensemble is not None and rx.ensemble.eid == 0x4D58
+    got = list(EtiParser().feed(b"".join(eti2)))
+    assert len(got) >= 16
+    a = rx._activation_cif
+    for k, f in enumerate(got):
+        for sc in (1, 2, 3):
+            assert f.subchannel_data(sc) == src[a + k].subchannel_data(sc), \
+                f"subch {sc} CIF {a + k}"
