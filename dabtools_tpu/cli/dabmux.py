@@ -55,6 +55,18 @@ def _parse_protection(spec: str):
     raise ValueError(f"unknown protection {spec!r} (use EEP-3A / UEP-12)")
 
 
+def _take_wrapped(data: bytes, pos: int, n: int) -> tuple[bytes, int]:
+    """``n`` bytes from a circular view of ``data`` starting at ``pos``
+    (contiguous wraparound — no zero-padding, no skipped bytes, so
+    MP2/superframe byte alignment survives the loop point)."""
+    out = bytearray()
+    while len(out) < n:
+        chunk = data[pos:pos + n - len(out)]
+        out += chunk
+        pos = (pos + len(chunk)) % len(data)
+    return bytes(out), pos
+
+
 class _Mp2Source:
     """Raw MP2 bytes (file or PRBS) sliced per logical frame, with an
     optional rotating X-PAD dynamic label."""
@@ -62,7 +74,7 @@ class _Mp2Source:
     def __init__(self, frame_bytes: int, data: bytes | None, dls: str | None,
                  rng):
         self.frame_bytes = frame_bytes
-        self.data = data
+        self.data = data or None
         self.rng = rng
         self.pos = 0
         self.groups = None
@@ -73,10 +85,9 @@ class _Mp2Source:
 
     def frame(self) -> bytes:
         if self.data is not None:
-            row = bytearray(self.frame_bytes)
-            chunk = self.data[self.pos:self.pos + self.frame_bytes]
-            self.pos = (self.pos + self.frame_bytes) % max(len(self.data), 1)
-            row[:len(chunk)] = chunk
+            chunk, self.pos = _take_wrapped(self.data, self.pos,
+                                            self.frame_bytes)
+            row = bytearray(chunk)
         else:
             row = bytearray(self.rng.integers(
                 0, 256, self.frame_bytes, dtype=np.uint8).tobytes())
@@ -96,19 +107,19 @@ class _DabPlusSource:
 
     def __init__(self, bitrate_kbps: int, data: bytes | None, rng):
         self.frame_bytes = bitrate_kbps * 3
-        self.data = data
+        self.data = data or None
         self.pos = 0
         self.rng = rng
         self.pending: list[bytes] = []
-        if data is None:
+        if self.data is None:
             from dabtools_tpu.eti.dabplus import SuperframeBuilder
             self.sb = SuperframeBuilder(bitrate_kbps)
 
     def frame(self) -> bytes:
         if self.data is not None:
-            chunk = self.data[self.pos:self.pos + self.frame_bytes]
-            self.pos = (self.pos + self.frame_bytes) % max(len(self.data), 1)
-            return chunk.ljust(self.frame_bytes, b"\x00")
+            chunk, self.pos = _take_wrapped(self.data, self.pos,
+                                            self.frame_bytes)
+            return chunk
         if not self.pending:
             aus = [self.rng.integers(0, 256, n, dtype=np.uint8).tobytes()
                    for n in self.sb.au_sizes()]
@@ -184,14 +195,20 @@ def main(argv=None) -> int:
         src = svc.get("source", "prbs")
         data = None if src == "prbs" else open(src, "rb").read()
         if kind == "packet":
+            if data is not None:
+                raise SystemExit(
+                    f"service {svc['sid']}: packet services transmit an "
+                    f"MOT carousel built from 'objects'; a raw 'source' "
+                    f"file is not supported")
             scid = int(svc.get("scid", len(pcs) + 1))
             address = int(svc.get("address", len(pcs) + 1))
+            apptype = int(svc.get("apptype", 7))   # TS 101 756: 7 = EPG
             pcs.append(PacketComponent(scid=scid, subchid=sub.subchid,
                                        address=address))
             services.append(Service(
                 sid=sid, label=svc.get("label", ""),
                 components=(ServiceComponent(tmid=3, subchid=-1, scid=scid,
-                                             user_apps=(7,)),)))
+                                             user_apps=(apptype,)),)))
             objs = [(name.rsplit("/", 1)[-1], open(name, "rb").read())
                     for name in svc.get("objects", [])]
             sources[sub.subchid] = _PacketSource(sub.data_bytes, address,
@@ -226,19 +243,19 @@ def main(argv=None) -> int:
                          int(str(cfg.get("ecc", "0xE1")), 0)),)
         base_time = datetime.datetime(2026, 1, 1)
 
-    fib_cache: dict[int, np.ndarray] = {}
+    last_t, fibs_frame = -1, None
     for n in range(n_cifs):
         t = n // 4
-        if cfg.get("time"):
-            import datetime
-            figs = extra + (fig_0_10(
-                base_time + datetime.timedelta(milliseconds=24 * n)),)
-            fibs_frame = build_fibs_for_ensemble(ens, t, extra_figs=figs)
-        else:
-            if t not in fib_cache:
-                fib_cache.clear()
-                fib_cache[t] = build_fibs_for_ensemble(ens, t)
-            fibs_frame = fib_cache[t]
+        if t != last_t:              # FIBs built once per transmission frame
+            if cfg.get("time"):
+                import datetime
+                figs = extra + (fig_0_10(
+                    base_time + datetime.timedelta(milliseconds=96 * t)),)
+                fibs_frame = build_fibs_for_ensemble(ens, t,
+                                                     extra_figs=figs)
+            else:
+                fibs_frame = build_fibs_for_ensemble(ens, t)
+            last_t = t
         fibs = [f.tobytes() for f in fibs_frame[3 * (n % 4): 3 * (n % 4) + 3]]
         out.write(asm.frame(
             fibs, {sc: src.frame() for sc, src in sources.items()}))

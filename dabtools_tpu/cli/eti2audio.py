@@ -43,6 +43,30 @@ def safe_mot_filename(name: str | None, transport_id: int) -> str:
     return name or f"slide_{transport_id}"
 
 
+def _app_name(a: int) -> str:
+    """TS 101 756 user application type -> short display name."""
+    return {2: "SLS", 7: "EPG"}.get(a, f"uapp{a}")
+
+
+def _write_mot_object(outdir, written: dict, obj) -> bool:
+    """Write a completed MOT object unless an identical body for that
+    name is already on disk (carousel repetitions re-complete objects);
+    returns True when written.  Bounded memory: one digest per name."""
+    import hashlib
+    import pathlib
+    name = safe_mot_filename(obj.name, obj.transport_id)
+    digest = hashlib.sha256(obj.body).hexdigest()
+    if written.get(name) == digest:
+        return False
+    outdir = pathlib.Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    (outdir / name).write_bytes(obj.body)
+    written[name] = digest
+    log.info("MOT object: %s (%d bytes, type %d/%d)", outdir / name,
+             len(obj.body), obj.content_type, obj.subtype)
+    return True
+
+
 def _safe_label(label: str, sid: int) -> str:
     import re
     s = re.sub(r"[^A-Za-z0-9._-]+", "_", (label or "").strip()).strip("_.")
@@ -54,7 +78,6 @@ def _extract_all(args, f, parser, fig) -> int:
     to its own elementary-stream file, every packet data service's MOT
     objects to a per-service directory.  The reference needs one
     `eti2mpa` process per service; this is the single-pass equivalent."""
-    import hashlib
     import pathlib
 
     from dabtools_tpu.eti.dabplus import SuperframeDecoder, adts_wrap
@@ -62,20 +85,25 @@ def _extract_all(args, f, parser, fig) -> int:
     outdir = pathlib.Path(args.all)
     outdir.mkdir(parents=True, exist_ok=True)
     sinks: dict[int, dict] = {}
-    pending: list = []
+    # Bounded replay history: a sink created LATE (FIG 0/3 or a rotated
+    # FIG 0/2 group arriving after the first sinks) still gets the
+    # stream from the beginning, not from its creation point.
+    history: list = []
+    trimmed = False
     n_frames = 0
 
-    def ensure_sinks(force: bool = False) -> bool:
+    def ensure_sinks(force: bool = False) -> list[int]:
+        """Create sinks for newly-resolvable services; returns their sids."""
         ens = fig.ensemble()
         if ens is None:
-            return False
+            return []
         # Filenames carry the service labels, which rotate in at a lower
         # FIG rate than the MCI: hold off until every service is labeled
-        # (or ~1.5 s / EOF) — the pending buffer makes the wait lossless.
+        # (or ~1.5 s / EOF) — the replay history makes the wait lossless.
         if (not sinks and not force and n_frames < 16
                 and not all(s.label for s in ens.services)):
-            return False
-        added = False
+            return []
+        new: list[int] = []
         for svc in ens.services:
             if svc.sid in sinks:
                 continue
@@ -104,43 +132,39 @@ def _extract_all(args, f, parser, fig) -> int:
                     "path": path, "dec": None, "count": 0}
             else:
                 continue
-            added = True
+            new.append(svc.sid)
+            if trimmed:
+                log.warning("service 0x%X resolved after the replay "
+                            "history overflowed; its prefix is lost",
+                            svc.sid)
             log.info("service 0x%X %r -> %s", svc.sid, svc.label,
                      sinks[svc.sid].get("path")
                      or sinks[svc.sid].get("dir"))
-        return added
+        return new
 
-    def feed_sinks(frame) -> None:
-        for s in sinks.values():
-            if s["subchid"] not in frame.streams:
-                continue
-            d = frame.subchannel_data(s["subchid"])
-            if s["kind"] == "mp2":
-                s["out"].write(d)
-                s["count"] += len(d)
-            elif s["kind"] == "dab+":
-                if s["dec"] is None:
-                    s["dec"] = SuperframeDecoder(len(d) // 3)
-                for au in s["dec"].feed(d):
-                    if not au.crc_ok:
-                        continue
-                    s["out"].write(adts_wrap(au.data, s["dec"].config)
-                                   if args.adts else au.data)
-                    s["count"] += 1
-            else:                    # packet-mode data service
-                for addr, dg in s["pkt"].feed(d):
-                    if addr != s["address"]:
-                        continue
-                    for obj in s["mot"].feed_data_group(dg):
-                        name = safe_mot_filename(obj.name,
-                                                 obj.transport_id)
-                        digest = hashlib.sha256(obj.body).hexdigest()
-                        if s["written"].get(name) == digest:
-                            continue
-                        s["dir"].mkdir(parents=True, exist_ok=True)
-                        (s["dir"] / name).write_bytes(obj.body)
-                        s["written"][name] = digest
-                        s["count"] += 1
+    def feed_one(s: dict, frame) -> None:
+        if s["subchid"] not in frame.streams:
+            return
+        d = frame.subchannel_data(s["subchid"])
+        if s["kind"] == "mp2":
+            s["out"].write(d)
+            s["count"] += len(d)
+        elif s["kind"] == "dab+":
+            if s["dec"] is None:
+                s["dec"] = SuperframeDecoder(len(d) // 3)
+            for au in s["dec"].feed(d):
+                if not au.crc_ok:
+                    continue
+                s["out"].write(adts_wrap(au.data, s["dec"].config)
+                               if args.adts else au.data)
+                s["count"] += 1
+        else:                        # packet-mode data service
+            for addr, dg in s["pkt"].feed(d):
+                if addr != s["address"]:
+                    continue
+                for obj in s["mot"].feed_data_group(dg):
+                    s["count"] += _write_mot_object(s["dir"], s["written"],
+                                                    obj)
 
     while True:
         chunk = f.read(1 << 20)
@@ -150,25 +174,23 @@ def _extract_all(args, f, parser, fig) -> int:
             n_frames += 1
             for i in range(0, len(frame.fic), 32):
                 fig.feed_fib(frame.fic[i:i + 32])
-            ensure_sinks()
-            if not sinks:            # buffer the pre-MCI prefix
-                pending.append(frame)
-                if len(pending) > MAX_PENDING_FRAMES:
-                    pending.pop(0)
-                continue
-            for fr in pending:       # first sink(s): replay the prefix
-                feed_sinks(fr)
-            pending.clear()
-            feed_sinks(frame)
+            for sid in ensure_sinks():
+                for fr in history:   # late sink: replay from the start
+                    feed_one(sinks[sid], fr)
+            for s in sinks.values():
+                feed_one(s, frame)
+            history.append(frame)
+            if len(history) > MAX_PENDING_FRAMES:
+                history.pop(0)
+                trimmed = True
 
     if not n_frames:
         log.error("no ETI frames found")
         return 1
     if not sinks:                    # short stream: create sinks at EOF
-        ensure_sinks(force=True)
-        for fr in pending:
-            feed_sinks(fr)
-        pending.clear()
+        for sid in ensure_sinks(force=True):
+            for fr in history:
+                feed_one(sinks[sid], fr)
     if not sinks:
         log.error("no MCI decoded from FIC; nothing extracted")
         return 1
@@ -286,10 +308,8 @@ def main(argv=None) -> int:
                                  f"  DSCTy {pc.dscty}")
                     except KeyError:
                         where = f"SCId {c.scid} (FIG 0/3 pending)"
-                    apps = "".join(
-                        f" +{n}" for n in
-                        ("EPG" if a == 7 else "SLS" if a == 2
-                         else f"uapp{a}" for a in c.user_apps))
+                    apps = "".join(f" +{_app_name(a)}"
+                                   for a in c.user_apps)
                     print(f"  0x{svc.sid:08X} {svc.label or '':16s} {where}  "
                           f"packet{apps}")
                     continue
@@ -297,9 +317,7 @@ def main(argv=None) -> int:
                     rate = f"{ens.subchannel(c.subchid).bitrate_kbps:3d} kbit/s"
                 except KeyError:
                     rate = "(unsignalled)"
-                apps = "".join(
-                    f" +{n}" for n in
-                    ("SLS" if a == 2 else f"uapp{a}" for a in c.user_apps))
+                apps = "".join(f" +{_app_name(a)}" for a in c.user_apps)
                 ann = fig.announce_support.get(svc.sid)
                 if ann is not None:
                     apps += (f" +ann(0x{ann[0]:04X} clusters "
@@ -388,21 +406,9 @@ def main(argv=None) -> int:
         """Write completed MOT objects AS THEY ARRIVE (a live stream has
         no EOF) and dedupe carousel repetitions (header-mode objects
         re-complete every cycle) so memory and disk stay bounded."""
-        import hashlib
-        import pathlib
-        outdir = pathlib.Path(args.objects)
-        outdir.mkdir(parents=True, exist_ok=True)
         for obj in objs:
-            name = safe_mot_filename(obj.name, obj.transport_id)
-            digest = hashlib.sha256(obj.body).hexdigest()
-            if mot_written.get(name) == digest:
-                continue
-            path = outdir / name
-            path.write_bytes(obj.body)
-            mot_written[name] = digest
-            stats["objects"] += 1
-            log.info("MOT object: %s (%d bytes, type %d/%d)",
-                     path, len(obj.body), obj.content_type, obj.subtype)
+            stats["objects"] += _write_mot_object(args.objects, mot_written,
+                                                  obj)
 
     def subch_is_dabplus(subchid: int) -> bool:
         ens = fig.ensemble()

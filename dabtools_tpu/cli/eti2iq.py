@@ -8,6 +8,11 @@ re-modulated verbatim with the standard-exact modulator (N17), so
 calibrated impairments (AWGN / carrier offset / timing offset) make it a
 receiver-test signal generator.
 
+Streaming: frames are modulated and written in 6-transmission-frame
+chunks (the modulator's time-interleaver state carries across chunks and
+the CFO rotation stays phase-continuous), so an hours-long replay runs
+in constant memory; only the pre-MCI prefix is buffered.
+
 Usage:
   python -m dabtools_tpu.cli.eti2iq mux.eti -o out.cf32
   python -m dabtools_tpu.cli.eti2iq --format u8 --snr 12 --cfo-hz 350 mux.eti -o out.u8
@@ -22,6 +27,9 @@ import sys
 import numpy as np
 
 log = logging.getLogger("dabtools_tpu.eti2iq")
+
+MAX_PENDING_FRAMES = 4096            # pre-MCI buffer cap (~98 s)
+CHUNK_TX = 6                         # multiple of 3 for Mode III FIC spans
 
 
 def main(argv=None) -> int:
@@ -55,99 +63,127 @@ def main(argv=None) -> int:
     from dabtools_tpu import constants as C
     from dabtools_tpu.eti.parse import EtiParser
     from dabtools_tpu.fic.fig import FigParser
-    from dabtools_tpu.mod.modulator import Modulator, SubchannelSource
-
-    mode = C.MODES[args.mode]
-    f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
-    parser = EtiParser(mode=mode)
-    fig = FigParser()
-    frames = []
-    while True:
-        chunk = f.read(1 << 20)
-        if not chunk:
-            break
-        for frame in parser.feed(chunk):
-            frames.append(frame)
-            for i in range(0, len(frame.fic), 32):
-                fig.feed_fib(frame.fic[i:i + 32])
-    if args.input != "-":
-        f.close()
-    if not frames:
-        log.error("no ETI frames found")
-        return 1
-    ens = fig.ensemble()
-    if ens is None:
-        log.error("no MCI in the ETI FIC; cannot derive the sub-channel "
-                  "organization")
-        return 1
-
-    n_tx = len(frames) // mode.n_cifs
-    if args.frames is not None:
-        n_tx = min(n_tx, args.frames)
-    if not n_tx:
-        log.error("need at least %d ETI frames for one Mode %s "
-                  "transmission frame", mode.n_cifs, mode.name)
-        return 1
-    subs = ens.sorted_subchannels()
-    missing = [s.subchid for s in subs
-               if s.subchid not in frames[0].streams]
-    if missing:
-        log.warning("sub-channels %s signalled in FIC but absent from the "
-                    "MST; modulating zeros for them", missing)
-    log.info("modulating %d Mode %s frames, %d sub-channels "
-             "(ensemble 0x%04X %r)", n_tx, mode.name, len(subs), ens.eid,
-             ens.label)
-
-    mod = Modulator([SubchannelSource(s.start_cu, s.profile)
-                     for s in subs], mode=mode)
-    fibs_per_cif = mode.n_fibs // mode.n_cifs
-
-    def fibs_fn(t):
-        rows = []
-        for c in range(mode.n_cifs):
-            fic = frames[t * mode.n_cifs + c].fic
-            rows += [np.frombuffer(fic[32 * i:32 * (i + 1)], np.uint8)
-                     for i in range(fibs_per_cif)]
-        return np.stack(rows)
-
-    def payload_fn(t, i):
-        s = subs[i]
-        rows = []
-        for c in range(mode.n_cifs):
-            fr = frames[t * mode.n_cifs + c]
-            if s.subchid in fr.streams:
-                d = np.frombuffer(fr.subchannel_data(s.subchid), np.uint8)
-            else:
-                d = np.zeros(s.data_bytes, np.uint8)
-            rows.append(np.unpackbits(d))
-        return np.stack(rows)
-
-    x = mod.frames(n_tx, fibs_fn, payload_fn)
-
     from dabtools_tpu.mod.impairments import (
         awgn,
         carrier_offset,
         quantize_u8,
-        timing_offset,
     )
-    if args.timing_offset:
-        x = timing_offset(x, args.timing_offset)
-    if args.cfo_hz:
-        x = carrier_offset(x, args.cfo_hz)
-    if args.snr is not None:
-        x = awgn(x, args.snr, np.random.default_rng(0))
+    from dabtools_tpu.mod.modulator import Modulator, SubchannelSource
 
+    mode = C.MODES[args.mode]
+    f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     out = sys.stdout.buffer if args.output == "-" else open(args.output,
                                                             "wb")
-    if args.format == "u8":
-        out.write(quantize_u8(x).tobytes())
-    else:
-        out.write(x.astype(np.complex64).tobytes())
+    parser = EtiParser(mode=mode)
+    fig = FigParser()
+    rng = np.random.default_rng(0)
+    st = {"mod": None, "subs": None, "sample0": 0, "n_tx": 0,
+          "dropped": False}
+    buf: list = []
+
+    def emit(x: np.ndarray) -> None:
+        if args.cfo_hz:
+            x = carrier_offset(x, args.cfo_hz,
+                               start_sample=st["sample0"])
+        if args.snr is not None:
+            x = awgn(x, args.snr, rng)
+        st["sample0"] += x.size
+        out.write(quantize_u8(x).tobytes() if args.format == "u8"
+                  else x.astype(np.complex64).tobytes())
+
+    if args.timing_offset:
+        emit(np.zeros(args.timing_offset, dtype=np.complex64))
+
+    fibs_per_cif = mode.n_fibs // mode.n_cifs
+
+    def flush(final: bool = False) -> None:
+        if st["mod"] is None:
+            ens = fig.ensemble()
+            if ens is None:
+                return
+            st["subs"] = ens.sorted_subchannels()
+            missing = [s.subchid for s in st["subs"]
+                       if buf and s.subchid not in buf[0].streams]
+            if missing:
+                log.warning("sub-channels %s signalled in FIC but absent "
+                            "from the MST; modulating zeros", missing)
+            log.info("modulating Mode %s, %d sub-channels "
+                     "(ensemble 0x%04X %r)", mode.name, len(st["subs"]),
+                     ens.eid, ens.label)
+            st["mod"] = Modulator(
+                [SubchannelSource(s.start_cu, s.profile)
+                 for s in st["subs"]], mode=mode)
+        while True:
+            n = len(buf) // mode.n_cifs
+            if args.frames is not None:
+                n = min(n, args.frames - st["n_tx"])
+            n = min(n, CHUNK_TX)
+            if not final and n < CHUNK_TX:
+                return
+            if mode.name == "III":
+                n -= n % 3           # FIC codewords span 3 Mode III frames
+            if n <= 0:
+                return
+            chunk = buf[: n * mode.n_cifs]
+            del buf[: n * mode.n_cifs]
+
+            def fibs_fn(t):
+                rows = []
+                for c in range(mode.n_cifs):
+                    fic = chunk[t * mode.n_cifs + c].fic
+                    rows += [np.frombuffer(fic[32 * i:32 * (i + 1)],
+                                           np.uint8)
+                             for i in range(fibs_per_cif)]
+                return np.stack(rows)
+
+            def payload_fn(t, i):
+                s = st["subs"][i]
+                rows = []
+                for c in range(mode.n_cifs):
+                    fr = chunk[t * mode.n_cifs + c]
+                    if s.subchid in fr.streams:
+                        d = np.frombuffer(fr.subchannel_data(s.subchid),
+                                          np.uint8)
+                    else:
+                        d = np.zeros(s.data_bytes, np.uint8)
+                    rows.append(np.unpackbits(d))
+                return np.stack(rows)
+
+            emit(st["mod"].frames(n, fibs_fn, payload_fn))
+            st["n_tx"] += n
+
+    n_in = 0
+    while st["n_tx"] != args.frames:
+        data = f.read(1 << 20)
+        if not data:
+            break
+        for frame in parser.feed(data):
+            n_in += 1
+            for i in range(0, len(frame.fic), 32):
+                fig.feed_fib(frame.fic[i:i + 32])
+            buf.append(frame)
+            if st["mod"] is None and len(buf) > MAX_PENDING_FRAMES:
+                buf.pop(0)           # endless no-MCI input: stay bounded
+                st["dropped"] = True
+        flush()
+    flush(final=True)
+    if args.input != "-":
+        f.close()
     out.flush()
     if args.output != "-":
         out.close()
-    log.info("wrote %d samples (%.2f s at %.3f Msps)", x.size,
-             x.size / C.SAMPLE_RATE, C.SAMPLE_RATE / 1e6)
+    if not n_in:
+        log.error("no ETI frames found")
+        return 1
+    if st["mod"] is None:
+        log.error("no MCI in the ETI FIC; cannot derive the sub-channel "
+                  "organization%s",
+                  " (input overran the pre-MCI buffer)"
+                  if st["dropped"] else "")
+        return 1
+    log.info("wrote %d samples (%.2f s at %.3f Msps) from %d transmission "
+             "frames", st["sample0"], st["sample0"] / C.SAMPLE_RATE,
+             C.SAMPLE_RATE / 1e6, st["n_tx"])
     return 0
 
 

@@ -608,6 +608,8 @@ class FigParser:
                 r.get(3)
                 scids = r.get(4)
                 if r.get(1):                     # LS=1: long form (SCId)
+                    if remaining_bits() < 15:    # truncated final entry
+                        break
                     r.get(3)
                     self.scids_map[(sid, scids)] = ("scid", r.get(12))
                 else:                            # short form (SubChId)

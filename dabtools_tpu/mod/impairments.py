@@ -21,9 +21,13 @@ def awgn(x: np.ndarray, snr_db: float,
 
 
 def carrier_offset(x: np.ndarray, cfo_hz: float,
-                   sample_rate: float = SAMPLE_RATE) -> np.ndarray:
-    """Apply a carrier-frequency offset (rotates at cfo_hz)."""
-    n = np.arange(x.size, dtype=np.float64)
+                   sample_rate: float = SAMPLE_RATE,
+                   start_sample: int = 0) -> np.ndarray:
+    """Apply a carrier-frequency offset (rotates at cfo_hz).
+
+    ``start_sample`` keeps the rotation phase-continuous when a long
+    stream is processed in chunks (pass the running sample count)."""
+    n = np.arange(start_sample, start_sample + x.size, dtype=np.float64)
     return (x * np.exp(2j * np.pi * cfo_hz * n / sample_rate)).astype(
         np.complex64)
 

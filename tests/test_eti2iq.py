@@ -48,7 +48,8 @@ def test_eti2iq_closed_loop(tmp_path):
          "-o", str(iq)],
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr
-    assert "modulating 12 Mode I frames, 2 sub-channels" in r.stderr
+    assert "modulating Mode I, 2 sub-channels" in r.stderr
+    assert "from 12 transmission frames" in r.stderr
 
     x = np.fromfile(iq, dtype=np.complex64)
     assert x.size == 12 * C.MODE_I.frame_size
