@@ -148,3 +148,23 @@ class Ensemble:
 
     def sorted_subchannels(self) -> tuple[Subchannel, ...]:
         return tuple(sorted(self.subchannels, key=lambda s: s.start_cu))
+
+    def to_dict(self) -> dict:
+        """JSON-safe representation (pickle-free checkpointing)."""
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Ensemble":
+        return cls(
+            eid=d["eid"], label=d.get("label", ""),
+            subchannels=tuple(Subchannel(**s) for s in d["subchannels"]),
+            services=tuple(
+                Service(sid=s["sid"], label=s.get("label", ""),
+                        components=tuple(
+                            ServiceComponent(
+                                **{**c, "user_apps": tuple(c["user_apps"])})
+                            for c in s["components"]))
+                for s in d.get("services", ())),
+            packet_components=tuple(
+                PacketComponent(**p)
+                for p in d.get("packet_components", ())))

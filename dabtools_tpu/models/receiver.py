@@ -569,19 +569,60 @@ class DabReceiver:
         }
 
     def save_checkpoint(self, path: str) -> None:
-        """Serialize the resumable state to ``path`` via pickle (trusted
-        input only — the standard pickle-on-load caveat applies)."""
-        import pickle
+        """Serialize the resumable state to ``path`` as a PICKLE-FREE
+        ``.npz`` container: deinterleaver rings as arrays, everything
+        else as a JSON document (byte payloads hex-encoded) — safe to
+        load from untrusted storage, unlike pickle."""
+        import json
 
-        with open(path, "wb") as f:
-            pickle.dump(self.checkpoint(), f)
+        ckpt = self.checkpoint()
+        arrays = {}
+        if ckpt["rings"] is not None:
+            arrays = {f"ring_{k}": v for k, v in ckpt["rings"].items()}
+        meta = {
+            "cif_count": ckpt["cif_count"],
+            "ensemble": (None if ckpt["ensemble"] is None
+                         else ckpt["ensemble"].to_dict()),
+            "activation_cif": ckpt["activation_cif"],
+            "next_eti_cif": ckpt["next_eti_cif"],
+            "frame_count": ckpt["frame_count"],
+            "fib_fifo": {str(n): [b.hex() for b in v]
+                         for n, v in ckpt["fib_fifo"].items()},
+            "err_level": {str(n): v for n, v in ckpt["err_level"].items()},
+            "subch_fifo": {str(sc): {str(n): b.hex()
+                                     for n, b in fifo.items()}
+                           for sc, fifo in ckpt["subch_fifo"].items()},
+        }
+        with open(path, "wb") as fh:    # exact path (np would append .npz)
+            np.savez_compressed(
+                fh, __meta__=np.frombuffer(
+                    json.dumps(meta).encode(), dtype=np.uint8), **arrays)
 
     @classmethod
     def load_checkpoint(cls, path: str, **kwargs) -> "DabReceiver":
-        import pickle
+        import json
 
-        with open(path, "rb") as f:
-            ckpt = pickle.load(f)
+        from dabtools_tpu.fic.config import Ensemble as _Ens
+
+        z = np.load(path)               # pickle disabled by default
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        ckpt = {
+            "cif_count": meta["cif_count"],
+            "ensemble": (None if meta["ensemble"] is None
+                         else _Ens.from_dict(meta["ensemble"])),
+            "activation_cif": meta["activation_cif"],
+            "next_eti_cif": meta["next_eti_cif"],
+            "frame_count": meta["frame_count"],
+            "rings": {k[len("ring_"):]: z[k] for k in z.files
+                      if k.startswith("ring_")} or None,
+            "fib_fifo": {int(n): [bytes.fromhex(h) for h in v]
+                         for n, v in meta["fib_fifo"].items()},
+            "err_level": {int(n): v
+                          for n, v in meta["err_level"].items()},
+            "subch_fifo": {int(sc): {int(n): bytes.fromhex(h)
+                                     for n, h in fifo.items()}
+                           for sc, fifo in meta["subch_fifo"].items()},
+        }
         rx = cls(**kwargs)
         rx.restore(ckpt)
         return rx

@@ -164,3 +164,32 @@ def test_u8_feed_matches_cf32_feed():
     eti_u8 = rx_u8.feed(u8[:2 * cut + 1]) + rx_u8.feed(u8[2 * cut + 1:])
     eti_cf = rx_cf.feed(u8_to_complex(u8))
     assert eti_u8 and eti_u8 == eti_cf
+
+
+def test_checkpoint_file_roundtrip_pickle_free(tmp_path):
+    """save_checkpoint/load_checkpoint: mid-stream resume from the npz
+    container stays bit-exact, and the file loads with pickle disabled."""
+    ens = Ensemble(
+        eid=0xD11D, label="CKPT FILE",
+        subchannels=(Subchannel.eep(1, 0, 3, "A", 64),),
+        services=(Service(sid=5, label="SVC", components=(
+            ServiceComponent(tmid=0, subchid=1),)),),
+    )
+    x, payload_bytes = modulate(ens, 16, seed=21)
+    rx1 = DabReceiver(n_frames=4)
+    half = 9 * C.MODE_I.frame_size + 77
+    eti = rx1.feed(x[:half])
+    path = tmp_path / "rx.ckpt.npz"
+    rx1.save_checkpoint(path)
+    leftover = rx1.pending_samples()
+
+    rx2 = DabReceiver.load_checkpoint(path, n_frames=4)
+    assert rx2.ensemble == rx1.ensemble
+    eti += rx2.feed(np.concatenate([leftover, x[half:]]))
+
+    frames = list(EtiParser().feed(b"".join(eti)))
+    assert len(frames) >= 10
+    a = rx1._activation_cif
+    for k, f in enumerate(frames):
+        assert f.fct == k % 250      # FCT continuity across the resume
+        assert f.subchannel_data(1) == payload_bytes[1][a + k].tobytes(), k
