@@ -506,7 +506,7 @@ def _extra_e2e(ens, n_frames, rng):
     # assembly — FIB pairing, STC, CRCs, MST layout — with the device out
     # of the picture.  This bounds the Python side of production rates.
     from dabtools_tpu.eti.assemble import EtiAssembler
-    from dabtools_tpu.utils.native import crc16_ok_batch
+    from dabtools_tpu.utils.crc import crc16_ok_batch   # native w/ fallback
     asm = EtiAssembler(rx.ensemble)
     subs = rx.ensemble.subchannels
     rng2 = np.random.default_rng(1)

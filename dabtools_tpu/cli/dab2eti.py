@@ -229,8 +229,12 @@ def main(argv=None) -> int:
     sdr = None
     if args.device == "rtlsdr":
         from dabtools_tpu.frontend.rtlsdr import RtlSdrSource
+        # The dongle streams at --rate (e.g. the RTL-native 2.4 Msps);
+        # the resampler below converts to 2.048 Msps.  Not forwarding it
+        # would silently mix rates and never sync.
         sdr = RtlSdrSource(args.frequency, gain_db=args.gain,
                            device_index=args.rtlsdr_index,
+                           sample_rate=int(args.rate),
                            lib_path=args.rtlsdr_lib)
 
         def live_blocks(block=1 << 20):

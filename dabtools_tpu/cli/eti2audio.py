@@ -335,15 +335,22 @@ def main(argv=None) -> int:
         """
         ens = fig.ensemble()
         if args.subch is not None:
-            is_dabplus = args.dabplus
-            if ens is None and not final:
-                return None          # FIG 0/2 (ascty) may still arrive
-            if ens is not None and not is_dabplus:
+            if args.dabplus:         # explicit type: no MCI needed at all
+                return args.subch, True, None
+            # Audio-type sniff from FIG 0/2: resolve the moment any
+            # component references this sub-channel (FIG 0/1 alone makes
+            # ensemble() non-None while services are still pending, and
+            # big muxes rotate FIG 0/2 across frames); without MCI,
+            # default to MP2 after a bounded ~1.5 s instead of buffering
+            # the whole stream.
+            if ens is not None:
                 for svc in ens.services:
                     for c in svc.components:
-                        if c.subchid == args.subch and c.is_dabplus:
-                            is_dabplus = True
-            return args.subch, is_dabplus, None
+                        if c.subchid == args.subch:
+                            return args.subch, c.is_dabplus, None
+            if final or stats["frames"] >= 64:
+                return args.subch, False, None
+            return None
         if ens is None:
             if final:
                 log.error("no MCI in the ETI FIC; use --subch")

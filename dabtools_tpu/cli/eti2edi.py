@@ -40,8 +40,14 @@ def main(argv=None) -> int:
 
     addr = None
     if args.pft_addr:
-        src, _, dst = args.pft_addr.partition(":")
-        addr = (int(src, 0), int(dst, 0))
+        src, sep, dst = args.pft_addr.partition(":")
+        try:
+            if not sep:
+                raise ValueError
+            addr = (int(src, 0), int(dst, 0))
+        except ValueError:
+            p.error(f"--pft-addr must be SRC:DST (numbers, hex ok); "
+                    f"got {args.pft_addr!r}")
 
     sock = None
     if args.output.startswith("udp://"):

@@ -347,9 +347,16 @@ class PftReassembler:
         self._max_pending = max_pending
         self._dest = dest
         self._buf = bytearray()
+        self._last_emitted: int | None = None
         self.crc_failures = 0
         self.dropped_groups = 0
         self.recovered_groups = 0
+        self.late_dropped = 0
+
+    @staticmethod
+    def _newer(a: int, b: int) -> bool:
+        """Pseq ``a`` strictly after ``b`` in 16-bit wraparound order."""
+        return 0 < ((a - b) & 0xFFFF) < 0x8000
 
     def feed(self, data: bytes) -> list[bytes]:
         """Byte stream of concatenated fragments -> completed AF packets."""
@@ -394,6 +401,19 @@ class PftReassembler:
         return out
 
     def _take(self, pseq, findex, fcount, rs, frag) -> list[bytes]:
+        if fcount == 0:
+            # A craftable header (valid HCRC) must not divide-by-zero the
+            # network-facing reassembler.
+            self.crc_failures += 1
+            return []
+        # A group completing/recovering AFTER newer groups were already
+        # emitted must not be delivered out of sequence: ETI consumers
+        # check FCT continuity, and a ~190 ms-late frame reads as a
+        # discontinuity.  Late arrivals are dropped and counted.
+        if (self._last_emitted is not None
+                and not self._newer(pseq, self._last_emitted)):
+            self.late_dropped += 1
+            return []
         self._groups.setdefault(pseq, {})[findex] = frag
         self._meta[pseq] = (fcount, rs)
         g = self._groups[pseq]
@@ -404,9 +424,15 @@ class PftReassembler:
         # with FEC, closure attempts erasure recovery first.  Never close
         # the group a fragment just arrived for: it is still filling.
         if len(self._groups) > self._max_pending:
-            oldest = next((p for p in self._groups if p != pseq), None)
+            oldest = max((p for p in self._groups if p != pseq),
+                         key=lambda p: (pseq - p) & 0xFFFF, default=None)
             if oldest is not None:
-                got = self._finish(oldest)
+                if (self._last_emitted is None
+                        or self._newer(oldest, self._last_emitted)):
+                    got = self._finish(oldest)
+                else:
+                    got = []
+                    self.late_dropped += 1
                 if got:
                     self.recovered_groups += 1
                     out += got
@@ -417,10 +443,11 @@ class PftReassembler:
         return out
 
     def flush(self) -> list[bytes]:
-        """Close every pending group (end of stream), recovering what the
-        FEC allows."""
+        """Close every pending group (end of stream) in sequence order,
+        recovering what the FEC allows."""
         out = []
-        for pseq in list(self._groups):
+        base = self._last_emitted or 0
+        for pseq in sorted(self._groups, key=lambda p: (p - base) & 0xFFFF):
             fcount = self._meta[pseq][0]
             incomplete = len(self._groups[pseq]) < fcount
             got = self._finish(pseq)
@@ -441,11 +468,14 @@ class PftReassembler:
         if g is None:
             return []
         fcount, rs = self._meta[pseq]
+        if not fcount:
+            return []
         complete = len(g) == fcount and all(i in g for i in range(fcount))
         if rs is None:
             if not complete:
                 return []
             del self._groups[pseq], self._meta[pseq]
+            self._last_emitted = pseq
             return [b"".join(g[i] for i in range(fcount))]
 
         k, z = rs
@@ -475,5 +505,6 @@ class PftReassembler:
             if not ok:
                 return []
         del self._groups[pseq], self._meta[pseq]
+        self._last_emitted = pseq
         data = m[:, :k].reshape(-1).tobytes()
         return [data[: c * k - z]]

@@ -334,7 +334,7 @@ class MotEncoder:
         self._tid = (self._tid + 1) & 0xFFFF
         dir_segs = mot_segments(directory, self.seg_size)
         dir_groups = [build_data_group(
-            dir_type, self._continuity, i,
+            dir_type, (self._continuity + i) & 0x0F, i,
             i == len(dir_segs) - 1, self._tid, seg)
             for i, seg in enumerate(dir_segs)]
         self._continuity = (self._continuity + len(dir_segs)) & 0x0F
@@ -481,6 +481,13 @@ class MotDecoder:
         # Caching model: forget emitted objects no longer in the carousel.
         self._emitted = {t: h for t, h in self._emitted.items()
                          if directory.get(t) == h}
+        # Bound memory on 24/7 carousels with rotating transport ids:
+        # bodies whose tid is in neither the new TOC nor an in-flight
+        # header-mode transfer can never complete — drop them.
+        for t in [t for t in self._bodies
+                  if t not in directory and t not in self._headers]:
+            del self._bodies[t]
+            self._last_seg.pop((DG_TYPE_MOT_BODY, t), None)
         out = []
         for t in list(self._bodies):
             out += self._try_complete(t)

@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dabtools_tpu import constants as C
 from dabtools_tpu.fic.config import Ensemble
@@ -67,15 +68,16 @@ def timeblock_receiver(mesh: jax.sharding.Mesh, ensemble: Ensemble,
     # Mode III FIC codewords span 3 frames: every shard's scan must start
     # on a codeword boundary (global frame multiple of 3), so shard spans
     # and warmup must preserve that phase (and g0 must be a multiple of 3).
+    fic_span = 1
     if mode.fic_bits_per_frame % C.FIC_PUNCTURED_BITS:
         import math
-        span = C.FIC_PUNCTURED_BITS // math.gcd(mode.fic_bits_per_frame,
-                                                C.FIC_PUNCTURED_BITS)
-        if f_own % span or w % span:
+        fic_span = C.FIC_PUNCTURED_BITS // math.gcd(
+            mode.fic_bits_per_frame, C.FIC_PUNCTURED_BITS)
+        if f_own % fic_span or w % fic_span:
             raise ValueError(
                 f"Mode {mode.name}: frames_per_shard={f_own} and "
-                f"warmup_frames={w} must be multiples of {span} "
-                f"(FIC codewords span {span} frames)")
+                f"warmup_frames={w} must be multiples of {fic_span} "
+                f"(FIC codewords span {fic_span} frames)")
     lh, rh = halo_sizes(w, mode, left_margin, right_margin)
     if max(lh, rh) > f_own * fr:
         raise ValueError(
@@ -135,7 +137,7 @@ def timeblock_receiver(mesh: jax.sharding.Mesh, ensemble: Ensemble,
         check_vma=False)
 
     @jax.jit
-    def run(x, prefix, suffix, g0):
+    def _run(x, prefix, suffix, g0):
         expect = n_shards * f_own * fr
         if x.shape[-1] != expect:
             raise ValueError(
@@ -147,5 +149,17 @@ def timeblock_receiver(mesh: jax.sharding.Mesh, ensemble: Ensemble,
                 f"{prefix.shape[-1]}/{suffix.shape[-1]}")
         return sharded(x, prefix, suffix,
                        jnp.asarray(g0, dtype=jnp.int32))
+
+    def run(x, prefix, suffix, g0):
+        # The third leg of the Mode III codeword-phase invariant: g0
+        # itself must sit on a codeword boundary (the other two are
+        # checked at construction above).  Checked here, outside the
+        # jit, where g0 is still a concrete int.
+        if (fic_span > 1 and isinstance(g0, (int, np.integer))
+                and int(g0) % fic_span):
+            raise ValueError(
+                f"Mode {mode.name}: g0={g0} must be a multiple of "
+                f"{fic_span} (FIC codewords span {fic_span} frames)")
+        return _run(x, prefix, suffix, g0)
 
     return run

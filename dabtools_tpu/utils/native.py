@@ -44,6 +44,22 @@ def lib() -> ctypes.CDLL | None:
     except OSError as e:
         log.warning("could not load %s: %s", _SO, e)
         return None
+    # A stale .so built before a symbol was added must trigger a rebuild,
+    # not an AttributeError from every (sometimes unguarded) caller.
+    if not hasattr(so, "dabhost_crc16_ok_batch"):   # newest symbol
+        log.info("libdabhost.so is stale (missing symbols); rebuilding")
+        try:
+            subprocess.run(["make", "-C", str(_DIR), "-B"], check=True,
+                           capture_output=True, timeout=120)
+            so = ctypes.CDLL(str(_SO))
+        except Exception as e:  # noqa: BLE001
+            log.warning("native rebuild failed (%s); using NumPy "
+                        "fallbacks", e)
+            return None
+        if not hasattr(so, "dabhost_crc16_ok_batch"):
+            log.warning("rebuilt libdabhost.so still lacks symbols; "
+                        "using NumPy fallbacks")
+            return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     so.dabhost_init.restype = None
     so.dabhost_crc16_ccitt.restype = ctypes.c_uint16

@@ -201,3 +201,44 @@ def test_eti2audio_all_services(eti_file, capture, tmp_path):
     aac = (outdir / "0x2222_AAC_SVC.aac").read_bytes()
     all_aus = b"".join(b"".join(aus) for aus in capture["sf_aus"])
     assert len(aac) > 0 and aac in all_aus
+
+
+def test_eti2audio_subch_sniffs_dabplus(eti_file, capture):
+    """--subch on a DAB+ sub-channel without --dabplus: the audio type is
+    sniffed from FIG 0/2 (was: resolved as MP2 before services arrived
+    and the stream written as raw superframe bytes)."""
+    out = capture["tmp"] / "sniff.aac"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--subch", "2", str(eti_file), "-o", str(out)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    got = out.read_bytes()
+    all_aus = b"".join(b"".join(aus) for aus in capture["sf_aus"])
+    assert len(got) > 0 and got in all_aus
+
+
+def test_eti2audio_subch_without_mci_emits_everything(tmp_path):
+    """--subch on a stream with no parseable MCI: resolution defaults to
+    MP2 after a bounded wait and the WHOLE stream is emitted."""
+    from dabtools_tpu.eti.assemble import EtiAssembler
+    from dabtools_tpu.fic.config import Ensemble as Ens, Subchannel as Sub
+
+    ens = Ens(eid=1, subchannels=(Sub.eep(1, 0, 3, "A", 64),))
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, (80, 192), dtype=np.uint8)
+    asm = EtiAssembler(ens)
+    empty_fib = b"\xff" + b"\x00" * 29          # end marker, no FIGs
+    from dabtools_tpu.utils.crc import crc16_ccitt
+    empty_fib += crc16_ccitt(empty_fib).to_bytes(2, "big")
+    eti = b"".join(asm.frame([empty_fib] * 3, {1: data[n].tobytes()})
+                   for n in range(80))
+    src = tmp_path / "nomci.eti"
+    src.write_bytes(eti)
+    out = tmp_path / "all.mp2"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--subch", "1", str(src), "-o", str(out)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == data.reshape(-1).tobytes()

@@ -378,3 +378,40 @@ def test_cli_udp_transport_roundtrip(tmp_path):
             listener.kill()
     assert listener.returncode == 0, err
     assert back.read_bytes() == raw
+
+
+def test_pft_fcount_zero_datagram_is_rejected():
+    """A craftable header with Fcount=0 (valid HCRC) must not crash the
+    network-facing reassembler (was: ZeroDivisionError at group close)."""
+    from dabtools_tpu.eti.edi import PftReassembler
+    from dabtools_tpu.utils.crc import crc16_ccitt
+    head = (b"PF" + (5).to_bytes(2, "big") + (0).to_bytes(3, "big")
+            + (0).to_bytes(3, "big")                 # Fcount = 0
+            + (0x8000 | 4).to_bytes(2, "big")        # FEC flag, Plen=4
+            + bytes([48, 0]))                        # RSk, RSz
+    frag = head + crc16_ccitt(head).to_bytes(2, "big") + b"XXXX"
+    r = PftReassembler()
+    assert r.feed(frag) == []
+    assert r.feed(frag) == []            # repeat: still no crash
+    got = r.flush()                      # and closing all groups is safe
+    assert got == []
+
+
+def test_pft_late_recovery_not_emitted_out_of_order():
+    """A group completing after newer groups were delivered is dropped
+    (ETI consumers check FCT continuity), not emitted ~N frames late."""
+    from dabtools_tpu.eti.edi import PftReassembler, pft_fragments
+    a = af_packet(b"A" * 300, 0)
+    b = af_packet(b"B" * 300, 1)
+    fa = pft_fragments(a, seq=10, mtu=120)
+    fb = pft_fragments(b, seq=11, mtu=120)
+    r = PftReassembler()
+    got = []
+    for f in fa[:-1]:                    # group 10 missing its tail
+        got += r.feed(f)
+    for f in fb:                         # group 11 completes and emits
+        got += r.feed(f)
+    assert got == [b]
+    got += r.feed(fa[-1])                # 10's tail arrives too late
+    assert got == [b]
+    assert r.late_dropped >= 1
