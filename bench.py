@@ -323,9 +323,11 @@ def _extras(ens, n_frames, rng, rt1):
             return False
 
     # r01's driver run was killed at its own (unknown) timeout with
-    # rc=124; keep total bench time under ~30 min so we exit gracefully
-    # with a complete summary instead.
-    budget = float(os.environ.get("DABTOOLS_BENCH_BUDGET", 1500))
+    # rc=124 — but the headline JSON now prints before the extras and
+    # every section line prints as it completes, so a mid-extras kill
+    # costs nothing.  40 min of weather-gated retries rides out the
+    # relay's longer bad windows (observed: hours-long on 2026-08-18).
+    budget = float(os.environ.get("DABTOOLS_BENCH_BUDGET", 2400))
     t0 = time.time()
     pending = list(SECTIONS)
     attempts = {}
