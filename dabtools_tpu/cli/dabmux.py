@@ -247,14 +247,16 @@ def main(argv=None) -> int:
     for n in range(n_cifs):
         t = n // 4
         if t != last_t:              # FIBs built once per transmission frame
+            cc = int(cfg.get("config_count", 1))
             if cfg.get("time"):
                 import datetime
                 figs = extra + (fig_0_10(
                     base_time + datetime.timedelta(milliseconds=96 * t)),)
-                fibs_frame = build_fibs_for_ensemble(ens, t,
-                                                     extra_figs=figs)
+                fibs_frame = build_fibs_for_ensemble(
+                    ens, t, extra_figs=figs, config_count=cc)
             else:
-                fibs_frame = build_fibs_for_ensemble(ens, t)
+                fibs_frame = build_fibs_for_ensemble(ens, t,
+                                                     config_count=cc)
             last_t = t
         fibs = [f.tobytes() for f in fibs_frame[3 * (n % 4): 3 * (n % 4) + 3]]
         out.write(asm.frame(

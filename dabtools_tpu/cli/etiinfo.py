@@ -107,6 +107,12 @@ def main(argv=None) -> int:
         print("no MCI decoded from FIC")
     else:
         print(f"ensemble: 0x{ens.eid:04X} {ens.label!r}")
+        if fig.config_count is not None:
+            note = ("" if fig.n_services_signalled == len(ens.services)
+                    else f" (FIC still partial: {len(ens.services)} of "
+                         f"{fig.n_services_signalled} services parsed)")
+            print(f"  configuration {fig.config_count}, "
+                  f"{fig.n_services_signalled} services{note}")
         if fig.ecc is not None:
             print(f"  ECC 0x{fig.ecc:02X}, LTO {fig.lto_half_hours * 30:+d}"
                   f" min, international table {fig.intl_table}")

@@ -75,6 +75,18 @@ def _chunks(seq, n):
         yield seq[i:i + n]
 
 
+def _fig_0_7(n_services: int, config_count: int) -> bytes:
+    """Configuration information (EN 300 401 v2 s6.4.2) [K-med]:
+    Services(6) = total service count, Count(10) = configuration counter
+    incremented on each reconfiguration."""
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(7, 5)
+    w.put(min(n_services, 63), 6)
+    w.put(config_count & 0x3FF, 10)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
 def _fig_0_1(subchannels: tuple[Subchannel, ...]) -> list[bytes]:
     # A FIB carries <= 30 bytes; long-form entries are 4 bytes, so split
     # the sub-channel org over multiple FIG 0/1s (as real muxes do).
@@ -322,7 +334,8 @@ def _fits_one_frame(figs: list[bytes], n_fibs: int) -> bool:
 
 def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
                             n_fibs: int = C.MODE_I.n_fibs,
-                            extra_figs: tuple = ()) -> np.ndarray:
+                            extra_figs: tuple = (),
+                            config_count: int | None = None) -> np.ndarray:
     """Build one transmission frame's FIBs carrying the full MCI.
 
     FIG 0/0 (ensemble id + CIF counter) goes in EVERY frame; the rest of
@@ -334,6 +347,8 @@ def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
     """
     head = _fig_0_0(ens, cif_count=frame_idx * C.MODE_I.n_cifs)
     rest: list[bytes] = []
+    if config_count is not None:   # FIG 0/7 rides right after FIG 0/0
+        rest.append(_fig_0_7(len(ens.services), config_count))
     rest += _fig_0_1(ens.subchannels)
     if ens.services:
         rest += _fig_0_2(ens.services)
@@ -421,6 +436,9 @@ class FigParser:
     # cluster -> (ASw flags, subchid) while an announcement is active.
     announce_support: dict = dataclasses.field(default_factory=dict)
     announce_active: dict = dataclasses.field(default_factory=dict)
+    # FIG 0/7: expected service count + reconfiguration counter
+    n_services_signalled: int | None = None
+    config_count: int | None = None
     # FIG 0/9 + 0/10 (informational, not part of the Ensemble config)
     ecc: int | None = None
     lto_half_hours: int | None = None
@@ -599,6 +617,9 @@ class FigParser:
                                                      self._tick)
                 else:
                     self.announce_active.pop(cluster, None)
+        elif ext == 7:
+            self.n_services_signalled = r.get(6)
+            self.config_count = r.get(10)
         elif ext == 8:
             # Service component global definition: SCIdS -> transport
             sid_bits = 32 if pd else 16

@@ -111,3 +111,28 @@ def test_eti2audio_follows_announcements(tmp_path):
     assert r.returncode == 0, r.stderr
     assert out2.read_bytes() == b"".join(
         data[1][n].tobytes() for n in range(n_cifs))
+
+
+def test_fig_0_7_configuration_info(tmp_path):
+    """FIG 0/7 round trip + etiinfo display."""
+    ens = _ens()
+    p = FigParser()
+    for fib in build_fibs_for_ensemble(ens, 0, config_count=5):
+        p.feed_fib(fib.tobytes())
+    assert p.figs_malformed == 0
+    assert (p.n_services_signalled, p.config_count) == (2, 5)
+
+    asm = EtiAssembler(ens)
+    rng = np.random.default_rng(1)
+    eti = b"".join(asm.frame(
+        [f.tobytes() for f in build_fibs_for_ensemble(
+            ens, n // 4, config_count=5)[3 * (n % 4): 3 * (n % 4) + 3]],
+        {sc: rng.integers(0, 256, 192, dtype=np.uint8).tobytes()
+         for sc in (1, 3)}) for n in range(8))
+    src = tmp_path / "c.eti"
+    src.write_bytes(eti)
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.etiinfo", str(src)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "configuration 5, 2 services" in r.stdout
