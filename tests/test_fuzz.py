@@ -117,3 +117,29 @@ def test_pad_decoder_survives_random_frames():
         dec.feed_dabplus_au(rng.integers(0, 256, 60,
                                          dtype=np.uint8).tobytes())
     dec.flush()
+
+
+def test_packet_decoder_survives_garbage():
+    from dabtools_tpu.eti.packet import PacketDecoder
+
+    rng = np.random.default_rng(13)
+    dec = PacketDecoder()
+    for _ in range(40):
+        dec.feed(rng.integers(0, 256, rng.integers(1, 3000),
+                              dtype=np.uint8).tobytes())
+    # decoder state stays bounded and sane under pure noise
+    assert dec.stats["crc_failures"] > 0
+    assert len(dec._asm) <= 1024
+
+
+def test_pft_reassembler_survives_garbage():
+    from dabtools_tpu.eti.edi import PftReassembler
+
+    rng = np.random.default_rng(14)
+    r = PftReassembler()
+    for _ in range(40):
+        blob = bytearray(rng.integers(0, 256, 2000, dtype=np.uint8)
+                         .tobytes())
+        blob[:2] = b"PF"               # force sync-hunting into headers
+        r.feed(bytes(blob))
+    r.flush()
