@@ -11,6 +11,6 @@ Quick start::
     eti_frames = rx.feed(iq_samples)   # complex64 @ 2.048 Msps
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from dabtools_tpu import constants  # noqa: F401
