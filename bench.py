@@ -94,7 +94,24 @@ def _wait_for_relay():
             pass
         log("# relay in a bad window; waiting 60s before starting")
         time.sleep(60)
-    log(f"# relay still bad after {budget:.0f}s pre-flight; trying anyway")
+    # Distinguish "relay weather" from "tunnel dead" in the artifact:
+    # the tunnel (tpu_init) listens on 127.0.0.1:8082-8117; if nothing
+    # does, there is NO TPU connectivity and retries cannot help
+    # (observed 2026-08-18: a >5 h 'bad window' was a dead tunnel).
+    import socket
+    alive = False
+    for port in (8082, 8083, 8087):
+        try:
+            s = socket.socket()
+            s.settimeout(2)
+            s.connect(("127.0.0.1", port))
+            s.close()
+            alive = True
+            break
+        except OSError:
+            pass
+    log(f"# relay still bad after {budget:.0f}s pre-flight; "
+        f"{'tunnel ports open - trying anyway' if alive else 'TPU TUNNEL DEAD (no listener on 8082-8117) - results will reflect that'}")
 
 
 def main():
