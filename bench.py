@@ -131,6 +131,15 @@ def main():
     n_frames = int(args[0]) if args else 16
     ens = _flagship_ensemble()
     dev = jax.devices()[0]
+    if (dev.platform == "cpu"
+            and not os.environ.get("JAX_PLATFORMS", "").startswith("cpu")):
+        # The accelerator plugin failed to initialize (e.g. dead tunnel)
+        # and jax fell back to CPU: refuse to publish CPU numbers as
+        # chip numbers — an empty artifact is diagnosable, a ~1x
+        # headline is misinformation.
+        log("# FATAL: accelerator backend unavailable (fell back to CPU "
+            "without JAX_PLATFORMS=cpu); not reporting CPU numbers")
+        sys.exit(3)
     rng = np.random.default_rng(0)
     log(f"# device: {dev.device_kind} ({dev.platform}), "
         f"block={n_frames} frames, mux=9x128kbit/s EEP-3A (864/864 CUs)")
