@@ -159,6 +159,9 @@ def main(argv=None) -> int:
     p.add_argument("--output", "-o", default="-")
     p.add_argument("--tist", action="store_true",
                    help="stamp ETI frames with TIST timestamps")
+    p.add_argument("--mode", choices=("I", "II", "III", "IV"), default="I",
+                   help="DAB transmission mode (sets the FIC geometry "
+                        "carried per ETI frame)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                         format="%(name)s: %(message)s")
@@ -233,7 +236,11 @@ def main(argv=None) -> int:
                    subchannels=tuple(subchannels),
                    services=tuple(services),
                    packet_components=tuple(pcs))
-    asm = EtiAssembler(ens, tist_start=0.0 if args.tist else None)
+    from dabtools_tpu import constants as C
+    mode = C.MODES[args.mode]
+    fibs_per_cif = mode.n_fibs // mode.n_cifs
+    asm = EtiAssembler(ens, mode=mode,
+                       tist_start=0.0 if args.tist else None)
     out = sys.stdout.buffer if args.output == "-" else open(args.output,
                                                             "wb")
     extra: tuple = ()
@@ -245,20 +252,22 @@ def main(argv=None) -> int:
 
     last_t, fibs_frame = -1, None
     for n in range(n_cifs):
-        t = n // 4
+        t, c = divmod(n, mode.n_cifs)
         if t != last_t:              # FIBs built once per transmission frame
             cc = int(cfg.get("config_count", 1))
             if cfg.get("time"):
                 import datetime
                 figs = extra + (fig_0_10(
-                    base_time + datetime.timedelta(milliseconds=96 * t)),)
+                    base_time + datetime.timedelta(milliseconds=24 * n)),)
                 fibs_frame = build_fibs_for_ensemble(
-                    ens, t, extra_figs=figs, config_count=cc)
+                    ens, t, n_fibs=mode.n_fibs, extra_figs=figs,
+                    config_count=cc)
             else:
-                fibs_frame = build_fibs_for_ensemble(ens, t,
-                                                     config_count=cc)
+                fibs_frame = build_fibs_for_ensemble(
+                    ens, t, n_fibs=mode.n_fibs, config_count=cc)
             last_t = t
-        fibs = [f.tobytes() for f in fibs_frame[3 * (n % 4): 3 * (n % 4) + 3]]
+        fibs = [f.tobytes() for f in
+                fibs_frame[fibs_per_cif * c: fibs_per_cif * (c + 1)]]
         out.write(asm.frame(
             fibs, {sc: src.frame() for sc, src in sources.items()}))
     out.flush()

@@ -105,3 +105,25 @@ def test_full_lab_chain(mux):
         for sc in (1, 2, 3):
             assert f.subchannel_data(sc) == src[a + k].subchannel_data(sc), \
                 f"subch {sc} CIF {a + k}"
+
+
+def test_dabmux_mode_ii(tmp_path):
+    """--mode II: FIC geometry (1 CIF/frame, 3 FIBs) and ETI framing."""
+    cfg = {"eid": "0x4D59", "label": "MODE2", "services": [
+        {"sid": "0x1111", "label": "SVC", "type": "mp2",
+         "subch": {"id": 1, "start_cu": 0, "protection": "EEP-3A",
+                   "bitrate": 64}, "source": "prbs"}]}
+    cfg_path = tmp_path / "m2.json"
+    cfg_path.write_text(json.dumps(cfg))
+    eti = tmp_path / "m2.eti"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dabmux", str(cfg_path),
+         "--mode", "II", "--cifs", "12", "-o", str(eti)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio", "--list",
+         "--mode", "II", str(eti)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "ensemble 0x4D59 'MODE2'" in r.stdout
