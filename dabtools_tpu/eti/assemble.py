@@ -12,12 +12,14 @@ Frame layout (ETS 300 799 s5):
 Field packing notes [K-med — reconstructed from the standard; round-trip
 covered by tests, re-verify against reference captures when available]:
   FC: FCT(8) FICF(1) NST(7) FP(3) MID(2) FL(11), FL in 32-bit words over
-  STC+EOH+MST.  STC entry: SubChId(6) SAD(10) TPL(8) STL(8), STL in 64-bit
-  words.  TPL: 0b00iiiiii = UEP table index i; 0b01ooLLLL = EEP option o
-  (0=A,1=B) level L-1.
+  STC+EOH+MST.  STC entry: SubChId(6) SAD(10) TPL(6) STL(10), SAD/STL in
+  64-bit words.  TPL: 0b0iiiii = UEP table index i; 0b1ooLL = EEP option
+  o (0=A,1=B) level L-1 (see ``tpl_for_subchannel``).
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 
@@ -25,12 +27,27 @@ from dabtools_tpu import constants as C
 from dabtools_tpu.fic.config import Ensemble, Subchannel
 from dabtools_tpu.utils.crc import crc16_ccitt
 
+log = logging.getLogger("dabtools_tpu.eti.assemble")
+
 
 def tpl_for_subchannel(s: Subchannel) -> int:
+    """6-bit STC TPL field (ETS 300 799).
+
+    The STC entry is 32 bits = SCID(6) SAD(10) TPL(6) STL(10) — the
+    field widths are forced by the value ranges (SAD/STL address up to
+    864 CUs).  The TPL bit meaning is reconstructed [K-med,
+    docs/INTEROP.md row 8]: EEP long form 0b1 + option(3) + level-1(2);
+    UEP 0b0 + table index(5) — UEP rows >= 32 cannot be represented and
+    are clamped (display/interop field only; decode config comes from
+    the FIC, so the stream itself is unaffected)."""
     if s.protection_type == "UEP":
-        return s.uep_table_index & 0x3F
+        if s.uep_table_index > 0x1F:
+            log.warning("UEP table index %d does not fit the 5-bit TPL "
+                        "field; clamping (docs/INTEROP.md row 8)",
+                        s.uep_table_index)
+        return min(s.uep_table_index, 0x1F)
     option = 0 if s.eep_option == "A" else 1
-    return 0x40 | (option << 4) | (s.protection_level - 1)
+    return 0x20 | (option << 2) | (s.protection_level - 1)
 
 
 TIST_TICKS_PER_SEC = 16_384_000   # ETS 300 799 annex: 1/16.384 MHz [K-med]
@@ -99,22 +116,27 @@ class EtiAssembler:
         mst_bytes = fic_len + sum(len(d) for _, d in streams)
         fl_words = (4 * nst + 4 + mst_bytes) // 4   # STC + EOH + MST
 
-        err = (0xFF, 0x0F, 0x0F, 0x00)[min(error_level, 3)]
+        # Monotone degradation ladder [K-med, ETS 300 799 ERR levels]:
+        # 0xFF clean, 0x7F FIB-CRC loss, 0x0F frame-sync degraded, 0x00
+        # unusable — four DISTINCT values so observability keeps the
+        # receiver's level-1/level-2 distinction.
+        err = (0xFF, 0x7F, 0x0F, 0x00)[min(error_level, 3)]
         mid = {"I": 1, "II": 2, "III": 3, "IV": 0}[self.mode.name]
         count = self.frame_count
         self.frame_count += 1
         fct = count % 250
         fp = count % 8        # continuous mod-8 phase (NOT fct%8: 250%8!=0)
 
-        # STC; SAD/STL in 64-bit (8-byte) words so 10/8 bits cover the MST.
-        # Built once; shared by the native and Python paths.
+        # STC: SCID(6) SAD(10) TPL(6) STL(10) per entry (ETS 300 799);
+        # SAD/STL in 64-bit (8-byte) words.  Built once; shared by the
+        # native and Python paths.
         sad = fic_len // 8  # sub-channel data starts after the FIC
         stc = bytearray()
         for s, data in streams:
             stl = len(data) // 8
             stc.append((s.subchid << 2) | ((sad >> 8) & 0x03))
             stc.append(sad & 0xFF)
-            stc.append(tpl_for_subchannel(s))
+            stc.append((tpl_for_subchannel(s) << 2) | ((stl >> 8) & 0x03))
             stc.append(stl & 0xFF)
             sad += stl
         subch_bytes = b"".join(d for _, d in streams)

@@ -25,6 +25,8 @@ from dabtools_tpu import constants as C
 from dabtools_tpu.utils.crc import crc16_ccitt, firecode
 from dabtools_tpu.utils.gf256 import rs_decode, rs_encode
 
+_RS_FALLBACK_WARNED = False
+
 log = logging.getLogger("dabtools_tpu.dabplus")
 
 
@@ -46,7 +48,13 @@ def _rs_decode_columns(table: np.ndarray):
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
             data, counts = rs_decode_batch(jnp.asarray(table))
             return np.asarray(data), np.asarray(counts)
-    except Exception:  # pragma: no cover - jax unavailable/backend broken
+    except Exception as e:  # pragma: no cover - jax unavailable/broken
+        global _RS_FALLBACK_WARNED
+        if not _RS_FALLBACK_WARNED:
+            _RS_FALLBACK_WARNED = True
+            logging.getLogger("dabtools_tpu.dabplus").warning(
+                "jitted RS decoder unavailable (%s); falling back to the "
+                "~100x slower NumPy codec", e)
         return rs_decode(table)
 
 # (dac_rate, sbr_flag) -> (num_aus, au_start[0])

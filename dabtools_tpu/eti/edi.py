@@ -174,8 +174,11 @@ class EdiWriter:
             head += f.tist.to_bytes(4, "big")
         items.append(tag_item(b"deti", head + f.fic))
         for s in sorted(f.streams.values(), key=lambda s: s.subchid):
+            # SSTC: SCID(6) SAD(10) TPL(6) STL(10), like the ETI STC
             sstc = bytes([s.subchid << 2 | (s.sad_words >> 8) & 0x03,
-                          s.sad_words & 0xFF, s.tpl, s.stl_words & 0xFF])
+                          s.sad_words & 0xFF,
+                          (s.tpl << 2) | (s.stl_words >> 8) & 0x03,
+                          s.stl_words & 0xFF])
             items.append(tag_item(b"est" + bytes([s.subchid]),
                                   sstc + s.data))
         pkt = af_packet(b"".join(items), self.seq)
@@ -217,7 +220,7 @@ class EdiReader:
             if name[:3] == b"est" and len(value) >= 4:
                 subchid = value[0] >> 2
                 sad = (value[0] & 0x03) << 8 | value[1]
-                streams.append((subchid, sad, value[2], value[4:]))
+                streams.append((subchid, sad, value[2] >> 2, value[4:]))
         return EdiFrame(fct=fct, fp=(midfp >> 2) & 0x07, mid=midfp >> 5,
                         err=err, fic=fic, streams=streams, tist=tist)
 
@@ -244,8 +247,9 @@ class EdiReader:
         out += fc
         stc = bytearray()
         for subchid, sad, tpl, data in streams:
+            stl = len(data) // 8
             stc += bytes([subchid << 2 | (sad >> 8) & 0x03, sad & 0xFF,
-                          tpl, len(data) // 8])
+                          (tpl << 2) | (stl >> 8) & 0x03, stl & 0xFF])
         out += stc
         mnsc = b"\xff\xff"
         out += mnsc + crc16_ccitt(bytes(fc) + bytes(stc) + mnsc).to_bytes(2, "big")

@@ -107,11 +107,12 @@ class EtiParser:
         fic = mst[:fic_len]
         streams: dict[int, EtiStream] = {}
         for i in range(nst):
+            # SCID(6) SAD(10) TPL(6) STL(10) — ETS 300 799 STC entry
             e = stc_raw[4 * i: 4 * i + 4]
             subchid = e[0] >> 2
             sad = ((e[0] & 0x03) << 8) | e[1]
-            tpl = e[2]
-            stl = e[3]
+            tpl = e[2] >> 2
+            stl = ((e[2] & 0x03) << 8) | e[3]
             data = mst[sad * 8: sad * 8 + stl * 8]
             streams[subchid] = EtiStream(subchid, sad, tpl, stl, data)
         return EtiFrame(err=err, fct=fct, fp=fp, mid=mid, fic=fic,
@@ -120,6 +121,9 @@ class EtiParser:
 
 
 def _find_fsync(buf: bytearray, start: int) -> int:
+    """Python FSYNC hunt (bytes.find is memchr-fast and zero-copy, so it
+    stays the production path; the native `dabhost_eti_find_fsync` is the
+    cross-checked alternative — equivalence pinned in tests/test_native)."""
     a = C.ETI_FSYNC.to_bytes(3, "big")
     b = C.ETI_FSYNC_INV.to_bytes(3, "big")
     pa, pb = buf.find(a, start + 1), buf.find(b, start + 1)
@@ -128,8 +132,12 @@ def _find_fsync(buf: bytearray, start: int) -> int:
 
 
 def extract_subchannel(frames, subchid: int) -> bytes:
-    """Concatenate one sub-channel's bytes across frames (eti2mpa's core)."""
-    return b"".join(f.subchannel_data(subchid) for f in frames)
+    """Concatenate one sub-channel's bytes across frames (eti2mpa's core).
+
+    Frames missing the sub-channel (corrupt STC, NST change during a
+    reconfiguration) are skipped, not fatal."""
+    return b"".join(f.streams[subchid].data for f in frames
+                    if subchid in f.streams)
 
 
 def read_eti_file(f: BinaryIO, mode=C.MODE_I):

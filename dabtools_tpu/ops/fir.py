@@ -87,11 +87,20 @@ class Channelizer:
         aligned = all(f % bin_hz == 0 for f in self.offsets_hz)
         if method not in ("auto", "fft", "direct"):
             raise ValueError(f"unknown channelizer method {method!r}")
+        # The overlap-save hop must be a positive multiple of decim:
+        # num_taps <= N_FFT - decim guarantees it (num_taps < N_FFT alone
+        # lets hop collapse to 0 for large decim, e.g. 143.36 Msps).
+        fft_fits = num_taps <= self.N_FFT - self.decim
         if method == "auto":
-            method = "fft" if aligned and num_taps < self.N_FFT else "direct"
+            method = "fft" if aligned and fft_fits else "direct"
         if method == "fft" and not aligned:
             raise ValueError("fft method needs bin-aligned offsets "
                              f"(multiples of {bin_hz:.0f} Hz)")
+        if method == "fft" and not fft_fits:
+            raise ValueError(
+                f"fft method needs num_taps <= {self.N_FFT - self.decim} "
+                f"(N_FFT - decim) for a positive overlap-save hop; "
+                f"got {num_taps}.  Use method='direct'.")
         self.method = method
         if method == "fft":
             n = self.N_FFT

@@ -121,9 +121,29 @@ class TestEtiRoundtrip:
         assert len(frames) == 3
 
     def test_tpl_encoding(self):
-        assert tpl_for_subchannel(Subchannel.eep(0, 0, 3, "A", 64)) == 0x42
-        assert tpl_for_subchannel(Subchannel.eep(0, 0, 1, "B", 32)) == 0x50
-        assert tpl_for_subchannel(Subchannel.uep(0, 0, 35)) == 35
+        # 6-bit TPL: EEP = 0b1 option(3) level-1(2); UEP = 0b0 index(5)
+        assert tpl_for_subchannel(Subchannel.eep(0, 0, 3, "A", 64)) == 0x22
+        assert tpl_for_subchannel(Subchannel.eep(0, 0, 1, "B", 32)) == 0x24
+        assert tpl_for_subchannel(Subchannel.uep(0, 0, 20)) == 20
+        # indexes beyond the 5-bit field clamp (display-only field)
+        assert tpl_for_subchannel(Subchannel.uep(0, 0, 35)) == 0x1F
+
+    def test_stc_wide_stl_roundtrip(self):
+        """A >255-word sub-channel (legal up to 864 CUs) needs the 10-bit
+        STL field; 8 bits silently truncated it (review finding)."""
+        from dabtools_tpu.eti.parse import EtiParser
+        ens = Ensemble(
+            eid=1, subchannels=(Subchannel.eep(3, 0, 3, "A", 864),))
+        assert ens.subchannels[0].data_bytes // 8 == 324   # words > 255
+        asm = EtiAssembler(ens)
+        rng = np.random.default_rng(0)
+        data = rng.integers(0, 256, ens.subchannels[0].data_bytes,
+                            dtype=np.uint8).tobytes()
+        fibs = [rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
+                for _ in range(3)]
+        frame = next(iter(EtiParser().feed(asm.frame(fibs, {3: data}))))
+        assert frame.streams[3].stl_words == len(data) // 8
+        assert frame.subchannel_data(3) == data
 
     def test_wrong_subch_size_rejected(self):
         ens = example_ensemble()

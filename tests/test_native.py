@@ -63,7 +63,7 @@ def test_eti_build_matches_python_assembler():
         stl = len(data[s.subchid]) // 8
         stc.append((s.subchid << 2) | ((sad >> 8) & 0x03))
         stc.append(sad & 0xFF)
-        stc.append(tpl_for_subchannel(s))
+        stc.append((tpl_for_subchannel(s) << 2) | ((stl >> 8) & 0x03))
         stc.append(stl & 0xFF)
         sad += stl
         subch += data[s.subchid]
@@ -99,3 +99,22 @@ class TestIqRing:
         wrote = rb.write(b"\xab" * 2000)
         assert wrote == 1 << 10
         assert rb.dropped == 2000 - (1 << 10)
+
+
+def test_eti_find_fsync_matches_python_hunt():
+    """The native FSYNC hunt and parse.py's Python one stay equivalent."""
+    from dabtools_tpu.eti.parse import _find_fsync
+    from dabtools_tpu import constants as C
+
+    rng = np.random.default_rng(5)
+    buf = bytearray(rng.integers(0, 256, 4000, dtype=np.uint8).tobytes())
+    # plant both sync words (normal + inverted phase)
+    buf[700:703] = C.ETI_FSYNC.to_bytes(3, "big")
+    buf[2100:2103] = C.ETI_FSYNC_INV.to_bytes(3, "big")
+    # convention offset: the native hunt returns the FRAME start (the ERR
+    # byte at/after `start`, one before FSYNC); the Python hunt returns
+    # the FSYNC offset strictly after `start` — so ERR byte >= start.
+    for start in (-1, 0, 699, 700, 2099, 2500):
+        py = _find_fsync(buf, start)
+        nat = native.eti_find_fsync(bytes(buf), max(start, 0))
+        assert nat == (py - 1 if py > 0 else -1), start
