@@ -23,7 +23,11 @@ Config example (JSON)::
        {"sid": "0xE1C00042", "label": "EPG", "type": "packet",
         "subch": {"id": 3, "start_cu": 123, "protection": "EEP-3A",
                   "bitrate": 32},
-        "scid": 7, "address": 33, "objects": ["logo.png"]}]}
+        "scid": 7, "address": 33, "objects": ["logo.png"],
+        "fec": true}]}
+
+``"fec": true`` (packet services) applies the RS(204,188) packet-mode
+FEC of EN 300 401 s5.3.5 and signals it via FIG 0/14.
 
 ``source``: "prbs" (deterministic pseudo-random payload) or a file path
 whose bytes fill the sub-channel's logical frames (e.g. an MP2 elementary
@@ -129,10 +133,12 @@ class _DabPlusSource:
 
 class _PacketSource:
     """MOT carousel of files over packet mode; re-queues the carousel
-    whenever the encoder runs dry (continuous transmission)."""
+    whenever the encoder runs dry (continuous transmission).  With
+    ``fec=True`` the stream is FEC-framed (RS(204,188), EN 300 401
+    s5.3.5) and the mux signals FIG 0/14 scheme 1."""
 
     def __init__(self, frame_bytes: int, address: int,
-                 objects: list[tuple[str, bytes]]):
+                 objects: list[tuple[str, bytes]], fec: bool = False):
         from dabtools_tpu.eti.mot import MotEncoder
         from dabtools_tpu.eti.packet import PACKET_SIZES, PacketEncoder
         self.frame_bytes = frame_bytes
@@ -140,12 +146,23 @@ class _PacketSource:
         self.enc = PacketEncoder(address=address, packet_size=size)
         self.mot = MotEncoder(seg_size=64)
         self.objects = objects
+        self.fec = None
+        if fec:
+            from dabtools_tpu.eti.pfec import FecEncoder
+            self.fec = FecEncoder()
 
     def frame(self) -> bytes:
         if not self.enc.pending_bytes and self.objects:
             for dg in self.mot.carousel_groups(self.objects):
                 self.enc.add_data_group(dg)
-        return self.enc.take_frame(self.frame_bytes)
+        if self.fec is None:
+            return self.enc.take_frame(self.frame_bytes)
+        while self.fec.pending_bytes < self.frame_bytes:
+            pkt = self.enc.take_packet()
+            if pkt is None:
+                break                # FecEncoder pads the remainder
+            self.fec.add_packet(pkt)
+        return self.fec.take_frame(self.frame_bytes)
 
 
 def main(argv=None) -> int:
@@ -183,6 +200,7 @@ def main(argv=None) -> int:
 
     rng = np.random.default_rng(int(cfg.get("seed", 0)))
     subchannels, services, pcs, sources = [], [], [], {}
+    fec_schemes = []
     for svc in cfg["services"]:
         sc = svc["subch"]
         prot = _parse_protection(sc["protection"])
@@ -214,8 +232,11 @@ def main(argv=None) -> int:
                                              user_apps=(apptype,)),)))
             objs = [(name.rsplit("/", 1)[-1], open(name, "rb").read())
                     for name in svc.get("objects", [])]
+            fec = bool(svc.get("fec", False))
+            if fec:
+                fec_schemes.append((sub.subchid, 1))   # FIG 0/14 scheme 1
             sources[sub.subchid] = _PacketSource(sub.data_bytes, address,
-                                                 objs)
+                                                 objs, fec=fec)
         elif kind == "dab+":
             services.append(Service(
                 sid=sid, label=svc.get("label", ""),
@@ -235,7 +256,8 @@ def main(argv=None) -> int:
                    label=cfg.get("label", ""),
                    subchannels=tuple(subchannels),
                    services=tuple(services),
-                   packet_components=tuple(pcs))
+                   packet_components=tuple(pcs),
+                   fec_schemes=tuple(fec_schemes))
     from dabtools_tpu import constants as C
     mode = C.MODES[args.mode]
     fibs_per_cif = mode.n_fibs // mode.n_cifs

@@ -117,9 +117,12 @@ def _extract_all(args, f, parser, fig) -> int:
                     continue         # FIG 0/3 may still arrive
                 from dabtools_tpu.eti.mot import MotDecoder
                 from dabtools_tpu.eti.packet import PacketDecoder
+                from dabtools_tpu.eti.pfec import FecDecoder
+                fec = ens.fec_scheme(pc.subchid) == 1    # FIG 0/14
                 sinks[svc.sid] = {
                     "kind": "packet", "subchid": pc.subchid,
-                    "address": pc.address, "pkt": PacketDecoder(),
+                    "address": pc.address,
+                    "pkt": FecDecoder() if fec else PacketDecoder(),
                     "mot": MotDecoder(), "written": {}, "count": 0,
                     "dir": outdir
                            / f"{_safe_label(svc.label, svc.sid)}_objects"}
@@ -450,7 +453,13 @@ def main(argv=None) -> int:
             if pkt is None:
                 from dabtools_tpu.eti.mot import MotDecoder
                 from dabtools_tpu.eti.packet import PacketDecoder
-                pkt, mot = PacketDecoder(), MotDecoder()
+                from dabtools_tpu.eti.pfec import FecDecoder
+                fec = fig.fec_schemes.get(subchid, 0) == 1   # FIG 0/14
+                pkt = FecDecoder() if fec else PacketDecoder()
+                mot = MotDecoder()
+                if fec:
+                    log.info("sub-channel %d: packet-mode FEC "
+                             "(RS(204,188), FIG 0/14 scheme 1)", subchid)
             for addr, dg in pkt.feed(d):
                 if addr != pkt_addr:
                     continue

@@ -130,9 +130,11 @@ def main(argv=None) -> int:
                 for c in svc.components)
             print(f"  service 0x{svc.sid:04X} {svc.label!r}: {comps}")
         for pc in ens.packet_components:
+            fec = (", FEC RS(204,188)"
+                   if ens.fec_scheme(pc.subchid) == 1 else "")
             print(f"  packet SCId {pc.scid}: subch {pc.subchid}, "
                   f"address 0x{pc.address:03X}, DSCTy {pc.dscty}, "
-                  f"{'data groups' if pc.dg else 'no data groups'}")
+                  f"{'data groups' if pc.dg else 'no data groups'}{fec}")
     return 0
 
 

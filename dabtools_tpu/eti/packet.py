@@ -95,6 +95,10 @@ class PacketEncoder:
     def pending_bytes(self) -> int:
         return sum(len(p) for p in self._queue)
 
+    def take_packet(self) -> bytes | None:
+        """Pop one whole packet (for outer framers, e.g. `pfec.FecEncoder`)."""
+        return self._queue.pop(0) if self._queue else None
+
     def take_frame(self, frame_bytes: int) -> bytes:
         """Exactly ``frame_bytes`` of packet stream (multiple of 24)."""
         if frame_bytes % 24:

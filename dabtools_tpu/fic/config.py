@@ -119,6 +119,11 @@ class Ensemble:
     services: tuple[Service, ...] = ()
     label: str = ""
     packet_components: tuple[PacketComponent, ...] = ()
+    # FIG 0/14: (subchid, FEC scheme) pairs; scheme 1 = the RS(204,188)
+    # enhanced packet mode of EN 300 401 s5.3.5 (eti.pfec).  Host-side
+    # only — deliberately NOT part of decode_config(): the outer FEC sits
+    # above the device seam, so a late FIG 0/14 must not retrace the jit.
+    fec_schemes: tuple[tuple[int, int], ...] = ()
 
     def __post_init__(self):
         ends = [s.start_cu + s.size_cus for s in self.subchannels]
@@ -146,6 +151,13 @@ class Ensemble:
                 return pc
         raise KeyError(f"no packet component SCId {scid}")
 
+    def fec_scheme(self, subchid: int) -> int:
+        """FIG 0/14 FEC scheme for a sub-channel (0 = none)."""
+        for sc, scheme in self.fec_schemes:
+            if sc == subchid:
+                return scheme
+        return 0
+
     def sorted_subchannels(self) -> tuple[Subchannel, ...]:
         return tuple(sorted(self.subchannels, key=lambda s: s.start_cu))
 
@@ -167,4 +179,7 @@ class Ensemble:
                 for s in d.get("services", ())),
             packet_components=tuple(
                 PacketComponent(**p)
-                for p in d.get("packet_components", ())))
+                for p in d.get("packet_components", ())),
+            fec_schemes=tuple(
+                (int(sc), int(scheme))
+                for sc, scheme in d.get("fec_schemes", ())))

@@ -7,11 +7,14 @@ live broadcasts); the *parser* produces the `Ensemble` config that
 specializes the jitted MSC decode.
 
 Supported FIGs (the MCI/label set dabtools handles [K-med], plus the
-packet-mode and user-application signalling it lacks):
+packet-mode, user-application, announcement and FEC signalling it lacks):
   0/0 ensemble info, 0/1 sub-channel organization (short+long form),
   0/2 service organization (pd=0 programme + pd=1 data services),
-  0/3 service component in packet mode, 0/13 user application info,
-  1/0 ensemble label, 1/1 programme service label.
+  0/3 service component in packet mode, 0/7 configuration information,
+  0/8 service component global definition, 0/9 country/LTO,
+  0/10 date & time, 0/13 user application info, 0/14 packet-mode FEC,
+  0/18 + 0/19 announcements, 1/0 ensemble label, 1/1 programme service
+  label, 1/5 data service label.
 """
 
 from __future__ import annotations
@@ -180,6 +183,23 @@ def _fig_0_3(pcs) -> list[bytes]:
             w.put(pc.dscty, 6)
             w.put(pc.subchid, 6)
             w.put(pc.address, 10)
+        body = w.bytes()
+        figs.append(bytes([0x00 | len(body)]) + body)
+    return figs
+
+
+def _fig_0_14(fec_schemes) -> list[bytes]:
+    """FEC sub-channel organization (EN 300 401 s6.2.2) [K-med]: one byte
+    per packet-mode sub-channel, SubChId(6) FEC-scheme(2); scheme 1 =
+    the RS(204,188) enhanced packet mode (`eti.pfec`)."""
+    entries = [(sc, scheme) for sc, scheme in fec_schemes if scheme]
+    figs = []
+    for group in _chunks(entries, 28):
+        w = _BitWriter()
+        w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(14, 5)   # ext=14
+        for sc, scheme in group:
+            w.put(sc, 6)
+            w.put(scheme, 2)
         body = w.bytes()
         figs.append(bytes([0x00 | len(body)]) + body)
     return figs
@@ -356,6 +376,8 @@ def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
     if ens.packet_components:
         rest += _fig_0_3(ens.packet_components)
         rest += _fig_0_8(ens.services)
+    if ens.fec_schemes:
+        rest += _fig_0_14(ens.fec_schemes)
     rest += list(extra_figs)       # e.g. fig_0_9 / fig_0_10
     # Labels are rotated across frames (each is ~21 B, most of a FIB; real
     # muxes repeat them at low rate).  Up to 3 label FIGs per frame.
@@ -429,6 +451,8 @@ class FigParser:
     service_labels: dict = dataclasses.field(default_factory=dict)
     user_apps: dict = dataclasses.field(default_factory=dict)
     packet_comps: dict = dataclasses.field(default_factory=dict)
+    # FIG 0/14: subchid -> FEC scheme (1 = RS(204,188) packet-mode FEC)
+    fec_schemes: dict = dataclasses.field(default_factory=dict)
     # FIG 0/8: (sid, SCIdS) -> ("scid", SCId) | ("subch", SubChId)
     scids_map: dict = dataclasses.field(default_factory=dict)
     _user_apps_scids: dict = dataclasses.field(default_factory=dict)
@@ -620,6 +644,10 @@ class FigParser:
         elif ext == 7:
             self.n_services_signalled = r.get(6)
             self.config_count = r.get(10)
+        elif ext == 14:
+            while remaining_bits() >= 8:
+                subchid = r.get(6)
+                self.fec_schemes[subchid] = r.get(2)
         elif ext == 8:
             # Service component global definition: SCIdS -> transport
             sid_bits = 32 if pd else 16
@@ -749,7 +777,10 @@ class FigParser:
             label=self.ensemble_label,
             packet_components=tuple(
                 pc for _, pc in sorted(self.packet_comps.items())
-                if pc.subchid in live))
+                if pc.subchid in live),
+            fec_schemes=tuple(
+                (sc, scheme) for sc, scheme in sorted(self.fec_schemes.items())
+                if scheme and sc in live))
 
 
 def _eep_bitrate_from_size(size_cus: int, level: int, option: int) -> int:

@@ -193,9 +193,12 @@ def rs_erasure_correct(rows: np.ndarray, erase_pos, n_parity: int):
     return cw, True
 
 
-def rs_decode(codeword: np.ndarray):
-    """Decode one RS(120,110) codeword (may be 2D batch).
+def rs_decode(codeword: np.ndarray, n_parity: int = 2 * C.RS_T):
+    """Decode shortened RS codewords (may be 2D batch).
 
+    Default is the DAB+ RS(120,110); any shortened code with generator
+    roots alpha^0..alpha^{n_parity-1} works (n from the codeword length),
+    e.g. the MSC packet-mode FEC's RS(204,188) (EN 300 401 s5.3.5).
     Returns ``(data, n_corrected)``; ``n_corrected = -1`` marks an
     uncorrectable codeword (data returned as-is).
     """
@@ -204,14 +207,14 @@ def rs_decode(codeword: np.ndarray):
     cw = np.atleast_2d(cw).copy()
     counts = np.zeros(cw.shape[0], dtype=np.int32)
     for row in range(cw.shape[0]):
-        counts[row] = _rs_decode_one(cw[row])
-    data = cw[:, :C.RS_K]
+        counts[row] = _rs_decode_one(cw[row], n_parity)
+    data = cw[:, :cw.shape[1] - n_parity]
     return (data[0], int(counts[0])) if single else (data, counts)
 
 
-def _rs_decode_one(cw: np.ndarray) -> int:
+def _rs_decode_one(cw: np.ndarray, n_parity: int = 2 * C.RS_T) -> int:
     exp, log = _tables()
-    n, k, t = C.RS_N, C.RS_K, C.RS_T
+    n, t = cw.shape[-1], n_parity // 2
     pad = 255 - n  # shortened positions (implicit leading zeros)
 
     # Syndromes S_j = r(alpha^j), j = 0..2t-1

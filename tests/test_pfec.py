@@ -1,0 +1,214 @@
+"""Packet-mode FEC (EN 300 401 s5.3.5): RS(204,188) frame math, the
+streaming encoder/decoder (mid-stream join, resync, burst correction),
+FIG 0/14 signalling, and the dabmux -> eti2audio CLI path with a
+corrupted ETI stream (beyond-reference: upstream dabtools has no packet
+mode at all)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dabtools_tpu.eti.packet import PacketDecoder, PacketEncoder
+from dabtools_tpu.eti.pfec import (
+    APP_BYTES,
+    FEC_FRAME_LEN,
+    FecDecoder,
+    FecEncoder,
+    fec_correct,
+    fec_packets,
+)
+from dabtools_tpu.fic.config import Ensemble, Subchannel
+from dabtools_tpu.fic.fig import FigParser, build_fibs_for_ensemble
+
+
+def test_fec_frame_roundtrip_and_burst():
+    rng = np.random.default_rng(1)
+    app = rng.integers(0, 256, APP_BYTES, dtype=np.uint8).tobytes()
+    frame = bytearray(app + fec_packets(app))
+    got, n = fec_correct(bytes(frame))
+    assert got == app and n == 0
+
+    # a whole corrupted 96-byte packet = 8 bytes per RS row (= t): the
+    # column-wise interleave makes exactly this burst correctable
+    burst = bytearray(frame)
+    for i in range(192, 288):
+        burst[i] ^= 0x5A
+    got, n = fec_correct(bytes(burst))
+    assert got == app and n == 96
+
+    # corruption of the FEC packets' own RS bytes is also correctable
+    fecside = bytearray(frame)
+    for i in range(APP_BYTES + 2, APP_BYTES + 2 + 8):
+        fecside[i] ^= 0xFF
+    got, n = fec_correct(bytes(fecside))
+    assert got == app
+
+    # beyond t=8 per row: detected as uncorrectable, app returned as-is
+    heavy = bytearray(frame)
+    for i in range(0, 400):
+        heavy[i] ^= 0xA5
+    got, n = fec_correct(bytes(heavy))
+    assert n == -1 and got == bytes(heavy[:APP_BYTES])
+
+
+def _fec_stream(groups, frame_bytes=24 * 12):
+    pe = PacketEncoder(address=5, packet_size=96)
+    for g in groups:
+        pe.add_data_group(g)
+    enc = FecEncoder()
+    while (pkt := pe.take_packet()) is not None:
+        enc.add_packet(pkt)
+    enc.flush()
+    stream = bytearray()
+    while enc.pending_bytes:
+        stream += enc.take_frame(frame_bytes)
+    return bytes(stream)
+
+
+def test_fec_stream_aligned_start_lossless():
+    rng = np.random.default_rng(2)
+    groups = [rng.integers(0, 256, int(n), dtype=np.uint8).tobytes()
+              for n in rng.integers(30, 400, 40)]
+    stream = _fec_stream(groups)
+    assert len(stream) % (24 * 12) == 0    # whole logical frames
+    dec = FecDecoder()
+    got = [dg for a, dg in dec.feed(stream) if a == 5]
+    assert got == groups                 # nothing lost from byte 0
+    assert dec.stats["rs_failures"] == 0
+    assert dec.stats["crc_failures"] == 0   # merged packet stats
+
+
+def test_fec_stream_midjoin_and_corruption():
+    rng = np.random.default_rng(3)
+    groups = [rng.integers(0, 256, int(n), dtype=np.uint8).tobytes()
+              for n in rng.integers(30, 400, 40)]
+    stream = bytearray(_fec_stream(groups))
+    # 5 random corrupted bytes per FEC frame (well under t=8 per row)
+    for base in range(0, len(stream) - FEC_FRAME_LEN, FEC_FRAME_LEN):
+        for i in rng.integers(0, FEC_FRAME_LEN, 5):
+            stream[base + int(i)] ^= 0xFF
+    dec = FecDecoder()
+    got = []
+    buf = bytes(stream[1000:])           # join mid-transmission
+    for i in range(0, len(buf), 512):    # straddling feeds
+        got += [dg for a, dg in dec.feed(buf[i:i + 512]) if a == 5]
+    sent = set(groups)
+    assert all(dg in sent for dg in got), "corrupt data group leaked"
+    # sync may discard up to one FEC frame of app data beyond the drop
+    assert len(got) >= len(groups) - 14
+    assert dec.stats["rs_corrected_bytes"] > 0
+    assert dec.stats["rs_failures"] == 0
+
+
+def test_fec_stream_resync_after_gap():
+    rng = np.random.default_rng(4)
+    groups = [rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
+              for _ in range(60)]
+    stream = _fec_stream(groups)
+    # drop a non-multiple-of-24 chunk mid-stream: lockstep breaks
+    cut = bytes(stream[:3 * FEC_FRAME_LEN]) + bytes(
+        stream[3 * FEC_FRAME_LEN + 1001:])
+    dec = FecDecoder()
+    got = [dg for a, dg in dec.feed(cut) if a == 5]
+    sent = set(groups)
+    assert all(dg in sent for dg in got)
+    assert dec.stats["resyncs"] >= 1
+    assert len(got) >= len(groups) // 2  # both sides of the gap decode
+
+
+def test_fig_0_14_roundtrip():
+    ens = Ensemble(
+        eid=0x7E57,
+        subchannels=(Subchannel.eep(3, 0, 3, "A", 32),
+                     Subchannel.eep(4, 24, 3, "A", 32)),
+        fec_schemes=((3, 1),))
+    parser = FigParser()
+    for f in range(2):
+        for fib in build_fibs_for_ensemble(ens, f):
+            parser.feed_fib(fib.tobytes())
+    got = parser.ensemble()
+    assert got.fec_schemes == ((3, 1),)
+    assert got.fec_scheme(3) == 1
+    assert got.fec_scheme(4) == 0
+    # JSON checkpoint round-trip keeps the schemes
+    assert Ensemble.from_dict(
+        json.loads(json.dumps(got.to_dict()))).fec_schemes == ((3, 1),)
+
+
+@pytest.fixture(scope="module")
+def fec_mux(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fecmux")
+    obj = tmp / "guide.bin"
+    obj.write_bytes(np.random.default_rng(7).integers(
+        0, 256, 900, dtype=np.uint8).tobytes())
+    cfg = {
+        "eid": "0xFEC1", "label": "FEC MUX",
+        "services": [
+            {"sid": "0xE1C00099", "label": "EPGFEC", "type": "packet",
+             "subch": {"id": 9, "start_cu": 0, "protection": "EEP-3A",
+                       "bitrate": 32},
+             "scid": 4, "address": 21, "objects": [str(obj)],
+             "fec": True},
+        ],
+    }
+    cfg_path = tmp / "mux.json"
+    cfg_path.write_text(json.dumps(cfg))
+    eti = tmp / "out.eti"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dabmux", str(cfg_path),
+         "--cifs", "80", "-o", str(eti)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    return {"tmp": tmp, "eti": eti, "obj": obj.read_bytes()}
+
+
+def test_dabmux_fec_etiinfo(fec_mux):
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.etiinfo",
+         str(fec_mux["eti"])], capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "FEC RS(204,188)" in r.stdout
+
+
+def test_dabmux_fec_extraction_clean(fec_mux):
+    outdir = fec_mux["tmp"] / "objs"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--sid", "0xE1C00099", "--objects", str(outdir),
+         str(fec_mux["eti"]), "-o", str(fec_mux["tmp"] / "dg.bin")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "packet-mode FEC" in r.stderr
+    assert (outdir / "guide.bin").read_bytes() == fec_mux["obj"]
+
+
+def test_dabmux_fec_extraction_corrupted(fec_mux):
+    """Corrupt MST bytes inside the packet sub-channel of many ETI
+    frames; the RS(204,188) layer recovers the MOT object anyway."""
+    from dabtools_tpu.eti.parse import EtiParser
+
+    raw = bytearray(fec_mux["eti"].read_bytes())
+    frames = list(EtiParser().feed(bytes(raw)))
+    frame_len = len(raw) // len(frames)
+    s = frames[0].streams[9]
+    rng = np.random.default_rng(8)
+    # locate the sub-channel bytes inside frame 0 by content search
+    pos = bytes(raw[:frame_len]).find(s.data)
+    assert pos > 0
+    for k in range(len(frames)):
+        if k % 3 == 0:                   # corrupt 3 bytes in every 3rd frame
+            for i in rng.integers(0, len(s.data), 3):
+                raw[k * frame_len + pos + int(i)] ^= 0xFF
+    bad = fec_mux["tmp"] / "corrupt.eti"
+    bad.write_bytes(bytes(raw))
+    outdir = fec_mux["tmp"] / "objs_corrupt"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+         "--sid", "0xE1C00099", "--objects", str(outdir), str(bad),
+         "-o", str(fec_mux["tmp"] / "dg2.bin")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert (outdir / "guide.bin").read_bytes() == fec_mux["obj"]
