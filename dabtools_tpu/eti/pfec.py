@@ -26,10 +26,11 @@ docs/INTEROP.md row 26]:
   RS code itself protects these bytes.
 
 The TPU's job ended at the convolutional decode of the sub-channel;
-like `eti.packet`, this layer is host-side byte work (control plane).
-For bulk offline extraction the 12-row RS decode batches across FEC
-frames through the device codec (`ops.rs.rs_decode_batch_general`) when
-it is available, NumPy otherwise.
+like `eti.packet`, this layer is host-side byte work (control plane) and
+defaults to the NumPy codec (12 codewords per 2.5 kB is far below jit
+dispatch overhead).  For bulk offline extraction pass
+``decoder=ops.rs.make_rs_decoder(204, 188)`` to `FecDecoder` /
+`fec_correct` to batch the rows through the device codec instead.
 """
 
 from __future__ import annotations
