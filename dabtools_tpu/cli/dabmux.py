@@ -27,7 +27,9 @@ Config example (JSON)::
         "fec": true}]}
 
 ``"fec": true`` (packet services) applies the RS(204,188) packet-mode
-FEC of EN 300 401 s5.3.5 and signals it via FIG 0/14.
+FEC of EN 300 401 s5.3.5 and signals it via FIG 0/14.  Optional
+per-service ``"language"`` (TS 101 756 table 9 code -> FIG 0/5) and
+``"pty"`` (table 12 programme type -> FIG 0/17) metadata.
 
 ``source``: "prbs" (deterministic pseudo-random payload) or a file path
 whose bytes fill the sub-channel's logical frames (e.g. an MP2 elementary
@@ -191,7 +193,8 @@ def main(argv=None) -> int:
         ServiceComponent,
         Subchannel,
     )
-    from dabtools_tpu.fic.fig import build_fibs_for_ensemble, fig_0_9, fig_0_10
+    from dabtools_tpu.fic.fig import (build_fibs_for_ensemble, fig_0_5,
+                                      fig_0_9, fig_0_10, fig_0_17)
 
     with open(args.config) as f:
         cfg = json.load(f)
@@ -200,7 +203,7 @@ def main(argv=None) -> int:
 
     rng = np.random.default_rng(int(cfg.get("seed", 0)))
     subchannels, services, pcs, sources = [], [], [], {}
-    fec_schemes = []
+    fec_schemes, meta_figs = [], []
     for svc in cfg["services"]:
         sc = svc["subch"]
         prot = _parse_protection(sc["protection"])
@@ -213,6 +216,10 @@ def main(argv=None) -> int:
         subchannels.append(sub)
         sid = int(str(svc["sid"]), 0)
         kind = svc.get("type", "mp2")
+        if "language" in svc:          # FIG 0/5 (TS 101 756 table 9 code)
+            meta_figs.append(fig_0_5(sub.subchid, int(svc["language"])))
+        if "pty" in svc:               # FIG 0/17 (table 12 int. code)
+            meta_figs.append(fig_0_17(sid, int(svc["pty"])))
         src = svc.get("source", "prbs")
         data = None if src == "prbs" else open(src, "rb").read()
         if kind == "packet":
@@ -265,11 +272,11 @@ def main(argv=None) -> int:
                        tist_start=0.0 if args.tist else None)
     out = sys.stdout.buffer if args.output == "-" else open(args.output,
                                                             "wb")
-    extra: tuple = ()
+    extra: tuple = tuple(meta_figs)
     if cfg.get("time"):
         import datetime
-        extra = (fig_0_9(int(cfg.get("lto_half_hours", 0)),
-                         int(str(cfg.get("ecc", "0xE1")), 0)),)
+        extra += (fig_0_9(int(cfg.get("lto_half_hours", 0)),
+                          int(str(cfg.get("ecc", "0xE1")), 0)),)
         base_time = datetime.datetime(2026, 1, 1)
 
     last_t, fibs_frame = -1, None
@@ -286,7 +293,8 @@ def main(argv=None) -> int:
                     config_count=cc)
             else:
                 fibs_frame = build_fibs_for_ensemble(
-                    ens, t, n_fibs=mode.n_fibs, config_count=cc)
+                    ens, t, n_fibs=mode.n_fibs, extra_figs=extra,
+                    config_count=cc)
             last_t = t
         fibs = [f.tobytes() for f in
                 fibs_frame[fibs_per_cif * c: fibs_per_cif * (c + 1)]]

@@ -325,6 +325,14 @@ def main(argv=None) -> int:
                 if ann is not None:
                     apps += (f" +ann(0x{ann[0]:04X} clusters "
                              f"{','.join(map(str, ann[1]))})")
+                from dabtools_tpu.tables.meta import (language_name,
+                                                      programme_type_name)
+                lang = fig.languages.get(("subch", c.subchid))
+                if lang is not None:          # FIG 0/5
+                    apps += f" [{language_name(lang)}]"
+                pty = fig.ptys.get(svc.sid)
+                if pty is not None:           # FIG 0/17
+                    apps += f" [{programme_type_name(pty[0])}]"
                 print(f"  0x{svc.sid:04X} {svc.label or '':16s} subch "
                       f"{c.subchid:2d}  {rate}  "
                       f"{'DAB+' if c.is_dabplus else 'MP2'}{apps}")

@@ -123,12 +123,22 @@ def main(argv=None) -> int:
                   f" {s.protection_type}-{s.protection_level}"
                   f"{s.eep_option if s.protection_type == 'EEP' else ''}"
                   f" {s.bitrate_kbps} kbit/s")
+        from dabtools_tpu.tables.meta import (language_name,
+                                              programme_type_name)
         for svc in ens.services:
             comps = ", ".join(
                 f"SCId {c.scid} (packet)" if c.tmid == 3 else
                 f"subch {c.subchid} ({'DAB+' if c.is_dabplus else 'MP2'})"
                 for c in svc.components)
-            print(f"  service 0x{svc.sid:04X} {svc.label!r}: {comps}")
+            meta = ""
+            pty = fig.ptys.get(svc.sid)
+            if pty is not None:              # FIG 0/17
+                meta += f", PTy {programme_type_name(pty[0])}"
+            for c in svc.components:
+                lang = fig.languages.get(("subch", c.subchid))
+                if lang is not None:         # FIG 0/5
+                    meta += f", {language_name(lang)}"
+            print(f"  service 0x{svc.sid:04X} {svc.label!r}: {comps}{meta}")
         for pc in ens.packet_components:
             fec = (", FEC RS(204,188)"
                    if ens.fec_scheme(pc.subchid) == 1 else "")

@@ -290,6 +290,37 @@ def fig_0_19(cluster: int, asw_flags: int, subchid: int,
     return bytes([0x00 | len(body)]) + body
 
 
+def fig_0_5(subchid: int, language: int) -> bytes:
+    """Service component language, short form (EN 300 401 s8.1.8) [K-med]:
+    per entry LS(1)=0 rfu(1) SubChId(6) Language(8); the long form
+    (LS=1, rfa(3)+SCId(12)) addresses packet components.  Language codes
+    per TS 101 756 table 9 (`tables.meta.LANGUAGES`)."""
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(5, 5)   # ext=5
+    w.put(0, 1)                    # LS: short form
+    w.put(0, 1)
+    w.put(subchid, 6)
+    w.put(language, 8)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
+def fig_0_17(sid: int, pty: int, static: bool = True) -> bytes:
+    """Programme type (EN 300 401 v2 s8.1.5) [K-med]: per entry SId(16)
+    S/D(1) rfa(1) rfu(2) + rfu? — reconstructed as the v2 3-byte entry
+    SId(16) S/D(1) rfa(1) rfu(1) IntCode(5).  PTy names per TS 101 756
+    table 12 (`tables.meta.PROGRAMME_TYPES`)."""
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(17, 5)   # ext=17
+    w.put(sid, 16)
+    w.put(1 if static else 0, 1)
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(pty, 5)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
 def fig_0_9(lto_half_hours: int = 0, ecc: int = 0,
             table_id: int = 1) -> bytes:
     """Country, LTO and international table (EN 300 401 s8.1.3.2) [K-med]:
@@ -453,6 +484,10 @@ class FigParser:
     packet_comps: dict = dataclasses.field(default_factory=dict)
     # FIG 0/14: subchid -> FEC scheme (1 = RS(204,188) packet-mode FEC)
     fec_schemes: dict = dataclasses.field(default_factory=dict)
+    # FIG 0/5: ("subch", SubChId) | ("scid", SCId) -> TS 101 756 language
+    languages: dict = dataclasses.field(default_factory=dict)
+    # FIG 0/17: SId -> (PTy int. code, static flag)
+    ptys: dict = dataclasses.field(default_factory=dict)
     # FIG 0/8: (sid, SCIdS) -> ("scid", SCId) | ("subch", SubChId)
     scids_map: dict = dataclasses.field(default_factory=dict)
     _user_apps_scids: dict = dataclasses.field(default_factory=dict)
@@ -648,6 +683,23 @@ class FigParser:
             while remaining_bits() >= 8:
                 subchid = r.get(6)
                 self.fec_schemes[subchid] = r.get(2)
+        elif ext == 5:
+            while remaining_bits() >= 16:
+                if r.get(1):                     # LS=1: long form (SCId)
+                    if remaining_bits() < 23:
+                        break
+                    r.get(3)
+                    key = ("scid", r.get(12))
+                else:
+                    r.get(1)
+                    key = ("subch", r.get(6))
+                self.languages[key] = r.get(8)
+        elif ext == 17:
+            while remaining_bits() >= 24:
+                sid = r.get(16)
+                static = bool(r.get(1))
+                r.get(1); r.get(1)
+                self.ptys[sid] = (r.get(5), static)
         elif ext == 8:
             # Service component global definition: SCIdS -> transport
             sid_bits = 32 if pd else 16

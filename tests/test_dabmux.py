@@ -21,7 +21,8 @@ def mux(tmp_path_factory):
             {"sid": "0x1111", "label": "POP", "type": "mp2",
              "subch": {"id": 1, "start_cu": 0, "protection": "EEP-3A",
                        "bitrate": 64},
-             "source": "prbs", "dls": "dabmux demo"},
+             "source": "prbs", "dls": "dabmux demo",
+             "language": 9, "pty": 10},
             {"sid": "0x2222", "label": "NEWSPLUS", "type": "dab+",
              "subch": {"id": 2, "start_cu": 48, "protection": "EEP-3A",
                        "bitrate": 72}, "source": "prbs"},
@@ -52,6 +53,12 @@ def test_dabmux_list_and_info(mux):
     assert "NEWSPLUS" in r.stdout and "DAB+" in r.stdout
     assert "EPG" in r.stdout and "packet +EPG" in r.stdout
     assert "ensemble time 2026-01-01" in r.stdout
+    assert "[English]" in r.stdout and "[Pop Music]" in r.stdout
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.etiinfo",
+         str(mux["eti"])], capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "PTy Pop Music" in r.stdout and "English" in r.stdout
 
 
 def test_dabmux_dls_and_dabplus(mux):

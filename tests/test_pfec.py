@@ -119,6 +119,17 @@ def test_fec_stream_resync_after_gap():
     assert len(got) >= len(groups) // 2  # both sides of the gap decode
 
 
+def test_fig_0_5_and_0_17_roundtrip():
+    from dabtools_tpu.fic.fig import fig_0_5, fig_0_17
+    ens = Ensemble(eid=1, subchannels=(Subchannel.eep(2, 0, 3, "A", 64),))
+    parser = FigParser()
+    for fib in build_fibs_for_ensemble(
+            ens, 0, extra_figs=(fig_0_5(2, 0x09), fig_0_17(0x1234, 10))):
+        parser.feed_fib(fib.tobytes())
+    assert parser.languages[("subch", 2)] == 0x09      # English
+    assert parser.ptys[0x1234] == (10, True)           # Pop Music, static
+
+
 def test_fig_0_14_roundtrip():
     ens = Ensemble(
         eid=0x7E57,
