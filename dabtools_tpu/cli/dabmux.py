@@ -194,7 +194,8 @@ def main(argv=None) -> int:
         Subchannel,
     )
     from dabtools_tpu.fic.fig import (build_fibs_for_ensemble, fig_0_5,
-                                      fig_0_9, fig_0_10, fig_0_17)
+                                      fig_0_6, fig_0_9, fig_0_10, fig_0_17,
+                                      fig_0_21)
 
     with open(args.config) as f:
         cfg = json.load(f)
@@ -258,6 +259,19 @@ def main(argv=None) -> int:
                                              ascty=0),)))
             sources[sub.subchid] = _Mp2Source(sub.data_bytes, data,
                                               svc.get("dls"), rng)
+
+    # Ensemble-level service following: FIG 0/21 alternative frequencies
+    # and FIG 0/6 linkage sets.
+    for fi in cfg.get("frequency_info", ()):
+        meta_figs.append(fig_0_21(
+            int(str(fi["id"]), 0), tuple(int(f) for f in fi["frequencies_hz"]),
+            rm=int(fi.get("rm", 0)), region=int(fi.get("region", 0))))
+    for ls in cfg.get("linkage", ()):
+        meta_figs.append(fig_0_6(
+            int(str(ls["lsn"]), 0),
+            tuple(int(str(i), 0) for i in ls.get("ids", ())),
+            idlq=int(ls.get("idlq", 0)), active=bool(ls.get("active", True)),
+            hard=bool(ls.get("hard", True))))
 
     ens = Ensemble(eid=int(str(cfg.get("eid", "0xC0FE")), 0),
                    label=cfg.get("label", ""),

@@ -145,6 +145,23 @@ def main(argv=None) -> int:
             print(f"  packet SCId {pc.scid}: subch {pc.subchid}, "
                   f"address 0x{pc.address:03X}, DSCTy {pc.dscty}, "
                   f"{'data groups' if pc.dg else 'no data groups'}{fec}")
+        for lsn, ls in sorted(fig.linkage_sets.items()):   # FIG 0/6
+            kind = {0: "DAB SIds", 1: "RDS PIs"}.get(
+                ls["idlq"], f"IdLQ {ls['idlq']}")
+            ids = " ".join(f"0x{i:04X}" for i in ls["ids"])
+            print(f"  linkage set 0x{lsn:03X}: "
+                  f"{'hard' if ls['hard'] else 'soft'} "
+                  f"{'active' if ls['active'] else 'inactive'}"
+                  f"{' intl' if ls['international'] else ''}, "
+                  f"{kind}: {ids or '(none)'}")
+        for (region, ident, rm), freqs in sorted(
+                fig.freq_info.items()):                    # FIG 0/21
+            what = {0: f"DAB ensemble 0x{ident:04X}",
+                    8: f"FM RDS PI 0x{ident:04X}"}.get(
+                rm, f"Id 0x{ident:04X} (R&M {rm})")
+            mhz = " ".join(f"{f/1e6:.3f}" for f in freqs)
+            print(f"  frequency info (region {region}): {what} -> "
+                  f"{mhz} MHz")
     return 0
 
 

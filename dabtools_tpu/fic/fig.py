@@ -321,6 +321,65 @@ def fig_0_17(sid: int, pty: int, static: bool = True) -> bytes:
     return bytes([0x00 | len(body)]) + body
 
 
+def fig_0_6(lsn: int, ids: tuple[int, ...], idlq: int = 0,
+            active: bool = True, hard: bool = True,
+            international: bool = False) -> bytes:
+    """Service linking information (EN 300 401 s8.1.15) [K-med]:
+    IdListFlag(1) LA(1) S/H(1) ILS(1) LSN(12), then (IdListFlag=1)
+    rfa(1) IdLQ(2) rfa(1) NumIds(4) + 16-bit ids.  ``idlq`` 0 = DAB
+    SIds, 1 = RDS PI codes.  ILS=1 (ECC-prefixed 24-bit ids) is parse-
+    only here."""
+    if len(ids) > 15:
+        raise ValueError("FIG 0/6 carries at most 15 ids")
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(6, 5)   # ext=6
+    w.put(1, 1)                    # id list follows
+    w.put(1 if active else 0, 1)
+    w.put(1 if hard else 0, 1)
+    w.put(1 if international else 0, 1)
+    w.put(lsn, 12)
+    w.put(0, 1)
+    w.put(idlq, 2)
+    w.put(0, 1)
+    w.put(len(ids), 4)
+    for i in ids:
+        w.put(i, 16)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
+def fig_0_21(ident: int, freqs_hz: tuple[int, ...], rm: int = 0,
+             region: int = 0, continuous: bool = False) -> bytes:
+    """Frequency information (EN 300 401 s8.1.8) [K-med]: RegionId(11)
+    FI-list-length(5); per FI entry Id(16) R&M(4) Continuity(1)
+    freq-list-length(3); R&M=0 (DAB ensemble) frequencies are 3 bytes of
+    Control(5) + freq(19) in 16 kHz units, R&M=8 (FM RDS) 1 byte of
+    (MHz - 87.5) / 0.1."""
+    if rm not in (0, 8):
+        raise ValueError("only R&M 0 (DAB) and 8 (FM RDS) are built")
+    freq_bytes = 3 if rm == 0 else 1
+    if freq_bytes * len(freqs_hz) > 7:     # 3-bit byte count
+        raise ValueError("too many frequencies for one FIG 0/21 entry "
+                         f"(max {7 // freq_bytes} at R&M {rm}); emit "
+                         "multiple FIGs")
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(21, 5)   # ext=21
+    w.put(region, 11)
+    w.put(3 + freq_bytes * len(freqs_hz), 5)   # FI list length in bytes
+    w.put(ident, 16)
+    w.put(rm, 4)
+    w.put(1 if continuous else 0, 1)
+    w.put(freq_bytes * len(freqs_hz), 3)       # freq list length in bytes
+    for f in freqs_hz:
+        if rm == 0:
+            w.put(0, 5)                        # control field
+            w.put(round(f / 16_000), 19)
+        else:
+            w.put(round((f / 1e6 - 87.5) / 0.1), 8)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
 def fig_0_9(lto_half_hours: int = 0, ecc: int = 0,
             table_id: int = 1) -> bytes:
     """Country, LTO and international table (EN 300 401 s8.1.3.2) [K-med]:
@@ -488,6 +547,10 @@ class FigParser:
     languages: dict = dataclasses.field(default_factory=dict)
     # FIG 0/17: SId -> (PTy int. code, static flag)
     ptys: dict = dataclasses.field(default_factory=dict)
+    # FIG 0/6: LSN -> dict(active, hard, international, idlq, ids)
+    linkage_sets: dict = dataclasses.field(default_factory=dict)
+    # FIG 0/21: (region, Id, R&M) -> tuple of frequencies in Hz
+    freq_info: dict = dataclasses.field(default_factory=dict)
     # FIG 0/8: (sid, SCIdS) -> ("scid", SCId) | ("subch", SubChId)
     scids_map: dict = dataclasses.field(default_factory=dict)
     _user_apps_scids: dict = dataclasses.field(default_factory=dict)
@@ -683,6 +746,57 @@ class FigParser:
             while remaining_bits() >= 8:
                 subchid = r.get(6)
                 self.fec_schemes[subchid] = r.get(2)
+        elif ext == 6:
+            while remaining_bits() >= 16:
+                id_list = r.get(1)
+                la, sh, ils = r.get(1), r.get(1), r.get(1)
+                lsn = r.get(12)
+                entry = self.linkage_sets.setdefault(
+                    lsn, {"active": bool(la), "hard": bool(sh),
+                          "international": bool(ils), "idlq": 0,
+                          "ids": ()})
+                entry.update(active=bool(la), hard=bool(sh),
+                             international=bool(ils))
+                if not id_list:
+                    continue         # change-event form: flags only
+                if remaining_bits() < 8:
+                    break
+                r.get(1)
+                idlq = r.get(2)
+                r.get(1)
+                n_ids = r.get(4)
+                id_bits = 24 if ils else 16   # ILS: ECC(8) + SId(16)
+                if remaining_bits() < id_bits * n_ids:
+                    break
+                entry["idlq"] = idlq
+                entry["ids"] = tuple(r.get(id_bits) for _ in range(n_ids))
+        elif ext == 21:
+            while remaining_bits() >= 16:
+                region = r.get(11)
+                fi_len = r.get(5)
+                if remaining_bits() < 8 * fi_len:
+                    break
+                end = r.pos + 8 * fi_len
+                while end - r.pos >= 24:
+                    ident = r.get(16)
+                    rm = r.get(4)
+                    r.get(1)          # continuity flag
+                    n_bytes = r.get(3)
+                    freqs = []
+                    if rm == 0:       # DAB ensemble: Control(5) + f(19)
+                        for _ in range(n_bytes // 3):
+                            r.get(5)
+                            freqs.append(r.get(19) * 16_000)
+                        r.pos += 8 * (n_bytes % 3)
+                    elif rm == 8:     # FM RDS: (MHz - 87.5) / 0.1
+                        for _ in range(n_bytes):
+                            freqs.append(
+                                round((87.5 + 0.1 * r.get(8)) * 1e6))
+                    else:             # unmodelled R&M: skip the bytes
+                        r.pos += 8 * n_bytes
+                    if freqs:
+                        self.freq_info[(region, ident, rm)] = tuple(freqs)
+                r.pos = end
         elif ext == 5:
             while remaining_bits() >= 16:
                 if r.get(1):                     # LS=1: long form (SCId)

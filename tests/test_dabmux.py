@@ -17,6 +17,10 @@ def mux(tmp_path_factory):
         0, 256, 300, dtype=np.uint8).tobytes())
     cfg = {
         "eid": "0x4D58", "label": "MUX TEST", "time": True,
+        "frequency_info": [
+            {"id": "0x4D58", "frequencies_hz": [225648000]}],
+        "linkage": [
+            {"lsn": "0x042", "ids": ["0x1111"], "idlq": 0}],
         "services": [
             {"sid": "0x1111", "label": "POP", "type": "mp2",
              "subch": {"id": 1, "start_cu": 0, "protection": "EEP-3A",
@@ -59,6 +63,9 @@ def test_dabmux_list_and_info(mux):
          str(mux["eti"])], capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert "PTy Pop Music" in r.stdout and "English" in r.stdout
+    assert "linkage set 0x042" in r.stdout and "0x1111" in r.stdout
+    assert ("frequency info (region 0): DAB ensemble 0x4D58 -> "
+            "225.648 MHz") in r.stdout
 
 
 def test_dabmux_dls_and_dabplus(mux):

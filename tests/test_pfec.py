@@ -130,6 +130,42 @@ def test_fig_0_5_and_0_17_roundtrip():
     assert parser.ptys[0x1234] == (10, True)           # Pop Music, static
 
 
+def test_fig_0_6_and_0_21_roundtrip():
+    from dabtools_tpu.fic.fig import fig_0_6, fig_0_21
+    ens = Ensemble(eid=1, subchannels=(Subchannel.eep(2, 0, 3, "A", 64),))
+    parser = FigParser()
+    figs = (fig_0_6(0x123, (0x1111, 0x2222), idlq=0),
+            fig_0_6(0x124, (0xA201, 0xA202), idlq=1, hard=False),
+            fig_0_21(0x4FFF, (227_360_000, 225_648_000), rm=0),
+            fig_0_21(0x89AB, (95_800_000,), rm=8, region=3))
+    for fib in build_fibs_for_ensemble(ens, 0, extra_figs=figs):
+        parser.feed_fib(fib.tobytes())
+    ls = parser.linkage_sets[0x123]
+    assert ls["ids"] == (0x1111, 0x2222) and ls["hard"] and ls["active"]
+    ls2 = parser.linkage_sets[0x124]
+    assert ls2["idlq"] == 1 and not ls2["hard"]
+    # DAB frequencies quantized to 16 kHz units survive exactly
+    assert parser.freq_info[(0, 0x4FFF, 0)] == (227_360_000, 225_648_000)
+    assert parser.freq_info[(3, 0x89AB, 8)] == (95_800_000,)
+
+    # change-event form (no id list) updates flags without erasing ids
+    parser2 = FigParser()
+    for fib in build_fibs_for_ensemble(
+            ens, 0, extra_figs=(fig_0_6(0x123, (0x1111,)),)):
+        parser2.feed_fib(fib.tobytes())
+    from dabtools_tpu.fic.fig import _BitWriter
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(6, 5)
+    w.put(0, 1); w.put(0, 1); w.put(1, 1); w.put(0, 1)   # deactivated
+    w.put(0x123, 12)
+    body = w.bytes()
+    fig6 = bytes([0x00 | len(body)]) + body
+    for fib in build_fibs_for_ensemble(ens, 0, extra_figs=(fig6,)):
+        parser2.feed_fib(fib.tobytes())
+    ls3 = parser2.linkage_sets[0x123]
+    assert not ls3["active"] and ls3["ids"] == (0x1111,)
+
+
 def test_fig_0_14_roundtrip():
     ens = Ensemble(
         eid=0x7E57,
