@@ -220,6 +220,11 @@ def main(argv=None) -> int:
         if "language" in svc:          # FIG 0/5 (TS 101 756 table 9 code)
             meta_figs.append(fig_0_5(sub.subchid, int(svc["language"])))
         if "pty" in svc:               # FIG 0/17 (table 12 int. code)
+            if sid > 0xFFFF:
+                raise SystemExit(
+                    f"service {svc['sid']}: \"pty\" applies to programme "
+                    f"services (16-bit SIds) only — FIG 0/17 cannot carry "
+                    f"a 32-bit data-service SId")
             meta_figs.append(fig_0_17(sid, int(svc["pty"])))
         src = svc.get("source", "prbs")
         data = None if src == "prbs" else open(src, "rb").read()

@@ -81,6 +81,7 @@ def _extract_all(args, f, parser, fig) -> int:
     import pathlib
 
     from dabtools_tpu.eti.dabplus import SuperframeDecoder, adts_wrap
+    from dabtools_tpu.eti.pfec import FecDecoder
 
     outdir = pathlib.Path(args.all)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -169,6 +170,19 @@ def _extract_all(args, f, parser, fig) -> int:
                     s["count"] += _write_mot_object(s["dir"], s["written"],
                                                     obj)
 
+    def ensure_fec(s) -> None:
+        """FIG 0/14 arriving after the sink was created: swap in the FEC
+        decoder and replay history through it (MOT writes are deduped,
+        so the replay is idempotent)."""
+        if (s["kind"] == "packet"
+                and fig.fec_schemes.get(s["subchid"], 0) == 1
+                and not isinstance(s["pkt"], FecDecoder)):
+            log.info("sub-channel %d: FIG 0/14 arrived late; switching "
+                     "to the FEC decoder", s["subchid"])
+            s["pkt"] = FecDecoder()
+            for fr in history:
+                feed_one(s, fr)
+
     while True:
         chunk = f.read(1 << 20)
         if not chunk:
@@ -181,6 +195,7 @@ def _extract_all(args, f, parser, fig) -> int:
                 for fr in history:   # late sink: replay from the start
                     feed_one(sinks[sid], fr)
             for s in sinks.values():
+                ensure_fec(s)
                 feed_one(s, frame)
             history.append(frame)
             if len(history) > MAX_PENDING_FRAMES:
@@ -309,10 +324,19 @@ def main(argv=None) -> int:
                         pc = ens.packet_component(c.scid)
                         where = (f"subch {pc.subchid:2d}  addr 0x{pc.address:03X}"
                                  f"  DSCTy {pc.dscty}")
+                        sub = pc.subchid
                     except KeyError:
                         where = f"SCId {c.scid} (FIG 0/3 pending)"
+                        sub = -1
                     apps = "".join(f" +{_app_name(a)}"
                                    for a in c.user_apps)
+                    if ens.fec_scheme(sub) == 1:     # FIG 0/14
+                        apps += " +FEC"
+                    lang = fig.languages.get(
+                        ("subch", sub), fig.languages.get(("scid", c.scid)))
+                    if lang is not None:             # FIG 0/5
+                        from dabtools_tpu.tables.meta import language_name
+                        apps += f" [{language_name(lang)}]"
                     print(f"  0x{svc.sid:08X} {svc.label or '':16s} {where}  "
                           f"packet{apps}")
                     continue
@@ -458,13 +482,20 @@ def main(argv=None) -> int:
         d = frame.subchannel_data(subchid)
         if pkt_addr is not None:
             nonlocal pkt, mot
-            if pkt is None:
+            from dabtools_tpu.eti.pfec import FecDecoder
+            fec = fig.fec_schemes.get(subchid, 0) == 1       # FIG 0/14
+            if pkt is None or (fec and not isinstance(pkt, FecDecoder)):
                 from dabtools_tpu.eti.mot import MotDecoder
                 from dabtools_tpu.eti.packet import PacketDecoder
-                from dabtools_tpu.eti.pfec import FecDecoder
-                fec = fig.fec_schemes.get(subchid, 0) == 1   # FIG 0/14
+                if pkt is not None:
+                    # FIG 0/14 arrived after the first MSC frame: a plain
+                    # PacketDecoder on a FEC stream slips on every FEC
+                    # packet; the FecDecoder re-syncs mid-stream.
+                    log.info("sub-channel %d: FIG 0/14 arrived late; "
+                             "switching to the FEC decoder", subchid)
                 pkt = FecDecoder() if fec else PacketDecoder()
-                mot = MotDecoder()
+                if mot is None:
+                    mot = MotDecoder()
                 if fec:
                     log.info("sub-channel %d: packet-mode FEC "
                              "(RS(204,188), FIG 0/14 scheme 1)", subchid)

@@ -135,7 +135,15 @@ def main(argv=None) -> int:
             if pty is not None:              # FIG 0/17
                 meta += f", PTy {programme_type_name(pty[0])}"
             for c in svc.components:
-                lang = fig.languages.get(("subch", c.subchid))
+                sub = c.subchid
+                if c.tmid == 3:              # resolve via FIG 0/3
+                    try:
+                        sub = ens.packet_component(c.scid).subchid
+                    except KeyError:
+                        sub = -1
+                lang = fig.languages.get(("subch", sub))
+                if lang is None and c.tmid == 3:
+                    lang = fig.languages.get(("scid", c.scid))
                 if lang is not None:         # FIG 0/5
                     meta += f", {language_name(lang)}"
             print(f"  service 0x{svc.sid:04X} {svc.label!r}: {comps}{meta}")

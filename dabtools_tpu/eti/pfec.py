@@ -92,10 +92,13 @@ def fec_correct(frame: bytes | bytearray,
                 decoder=None) -> tuple[bytes, int]:
     """Correct one 2472-byte FEC frame; returns (app bytes, n_corrected).
 
-    ``n_corrected = -1`` marks >=1 uncorrectable RS row (app bytes
-    returned as received — the packet CRCs remain the final gate).
-    ``decoder``: optional batched codec taking (12, 204) -> (data, counts)
-    (the device path); defaults to the NumPy reference.
+    ``n_corrected = -1`` marks >=1 uncorrectable RS row; corrections in
+    the OTHER rows are still applied, and the failed rows pass through
+    exactly as received (an uncorrectable decode may scribble bogus
+    "corrections", so those rows are restored) — the packet CRCs remain
+    the final gate.  ``decoder``: optional batched codec taking
+    (12, 204) -> (data, counts) (the device path); defaults to the
+    NumPy reference.
     """
     if len(frame) != FEC_FRAME_LEN:
         raise ValueError(f"FEC frame is {FEC_FRAME_LEN} bytes")
@@ -106,16 +109,20 @@ def fec_correct(frame: bytes | bytearray,
     parity = np.frombuffer(
         rs_data[:APP_ROWS * RS_PARITY],
         dtype=np.uint8).reshape(RS_PARITY, APP_ROWS).T    # (12, 16)
-    cw = np.concatenate([_app_table(bytes(app)), parity], axis=1)  # (12, 204)
+    table = _app_table(bytes(app))
+    cw = np.concatenate([table, parity], axis=1)          # (12, 204)
     if decoder is None:
         data, counts = rs_decode(cw, n_parity=RS_PARITY)
     else:
         data, counts = decoder(cw)
-    corrected = np.asarray(data, dtype=np.uint8).T.reshape(-1).tobytes()
+    data = np.asarray(data, dtype=np.uint8).copy()
     counts = np.asarray(counts)
-    bad = int((counts < 0).sum())
-    if bad:
-        return bytes(app), -1
+    bad = counts < 0
+    if bad.any():
+        data[bad] = table[bad]       # as received, not as mis-"corrected"
+    corrected = data.T.reshape(-1).tobytes()
+    if bad.any():
+        return corrected, -1
     return corrected, int(counts.sum())
 
 
@@ -154,10 +161,10 @@ class FecEncoder:
 
     def flush(self) -> None:
         """Close the current FEC frame (pad with address-0 packets)."""
-        if self._app:
-            self.add_packet(padding_packet(PACKET_SIZES[-1]))
-            while self._app:
-                self._push_app(padding_packet(24))
+        while self._app:
+            room = APP_BYTES - len(self._app)
+            pad = next(s for s in reversed(PACKET_SIZES) if s <= room)
+            self._push_app(padding_packet(pad))
 
     @property
     def pending_bytes(self) -> int:
@@ -218,14 +225,20 @@ class FecDecoder:
         return self._inner.stats
 
     @staticmethod
-    def _fec_group_at(buf, pos: int) -> bool:
-        """9 consecutive FEC packet headers with counters 0..8 at pos?"""
+    def _fec_group_at(buf, pos: int, min_match: int = 7) -> bool:
+        """>= min_match of the 9 FEC packet headers (counters 0..8 at
+        24-byte spacing) found at pos?  The hunt demands 7 of 9 (a
+        >=14-byte signature — false sync on random payload is ~2^-100
+        per position, while all-9 would let a single bit error in the
+        18 unprotected header bytes veto a whole group); the in-lockstep
+        check tolerates more (6) since position is already known."""
         if pos + FEC_BYTES > len(buf):
             return False
-        return all(
+        hits = sum(
             _parse_fec_header(buf[pos + i * FEC_PACKET_LEN],
                               buf[pos + i * FEC_PACKET_LEN + 1]) == i
             for i in range(N_FEC_PACKETS))
+        return hits >= min_match
 
     def _hunt(self) -> bool:
         """Find a FEC group; drop everything before the app data that
@@ -251,7 +264,7 @@ class FecDecoder:
             elif not self._hunt():       # keep its first app region
                 return out
         while len(self._buf) >= FEC_FRAME_LEN:
-            if not self._fec_group_at(self._buf, APP_BYTES):
+            if not self._fec_group_at(self._buf, APP_BYTES, min_match=6):
                 # lost lockstep (bit errors in headers or a stream gap)
                 self._synced = False
                 self._fec_stats["resyncs"] += 1

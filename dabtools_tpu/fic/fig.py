@@ -310,6 +310,9 @@ def fig_0_17(sid: int, pty: int, static: bool = True) -> bytes:
     S/D(1) rfa(1) rfu(2) + rfu? — reconstructed as the v2 3-byte entry
     SId(16) S/D(1) rfa(1) rfu(1) IntCode(5).  PTy names per TS 101 756
     table 12 (`tables.meta.PROGRAMME_TYPES`)."""
+    if sid > 0xFFFF:
+        raise ValueError("FIG 0/17 carries programme types for PROGRAMME "
+                         "services (16-bit SIds); data services have none")
     w = _BitWriter()
     w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(17, 5)   # ext=17
     w.put(sid, 16)
@@ -326,11 +329,15 @@ def fig_0_6(lsn: int, ids: tuple[int, ...], idlq: int = 0,
             international: bool = False) -> bytes:
     """Service linking information (EN 300 401 s8.1.15) [K-med]:
     IdListFlag(1) LA(1) S/H(1) ILS(1) LSN(12), then (IdListFlag=1)
-    rfa(1) IdLQ(2) rfa(1) NumIds(4) + 16-bit ids.  ``idlq`` 0 = DAB
-    SIds, 1 = RDS PI codes.  ILS=1 (ECC-prefixed 24-bit ids) is parse-
-    only here."""
+    rfa(1) IdLQ(2) rfa(1) NumIds(4) + ids.  ``idlq`` 0 = DAB SIds,
+    1 = RDS PI codes.  ``international=True`` (ILS=1) takes ECC-prefixed
+    24-bit ids (ECC << 16 | SId)."""
     if len(ids) > 15:
         raise ValueError("FIG 0/6 carries at most 15 ids")
+    id_bits = 24 if international else 16
+    if any(i >> id_bits for i in ids):
+        raise ValueError(f"FIG 0/6 ids must fit {id_bits} bits "
+                         f"(ILS={int(international)})")
     w = _BitWriter()
     w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(6, 5)   # ext=6
     w.put(1, 1)                    # id list follows
@@ -343,7 +350,7 @@ def fig_0_6(lsn: int, ids: tuple[int, ...], idlq: int = 0,
     w.put(0, 1)
     w.put(len(ids), 4)
     for i in ids:
-        w.put(i, 16)
+        w.put(i, id_bits)
     body = w.bytes()
     return bytes([0x00 | len(body)]) + body
 
@@ -782,6 +789,8 @@ class FigParser:
                     rm = r.get(4)
                     r.get(1)          # continuity flag
                     n_bytes = r.get(3)
+                    if 8 * n_bytes > end - r.pos:
+                        break         # malformed entry: don't overrun
                     freqs = []
                     if rm == 0:       # DAB ensemble: Control(5) + f(19)
                         for _ in range(n_bytes // 3):

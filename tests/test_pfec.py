@@ -54,6 +54,59 @@ def test_fec_frame_roundtrip_and_burst():
     assert n == -1 and got == bytes(heavy[:APP_BYTES])
 
 
+def test_fec_correct_partial_row_failure_keeps_other_corrections():
+    """One uncorrectable row must not discard the corrections the other
+    11 rows achieved (review finding)."""
+    rng = np.random.default_rng(9)
+    app = rng.integers(0, 256, APP_BYTES, dtype=np.uint8).tobytes()
+    frame = bytearray(app + fec_packets(app))
+    # row 0 = app bytes at k % 12 == 0: 9 errors -> uncorrectable (t=8)
+    for col in range(9):
+        frame[col * 12] ^= 0xAA
+    # row 1 (k % 12 == 1): 1 error -> trivially correctable
+    frame[1] ^= 0x55
+    got, n = fec_correct(bytes(frame))
+    assert n == -1
+    table_got = np.frombuffer(got, dtype=np.uint8).reshape(188, 12).T
+    table_want = np.frombuffer(app, dtype=np.uint8).reshape(188, 12).T
+    # row 1 corrected despite row 0's failure; row 0 as received
+    np.testing.assert_array_equal(table_got[1], table_want[1])
+    bad_row0 = np.frombuffer(bytes(frame[:APP_BYTES]),
+                             dtype=np.uint8).reshape(188, 12).T[0]
+    np.testing.assert_array_equal(table_got[0], bad_row0)
+
+
+def test_fec_encoder_flush_no_spurious_frame():
+    """flush() on a 24-byte remainder must close the frame with exactly
+    one padding packet, not open a second all-padding FEC frame."""
+    from dabtools_tpu.eti.packet import build_packet
+    enc = FecEncoder()
+    for _ in range(93):                       # 93 x 24 = 2232 app bytes
+        enc.add_packet(build_packet(5, b"x", 0, True, True, 24))
+    enc.flush()
+    assert enc.pending_bytes == APP_BYTES + 9 * 24   # exactly one frame
+
+
+def test_fec_lockstep_tolerates_header_bit_errors():
+    """Corrupted FEC packet headers (unprotected bytes) must not discard
+    an otherwise-correctable frame once lockstep is established."""
+    rng = np.random.default_rng(10)
+    groups = [rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
+              for _ in range(30)]
+    stream = bytearray(_fec_stream(groups))
+    # corrupt 2 of the 9 headers in BOTH the first FEC group (initial
+    # sync needs only 7 of 9) and the second (lockstep needs 6 of 9)
+    stream[APP_BYTES] ^= 0xFF
+    stream[APP_BYTES + 48 + 1] ^= 0xFF
+    base = FEC_FRAME_LEN + APP_BYTES
+    stream[base] ^= 0xFF
+    stream[base + 24 + 1] ^= 0xFF
+    dec = FecDecoder()
+    got = [dg for a, dg in dec.feed(bytes(stream)) if a == 5]
+    assert got == groups
+    assert dec.stats["resyncs"] == 0
+
+
 def _fec_stream(groups, frame_bytes=24 * 12):
     pe = PacketEncoder(address=5, packet_size=96)
     for g in groups:
@@ -130,12 +183,19 @@ def test_fig_0_5_and_0_17_roundtrip():
     assert parser.ptys[0x1234] == (10, True)           # Pop Music, static
 
 
+def test_fig_0_17_rejects_data_service_sid():
+    from dabtools_tpu.fic.fig import fig_0_17
+    with pytest.raises(ValueError):
+        fig_0_17(0xE1C00042, 3)      # 32-bit SId would truncate silently
+
+
 def test_fig_0_6_and_0_21_roundtrip():
     from dabtools_tpu.fic.fig import fig_0_6, fig_0_21
     ens = Ensemble(eid=1, subchannels=(Subchannel.eep(2, 0, 3, "A", 64),))
     parser = FigParser()
     figs = (fig_0_6(0x123, (0x1111, 0x2222), idlq=0),
             fig_0_6(0x124, (0xA201, 0xA202), idlq=1, hard=False),
+            fig_0_6(0x125, (0xE0_1111,), international=True),
             fig_0_21(0x4FFF, (227_360_000, 225_648_000), rm=0),
             fig_0_21(0x89AB, (95_800_000,), rm=8, region=3))
     for fib in build_fibs_for_ensemble(ens, 0, extra_figs=figs):
@@ -144,6 +204,9 @@ def test_fig_0_6_and_0_21_roundtrip():
     assert ls["ids"] == (0x1111, 0x2222) and ls["hard"] and ls["active"]
     ls2 = parser.linkage_sets[0x124]
     assert ls2["idlq"] == 1 and not ls2["hard"]
+    # ILS=1: ECC-prefixed 24-bit ids round-trip
+    ls_intl = parser.linkage_sets[0x125]
+    assert ls_intl["international"] and ls_intl["ids"] == (0xE0_1111,)
     # DAB frequencies quantized to 16 kHz units survive exactly
     assert parser.freq_info[(0, 0x4FFF, 0)] == (227_360_000, 225_648_000)
     assert parser.freq_info[(3, 0x89AB, 8)] == (95_800_000,)
@@ -198,7 +261,7 @@ def fec_mux(tmp_path_factory):
              "subch": {"id": 9, "start_cu": 0, "protection": "EEP-3A",
                        "bitrate": 32},
              "scid": 4, "address": 21, "objects": [str(obj)],
-             "fec": True},
+             "fec": True, "language": 9},
         ],
     }
     cfg_path = tmp / "mux.json"
@@ -218,6 +281,15 @@ def test_dabmux_fec_etiinfo(fec_mux):
          str(fec_mux["eti"])], capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert "FEC RS(204,188)" in r.stdout
+    assert "English" in r.stdout     # FIG 0/5 on a packet component
+
+
+def test_dabmux_fec_list_shows_fec_and_language(fec_mux):
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio", "--list",
+         str(fec_mux["eti"])], capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "+FEC" in r.stdout and "[English]" in r.stdout
 
 
 def test_dabmux_fec_extraction_clean(fec_mux):
