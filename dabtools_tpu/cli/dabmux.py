@@ -73,20 +73,43 @@ def _take_wrapped(data: bytes, pos: int, n: int) -> tuple[bytes, int]:
     return bytes(out), pos
 
 
+_DLPLUS_KEYS = {"title": 1, "album": 2, "artist": 4, "band": 9,
+                "comment": 10, "genre": 11, "now": 33, "next": 34,
+                "homepage": 39}
+
+
 class _Mp2Source:
     """Raw MP2 bytes (file or PRBS) sliced per logical frame, with an
-    optional rotating X-PAD dynamic label."""
+    optional rotating X-PAD dynamic label (+ DL Plus tags)."""
 
     def __init__(self, frame_bytes: int, data: bytes | None, dls: str | None,
-                 rng):
+                 rng, dlplus: dict | None = None):
         self.frame_bytes = frame_bytes
         self.data = data or None
         self.rng = rng
         self.pos = 0
         self.groups = None
+        if dlplus and not dls:     # compose "artist - title"-style label
+            dls = " - ".join(str(v) for v in dlplus.values())
         if dls:
-            from dabtools_tpu.eti.pad import dls_data_groups
+            from dabtools_tpu.eti.pad import dls_data_groups, dlplus_command
             self.groups = dls_data_groups(dls, toggle=0)
+            if dlplus:             # TS 102 980 tags into the rotation
+                tags = []
+                for key, val in dlplus.items():
+                    ct = _DLPLUS_KEYS.get(str(key).lower())
+                    if ct is None:
+                        raise SystemExit(
+                            f"unknown dlplus key {key!r} "
+                            f"(use {sorted(_DLPLUS_KEYS)})")
+                    start = dls.find(str(val))
+                    if start < 0:
+                        raise SystemExit(
+                            f"dlplus {key}={val!r} is not a substring of "
+                            f"the dls label {dls!r}")
+                    tags.append((ct, start, len(str(val))))
+                self.groups.append(
+                    dlplus_command(tags, toggle=0, item_running=True))
         self.n = 0
 
     def frame(self) -> bytes:
@@ -263,7 +286,8 @@ def main(argv=None) -> int:
                 components=(ServiceComponent(tmid=0, subchid=sub.subchid,
                                              ascty=0),)))
             sources[sub.subchid] = _Mp2Source(sub.data_bytes, data,
-                                              svc.get("dls"), rng)
+                                              svc.get("dls"), rng,
+                                              dlplus=svc.get("dlplus"))
 
     # Ensemble-level service following: FIG 0/21 alternative frequencies
     # and FIG 0/6 linkage sets.

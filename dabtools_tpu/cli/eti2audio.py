@@ -432,6 +432,14 @@ def main(argv=None) -> int:
     def show(labels):
         for lab in labels:
             log.info("dynamic label: %r (charset %d)", lab.text, lab.charset)
+        if pad is None:
+            return
+        for info in pad.take_dlplus():      # TS 102 980 DL Plus tags
+            from dabtools_tpu.tables.meta import dlplus_type_name
+            tags = ", ".join(f"{dlplus_type_name(t.content_type)}={t.text!r}"
+                             for t in info.tags)
+            log.info("DL+%s: %s",
+                     " (item running)" if info.item_running else "", tags)
 
     # Streaming state, filled once the target resolves.
     target: tuple[int, bool, int | None] | None = None

@@ -77,10 +77,41 @@ def dls_data_groups(label: str, toggle: int, charset: int = 0) -> list[bytes]:
     return groups
 
 
+DLS_CMD_CLEAR = 0b0001
+DLS_CMD_DL_PLUS = 0b0010       # TS 102 980: DL Plus tags command
+
+
 def dls_clear_command(toggle: int) -> bytes:
     """The 'clear display' DLS command group (C=1, command 0b0001)."""
     body = bytes([(toggle & 1) << 7 | 1 << 6 | 1 << 5 | 1 << 4 | 0b0001, 0])
     return body + crc16_ccitt(body).to_bytes(2, "big")
+
+
+def dlplus_command(tags: list[tuple[int, int, int]], toggle: int,
+                   item_toggle: bool = False, item_running: bool = False,
+                   link: int = 0) -> bytes:
+    """DL Plus tags command group (TS 102 980 s5) [K-med; prefix byte 1
+    layout K-low — link(1) rfa(3) body-length-1(4)].
+
+    ``tags``: up to 4 of (content type, start char, length chars), each
+    marking a substring of the CURRENT dynamic label (e.g. the artist
+    inside "artist - title").  Body: CId(4)=0 IT(1) IR(1) NT(2), then
+    3 bytes per tag: CT(8) start(8) length-1(8) (the 7-bit fields ride
+    in full bytes; top bits rfa=0).
+    """
+    if not 1 <= len(tags) <= 4:
+        raise ValueError("DL Plus carries 1..4 tags per command")
+    body = bytearray([0 << 4 | (1 if item_toggle else 0) << 3
+                      | (1 if item_running else 0) << 2 | (len(tags) - 1)])
+    for ct, start, length in tags:
+        if not (0 <= ct < 128 and 0 <= start < 128 and 1 <= length <= 128):
+            raise ValueError("DL Plus tag fields are 7-bit "
+                             "(length stored as length-1)")
+        body += bytes([ct, start, length - 1])
+    b0 = ((toggle & 1) << 7 | 1 << 6 | 1 << 5 | 1 << 4 | DLS_CMD_DL_PLUS)
+    b1 = (link & 1) << 7 | (len(body) - 1)
+    g = bytes([b0, b1]) + bytes(body)
+    return g + crc16_ccitt(g).to_bytes(2, "big")
 
 
 @dataclasses.dataclass
@@ -88,6 +119,19 @@ class DynamicLabel:
     text: str
     charset: int
     toggle: int
+
+
+@dataclasses.dataclass
+class DlPlusTag:
+    content_type: int              # TS 102 980 annex A id
+    text: str                      # resolved against the current label
+
+
+@dataclasses.dataclass
+class DlPlusInfo:
+    item_toggle: bool
+    item_running: bool
+    tags: tuple[DlPlusTag, ...]
 
 
 class DlsDecoder:
@@ -105,8 +149,11 @@ class DlsDecoder:
         self._charset = 0
         self._toggle = None
         self._last_seg = None
+        self._text = ""                # last complete label (DL+ anchor)
+        self.dlplus: list[DlPlusInfo] = []   # drained by PadDecoder/CLI
         self.stats = {"groups": 0, "crc_failures": 0, "labels": 0,
-                      "commands": 0}
+                      "commands": 0, "dlplus_commands": 0,
+                      "dlplus_orphans": 0}
 
     def feed(self, data: bytes, start: bool) -> list[DynamicLabel]:
         if start:
@@ -120,7 +167,13 @@ class DlsDecoder:
             return []
         b0 = self._group[0]
         is_cmd = (b0 >> 4) & 1
-        nbody = 2 if is_cmd else 2 + (b0 & 0x0F) + 1
+        if is_cmd:
+            # DL Plus commands carry a body sized by prefix byte 1 [K-low]
+            extra = ((self._group[1] & 0x0F) + 1
+                     if b0 & 0x0F == DLS_CMD_DL_PLUS else 0)
+            nbody = 2 + extra
+        else:
+            nbody = 2 + (b0 & 0x0F) + 1
         if len(self._group) < nbody + 2:
             return []
         group = bytes(self._group[: nbody + 2])
@@ -136,9 +189,13 @@ class DlsDecoder:
         toggle, first, last, cmd = b0 >> 7, b0 >> 6 & 1, b0 >> 5 & 1, b0 >> 4 & 1
         if cmd:
             self.stats["commands"] += 1
-            if b0 & 0x0F == 0b0001:      # clear display
+            code = b0 & 0x0F
+            if code == DLS_CMD_CLEAR:
                 self._segments.clear()
                 self._toggle = None
+                self._text = ""
+            elif code == DLS_CMD_DL_PLUS:
+                self._take_dlplus(g[2:])
             return []
         if toggle != self._toggle:       # new label transmission begins
             self._segments.clear()
@@ -158,9 +215,33 @@ class DlsDecoder:
             self._segments.clear()
             self._last_seg = None
             self.stats["labels"] += 1
-            return [DynamicLabel(text.decode("latin-1"),
-                                 self._charset, toggle)]
+            self._text = text.decode("latin-1")
+            return [DynamicLabel(self._text, self._charset, toggle)]
         return []
+
+    def _take_dlplus(self, body: bytes) -> None:
+        """Resolve a DL Plus tags command against the current label."""
+        if not body or body[0] >> 4 != 0:    # CId 0 = DL Plus tags
+            return
+        if not self._text:
+            self.stats["dlplus_orphans"] += 1   # no label yet to index
+            return
+        item_toggle = bool(body[0] >> 3 & 1)
+        item_running = bool(body[0] >> 2 & 1)
+        n_tags = (body[0] & 0x03) + 1
+        if len(body) < 1 + 3 * n_tags:
+            return
+        tags = []
+        for i in range(n_tags):
+            ct = body[1 + 3 * i] & 0x7F
+            start = body[2 + 3 * i] & 0x7F
+            length = (body[3 + 3 * i] & 0x7F) + 1
+            if start >= len(self._text):
+                continue                     # stale tag for another label
+            tags.append(DlPlusTag(ct, self._text[start:start + length]))
+        self.stats["dlplus_commands"] += 1
+        self.dlplus.append(DlPlusInfo(item_toggle, item_running,
+                                      tuple(tags)))
 
 
 # ------------------------------------------------------------ X-PAD framing
@@ -292,6 +373,11 @@ class PadDecoder:
     def flush(self) -> None:
         if self.mot is not None:
             self.objects += self.mot.flush()
+
+    def take_dlplus(self) -> list[DlPlusInfo]:
+        """Drain DL Plus tag sets decoded since the last call."""
+        out, self.dls.dlplus = self.dls.dlplus, []
+        return out
 
     def feed_mp2_frame(self, frame: bytes,
                        sample_rate_hz: int = 48000) -> list[DynamicLabel]:

@@ -37,8 +37,35 @@ PROGRAMME_TYPES = {
 }
 
 
+# TS 102 980 annex A (DL Plus content types; common subset).
+DL_PLUS_CONTENT_TYPES = {
+    0: "DUMMY", 1: "ITEM.TITLE", 2: "ITEM.ALBUM", 3: "ITEM.TRACKNUMBER",
+    4: "ITEM.ARTIST", 5: "ITEM.COMPOSITION", 6: "ITEM.MOVEMENT",
+    7: "ITEM.CONDUCTOR", 8: "ITEM.COMPOSER", 9: "ITEM.BAND",
+    10: "ITEM.COMMENT", 11: "ITEM.GENRE", 12: "INFO.NEWS",
+    13: "INFO.NEWS.LOCAL", 14: "INFO.STOCKMARKET", 15: "INFO.SPORT",
+    16: "INFO.LOTTERY", 17: "INFO.HOROSCOPE", 18: "INFO.DAILY_DIVERSION",
+    19: "INFO.HEALTH", 20: "INFO.EVENT", 21: "INFO.SCENE",
+    22: "INFO.CINEMA", 23: "INFO.TV", 24: "INFO.DATE_TIME",
+    25: "INFO.WEATHER", 26: "INFO.TRAFFIC", 27: "INFO.ALARM",
+    28: "INFO.ADVERTISEMENT", 29: "INFO.URL", 30: "INFO.OTHER",
+    31: "STATIONNAME.SHORT", 32: "STATIONNAME.LONG", 33: "PROGRAMME.NOW",
+    34: "PROGRAMME.NEXT", 35: "PROGRAMME.PART", 36: "PROGRAMME.HOST",
+    37: "PROGRAMME.EDITORIAL_STAFF", 38: "PROGRAMME.FREQUENCY",
+    39: "PROGRAMME.HOMEPAGE", 40: "PROGRAMME.SUBCHANNEL",
+    41: "PHONE.HOTLINE", 42: "PHONE.STUDIO", 43: "PHONE.OTHER",
+    44: "SMS.STUDIO", 45: "SMS.OTHER", 46: "EMAIL.HOTLINE",
+    47: "EMAIL.STUDIO", 48: "EMAIL.OTHER", 49: "MMS.OTHER", 50: "CHAT",
+    51: "CHAT.CENTER", 52: "VOTE.QUESTION", 53: "VOTE.CENTRE",
+}
+
+
 def language_name(code: int) -> str:
     return LANGUAGES.get(code, f"lang 0x{code:02X}")
+
+
+def dlplus_type_name(code: int) -> str:
+    return DL_PLUS_CONTENT_TYPES.get(code, f"CT {code}")
 
 
 def programme_type_name(code: int) -> str:

@@ -26,6 +26,7 @@ def mux(tmp_path_factory):
              "subch": {"id": 1, "start_cu": 0, "protection": "EEP-3A",
                        "bitrate": 64},
              "source": "prbs", "dls": "dabmux demo",
+             "dlplus": {"artist": "dabmux", "title": "demo"},
              "language": 9, "pty": 10},
             {"sid": "0x2222", "label": "NEWSPLUS", "type": "dab+",
              "subch": {"id": 2, "start_cu": 48, "protection": "EEP-3A",
@@ -76,6 +77,8 @@ def test_dabmux_dls_and_dabplus(mux):
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert "dynamic label: 'dabmux demo'" in r.stderr
+    assert "ITEM.ARTIST='dabmux'" in r.stderr      # TS 102 980 DL Plus
+    assert "ITEM.TITLE='demo'" in r.stderr
     r = subprocess.run(
         [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
          "--sid", "0x2222", str(mux["eti"]),

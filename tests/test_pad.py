@@ -134,3 +134,59 @@ def test_label_streamed_over_frames():
             attach_pad_mp2(frame, xpad, fpad)
             texts += [lab.text for lab in dec.feed_mp2_frame(bytes(frame))]
     assert texts == ["First label", "Second " + "y" * 20]
+
+
+# ------------------------------------------------------------- DL Plus
+def test_dlplus_tags_roundtrip():
+    from dabtools_tpu.eti.pad import dlplus_command
+    dec = DlsDecoder()
+    label = "Blur - Song 2"
+    (group,) = dls_data_groups(label, toggle=0)
+    dec.feed(group, start=True)
+    cmd = dlplus_command([(4, 0, 4), (1, 7, 6)], toggle=0,
+                         item_running=True)
+    dec.feed(cmd, start=True)
+    assert dec.stats["dlplus_commands"] == 1
+    (info,) = dec.dlplus
+    assert info.item_running and not info.item_toggle
+    assert [(t.content_type, t.text) for t in info.tags] == [
+        (4, "Blur"), (1, "Song 2")]
+
+
+def test_dlplus_before_any_label_is_orphaned():
+    from dabtools_tpu.eti.pad import dlplus_command
+    dec = DlsDecoder()
+    dec.feed(dlplus_command([(1, 0, 5)], toggle=0), start=True)
+    assert dec.dlplus == []
+    assert dec.stats["dlplus_orphans"] == 1
+
+
+def test_dlplus_stale_start_beyond_label_dropped():
+    from dabtools_tpu.eti.pad import dlplus_command
+    dec = DlsDecoder()
+    (group,) = dls_data_groups("hi", toggle=0)
+    dec.feed(group, start=True)
+    dec.feed(dlplus_command([(1, 10, 3), (4, 0, 2)], toggle=0), start=True)
+    (info,) = dec.dlplus
+    assert [(t.content_type, t.text) for t in info.tags] == [(4, "hi")]
+
+
+def test_dlplus_through_pad_decoder_mp2():
+    from dabtools_tpu.eti.pad import dlplus_command
+    pad = PadDecoder()
+    label = "ArtistX - TitleY"                # 16 chars: one segment
+    (group,) = dls_data_groups(label, toggle=0)
+    cmd = dlplus_command([(4, 0, 7), (1, 10, 6)], toggle=0)
+    frames = []
+    for g in (group, cmd):
+        frame = bytearray(np.random.default_rng(1).integers(
+            0, 256, 384, dtype=np.uint8).tobytes())
+        xpad, fpad = build_xpad([(APP_DLS_START, g)])
+        attach_pad_mp2(frame, xpad, fpad)
+        frames.append(bytes(frame))
+    labels = [lab for f in frames for lab in pad.feed_mp2_frame(f)]
+    assert [lab.text for lab in labels] == [label]
+    (info,) = pad.take_dlplus()
+    assert [(t.content_type, t.text) for t in info.tags] == [
+        (4, "ArtistX"), (1, "TitleY")]
+    assert pad.take_dlplus() == []          # drained
