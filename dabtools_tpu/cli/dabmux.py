@@ -218,7 +218,7 @@ def main(argv=None) -> int:
     )
     from dabtools_tpu.fic.fig import (build_fibs_for_ensemble, fig_0_5,
                                       fig_0_6, fig_0_9, fig_0_10, fig_0_17,
-                                      fig_0_21)
+                                      fig_0_21, fig_0_24)
 
     with open(args.config) as f:
         cfg = json.load(f)
@@ -242,6 +242,10 @@ def main(argv=None) -> int:
         kind = svc.get("type", "mp2")
         if "language" in svc:          # FIG 0/5 (TS 101 756 table 9 code)
             meta_figs.append(fig_0_5(sub.subchid, int(svc["language"])))
+        if "also_in_ensembles" in svc:   # FIG 0/24 (service following)
+            meta_figs.append(fig_0_24(
+                sid, tuple(int(str(e), 0)
+                           for e in svc["also_in_ensembles"]), oe=False))
         if "pty" in svc:               # FIG 0/17 (table 12 int. code)
             if sid > 0xFFFF:
                 raise SystemExit(

@@ -13,8 +13,10 @@ packet-mode, user-application, announcement and FEC signalling it lacks):
   0/3 service component in packet mode, 0/7 configuration information,
   0/8 service component global definition, 0/9 country/LTO,
   0/10 date & time, 0/13 user application info, 0/14 packet-mode FEC,
-  0/18 + 0/19 announcements, 1/0 ensemble label, 1/1 programme service
-  label, 1/5 data service label.
+  0/18 + 0/19 announcements, 0/5 language, 0/17 programme type,
+  0/6 service linking, 0/21 frequency information, 0/24 OE services,
+  1/0 ensemble label, 1/1 programme service label, 1/5 data service
+  label.
 """
 
 from __future__ import annotations
@@ -387,6 +389,26 @@ def fig_0_21(ident: int, freqs_hz: tuple[int, ...], rm: int = 0,
     return bytes([0x00 | len(body)]) + body
 
 
+def fig_0_24(sid: int, eids: tuple[int, ...], oe: bool = True) -> bytes:
+    """OE services (EN 300 401 s8.1.10) [K-med]: where else a service is
+    carried.  Per entry: SId(16) rfa(1) CAId(3) NumEIds(4) + EId(16)
+    list.  ``oe=True`` sets the header OE bit (the service belongs to
+    ANOTHER ensemble; False = this ensemble's service is also found in
+    the listed ensembles)."""
+    if len(eids) > 15:
+        raise ValueError("FIG 0/24 carries at most 15 ensemble ids")
+    w = _BitWriter()
+    w.put(0, 1); w.put(1 if oe else 0, 1); w.put(0, 1); w.put(24, 5)
+    w.put(sid, 16)
+    w.put(0, 1)
+    w.put(0, 3)                    # CAId
+    w.put(len(eids), 4)
+    for e in eids:
+        w.put(e, 16)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
 def fig_0_9(lto_half_hours: int = 0, ecc: int = 0,
             table_id: int = 1) -> bytes:
     """Country, LTO and international table (EN 300 401 s8.1.3.2) [K-med]:
@@ -558,6 +580,8 @@ class FigParser:
     linkage_sets: dict = dataclasses.field(default_factory=dict)
     # FIG 0/21: (region, Id, R&M) -> tuple of frequencies in Hz
     freq_info: dict = dataclasses.field(default_factory=dict)
+    # FIG 0/24: SId -> (oe flag, tuple of EIds the service is also in)
+    oe_services: dict = dataclasses.field(default_factory=dict)
     # FIG 0/8: (sid, SCIdS) -> ("scid", SCId) | ("subch", SubChId)
     scids_map: dict = dataclasses.field(default_factory=dict)
     _user_apps_scids: dict = dataclasses.field(default_factory=dict)
@@ -629,7 +653,9 @@ class FigParser:
 
     def _parse_fig0(self, body: bytes) -> None:
         r = _BitReader(body)
-        r.get(1); r.get(1); pd = r.get(1)
+        r.get(1)
+        oe = r.get(1)
+        pd = r.get(1)
         ext = r.get(5)
         remaining_bits = lambda: len(body) * 8 - r.pos  # noqa: E731
         if ext == 0:
@@ -823,6 +849,16 @@ class FigParser:
                 static = bool(r.get(1))
                 r.get(1); r.get(1)
                 self.ptys[sid] = (r.get(5), static)
+        elif ext == 24:
+            sid_bits = 32 if pd else 16
+            while remaining_bits() >= sid_bits + 8:
+                sid = r.get(sid_bits)
+                r.get(1); r.get(3)           # rfa, CAId
+                n_eids = r.get(4)
+                if remaining_bits() < 16 * n_eids:
+                    break
+                self.oe_services[sid] = (
+                    bool(oe), tuple(r.get(16) for _ in range(n_eids)))
         elif ext == 8:
             # Service component global definition: SCIdS -> transport
             sid_bits = 32 if pd else 16

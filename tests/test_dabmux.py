@@ -30,7 +30,8 @@ def mux(tmp_path_factory):
              "language": 9, "pty": 10},
             {"sid": "0x2222", "label": "NEWSPLUS", "type": "dab+",
              "subch": {"id": 2, "start_cu": 48, "protection": "EEP-3A",
-                       "bitrate": 72}, "source": "prbs"},
+                       "bitrate": 72}, "source": "prbs",
+             "also_in_ensembles": ["0xC0FE"]},
             {"sid": "0xE1C00042", "label": "EPG", "type": "packet",
              "subch": {"id": 3, "start_cu": 102, "protection": "EEP-3A",
                        "bitrate": 32},
@@ -65,6 +66,7 @@ def test_dabmux_list_and_info(mux):
     assert r.returncode == 0, r.stderr
     assert "PTy Pop Music" in r.stdout and "English" in r.stdout
     assert "linkage set 0x042" in r.stdout and "0x1111" in r.stdout
+    assert "service 0x2222 also in ensemble(s): 0xC0FE" in r.stdout
     assert ("frequency info (region 0): DAB ensemble 0x4D58 -> "
             "225.648 MHz") in r.stdout
 

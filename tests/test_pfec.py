@@ -211,6 +211,15 @@ def test_fig_0_6_and_0_21_roundtrip():
     assert parser.freq_info[(0, 0x4FFF, 0)] == (227_360_000, 225_648_000)
     assert parser.freq_info[(3, 0x89AB, 8)] == (95_800_000,)
 
+    # FIG 0/24: OE services round-trip (oe=False: "also found in")
+    from dabtools_tpu.fic.fig import fig_0_24
+    parser24 = FigParser()
+    for fib in build_fibs_for_ensemble(
+            ens, 0, extra_figs=(fig_0_24(0x5678, (0x4FFF, 0xC0FE),
+                                         oe=False),)):
+        parser24.feed_fib(fib.tobytes())
+    assert parser24.oe_services[0x5678] == (False, (0x4FFF, 0xC0FE))
+
     # change-event form (no id list) updates flags without erasing ids
     parser2 = FigParser()
     for fib in build_fibs_for_ensemble(
