@@ -73,6 +73,27 @@ class EtiAssembler:
         self.frame_count = 0
         self._tist0 = (None if tist_start is None
                        else int(tist_start * TIST_TICKS_PER_SEC))
+        # Everything below is fixed by the mux configuration, so it is
+        # computed ONCE: the per-frame hot path (24 ms cadence; the e2e
+        # host bottleneck) only concatenates payloads and stamps
+        # FCT/FP/ERR.  STC: SCID(6) SAD(10) TPL(6) STL(10) per entry
+        # (ETS 300 799); SAD/STL in 64-bit (8-byte) words.
+        self._fic_len = mode.n_fibs // mode.n_cifs * C.FIB_BYTES
+        sad = self._fic_len // 8   # sub-channel data starts after the FIC
+        stc = bytearray()
+        for s in self.subs:
+            stl = s.data_bytes // 8
+            stc.append((s.subchid << 2) | ((sad >> 8) & 0x03))
+            stc.append(sad & 0xFF)
+            stc.append((tpl_for_subchannel(s) << 2) | ((stl >> 8) & 0x03))
+            stc.append(stl & 0xFF)
+            sad += stl
+        self._stc = bytes(stc)
+        self._nst = len(self.subs)
+        self._mst_bytes = self._fic_len + sum(s.data_bytes
+                                              for s in self.subs)
+        self._fl_words = (4 * self._nst + 4 + self._mst_bytes) // 4
+        self._mid = {"I": 1, "II": 2, "III": 3, "IV": 0}[mode.name]
 
     def _tist(self, count: int) -> bytes:
         if self._tist0 is None:
@@ -90,6 +111,50 @@ class EtiAssembler:
     def fct(self) -> int:
         return self.frame_count % 250
 
+    def frame_batch(self, fibs_list, subch_data_list,
+                    error_levels=None) -> list[bytes]:
+        """Assemble N consecutive frames with ONE native call.
+
+        Semantically identical to N ``frame()`` calls (cross-checked in
+        tests/test_native.py) but amortizes the ctypes crossing and the
+        per-frame Python work over a device block — the e2e host hot
+        path.  Falls back to per-frame assembly without the native lib.
+        """
+        n = len(fibs_list)
+        if error_levels is None:
+            error_levels = [0] * n
+        from dabtools_tpu.utils import native
+        if n == 0 or native.lib() is None:
+            return [self.frame(f, d, e) for f, d, e in
+                    zip(fibs_list, subch_data_list, error_levels)]
+        fic_all = b"".join(bytes(f) for fibs in fibs_list for f in fibs)
+        if len(fic_all) != n * self._fic_len:
+            raise ValueError("bad FIC byte count in batch")
+        parts = []
+        for subch_data in subch_data_list:
+            for s in self.subs:
+                data = subch_data[s.subchid]
+                if len(data) != s.data_bytes:
+                    raise ValueError(
+                        f"subch {s.subchid}: expected {s.data_bytes} "
+                        f"bytes, got {len(data)}")
+                parts.append(bytes(data))
+        subch_all = b"".join(parts)
+        err = bytes((0xFF, 0x7F, 0x0F, 0x00)[min(e, 3)]
+                    for e in error_levels)
+        count = self.frame_count
+        self.frame_count += n
+        out = native.eti_build_batch(
+            count % 250, count % 8, err, self._mid, self._stc, self._nst,
+            fic_all, self._fic_len, subch_all,
+            self._mst_bytes - self._fic_len)
+        frames = [out[i * 6144:(i + 1) * 6144] for i in range(n)]
+        if self._tist0 is not None:
+            frames = [self._patch_tist(f, self._nst, self._mst_bytes,
+                                       self._tist(count + i))
+                      for i, f in enumerate(frames)]
+        return frames
+
     def frame(self, fibs: list[bytes], subch_data: dict[int, bytes],
               error_level: int = 0) -> bytes:
         """One ETI frame for one 24 ms CIF.
@@ -99,53 +164,40 @@ class EtiAssembler:
         1..3 degrade the ERR byte (sync-loss observability, SURVEY.md s5.3).
         """
         fibs_bytes = b"".join(bytes(f) for f in fibs)
-        fic_len = self.mode.n_fibs // self.mode.n_cifs * C.FIB_BYTES
+        fic_len = self._fic_len
         if len(fibs_bytes) != fic_len:
             raise ValueError(f"expected {fic_len} FIC bytes, got {len(fibs_bytes)}")
 
-        streams = []
+        parts = []
         for s in self.subs:
             data = subch_data[s.subchid]
             if len(data) != s.data_bytes:
                 raise ValueError(
                     f"subch {s.subchid}: expected {s.data_bytes} bytes, "
                     f"got {len(data)}")
-            streams.append((s, bytes(data)))
+            parts.append(bytes(data))
 
-        nst = len(streams)
-        mst_bytes = fic_len + sum(len(d) for _, d in streams)
-        fl_words = (4 * nst + 4 + mst_bytes) // 4   # STC + EOH + MST
+        nst, mst_bytes, fl_words = self._nst, self._mst_bytes, self._fl_words
+        stc = self._stc               # config-constant, built in __init__
 
         # Monotone degradation ladder [K-med, ETS 300 799 ERR levels]:
         # 0xFF clean, 0x7F FIB-CRC loss, 0x0F frame-sync degraded, 0x00
         # unusable — four DISTINCT values so observability keeps the
         # receiver's level-1/level-2 distinction.
         err = (0xFF, 0x7F, 0x0F, 0x00)[min(error_level, 3)]
-        mid = {"I": 1, "II": 2, "III": 3, "IV": 0}[self.mode.name]
+        mid = self._mid
         count = self.frame_count
         self.frame_count += 1
         fct = count % 250
         fp = count % 8        # continuous mod-8 phase (NOT fct%8: 250%8!=0)
 
-        # STC: SCID(6) SAD(10) TPL(6) STL(10) per entry (ETS 300 799);
-        # SAD/STL in 64-bit (8-byte) words.  Built once; shared by the
-        # native and Python paths.
-        sad = fic_len // 8  # sub-channel data starts after the FIC
-        stc = bytearray()
-        for s, data in streams:
-            stl = len(data) // 8
-            stc.append((s.subchid << 2) | ((sad >> 8) & 0x03))
-            stc.append(sad & 0xFF)
-            stc.append((tpl_for_subchannel(s) << 2) | ((stl >> 8) & 0x03))
-            stc.append(stl & 0xFF)
-            sad += stl
-        subch_bytes = b"".join(d for _, d in streams)
+        subch_bytes = b"".join(parts)
 
         # Native fast path (dabhost.cc eti_build; bit-identical to the
         # Python path below, cross-checked in tests/test_native.py).
         from dabtools_tpu.utils import native
         if native.lib() is not None:
-            frame = native.eti_build(fct, fp, err, mid, bytes(stc), nst,
+            frame = native.eti_build(fct, fp, err, mid, stc, nst,
                                      fibs_bytes, subch_bytes)
             if self._tist0 is not None:
                 frame = self._patch_tist(frame, nst, mst_bytes,

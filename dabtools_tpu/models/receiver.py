@@ -533,7 +533,7 @@ class DabReceiver:
     def _emit_eti(self) -> list[bytes]:
         if self.ensemble is None or self._assembler is None:
             return []
-        frames = []
+        fibs_list, subch_list, err_list = [], [], []
         while True:
             n = self._next_eti_cif
             have = (n in self._fib_fifo and all(
@@ -541,13 +541,14 @@ class DabReceiver:
                 for s in self._decode.subchannels))
             if not have:
                 break
-            subch_data = {s.subchid: self._subch_fifo[s.subchid].pop(n)
-                          for s in self._decode.subchannels}
-            frames.append(self._assembler.frame(
-                self._fib_fifo.pop(n), subch_data,
-                error_level=self._err_level.pop(n, 0)))
+            subch_list.append(
+                {s.subchid: self._subch_fifo[s.subchid].pop(n)
+                 for s in self._decode.subchannels})
+            fibs_list.append(self._fib_fifo.pop(n))
+            err_list.append(self._err_level.pop(n, 0))
             self._next_eti_cif = n + 1
-        return frames
+        # One native crossing per device block, not per 24 ms frame.
+        return self._assembler.frame_batch(fibs_list, subch_list, err_list)
 
     # --------------------------------------------------- checkpointing
     def checkpoint(self) -> dict:

@@ -156,6 +156,27 @@ int64_t dabhost_eti_build(uint8_t fct, uint8_t fp, uint8_t err, uint8_t mid,
   return (int64_t)kFrame;
 }
 
+// Batched frame assembly: one crossing of the ctypes boundary per device
+// block instead of per 24 ms frame (the e2e host hot path).  Frame i uses
+// fct = (fct0 + i) mod 250, fp = (fp0 + i) mod 8, err[i]; FIC/sub-channel
+// payloads are the concatenations of the per-frame slices.  Returns
+// n_frames * 6144 or -1 on any overflow.
+int64_t dabhost_eti_build_batch(size_t n_frames, uint8_t fct0, uint8_t fp0,
+                                const uint8_t *err, uint8_t mid,
+                                const uint8_t *stc, size_t n_streams,
+                                const uint8_t *fic_all, size_t fic_len,
+                                const uint8_t *subch_all, size_t subch_len,
+                                uint8_t *out /* n_frames * 6144 */) {
+  for (size_t i = 0; i < n_frames; ++i) {
+    int64_t r = dabhost_eti_build(
+        (uint8_t)((fct0 + i) % 250), (uint8_t)((fp0 + i) % 8), err[i], mid,
+        stc, n_streams, fic_all + i * fic_len, fic_len,
+        subch_all + i * subch_len, subch_len, out + i * 6144);
+    if (r != 6144) return -1;
+  }
+  return (int64_t)(n_frames * 6144);
+}
+
 // ------------------------------------------------------- IQ conversion
 // RTL-SDR style unsigned 8-bit interleaved IQ -> interleaved float32.
 void dabhost_u8_to_cf32(const uint8_t *in, float *out, size_t n_values,

@@ -46,7 +46,7 @@ def lib() -> ctypes.CDLL | None:
         return None
     # A stale .so built before a symbol was added must trigger a rebuild,
     # not an AttributeError from every (sometimes unguarded) caller.
-    if not hasattr(so, "dabhost_crc16_ok_batch"):   # newest symbol
+    if not hasattr(so, "dabhost_eti_build_batch"):  # newest symbol
         log.info("libdabhost.so is stale (missing symbols); rebuilding")
         try:
             subprocess.run(["make", "-C", str(_DIR), "-B"], check=True,
@@ -56,7 +56,7 @@ def lib() -> ctypes.CDLL | None:
             log.warning("native rebuild failed (%s); using NumPy "
                         "fallbacks", e)
             return None
-        if not hasattr(so, "dabhost_crc16_ok_batch"):
+        if not hasattr(so, "dabhost_eti_build_batch"):
             log.warning("rebuilt libdabhost.so still lacks symbols; "
                         "using NumPy fallbacks")
             return None
@@ -79,6 +79,11 @@ def lib() -> ctypes.CDLL | None:
         ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8,
         u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, u8p, ctypes.c_size_t,
         u8p]
+    so.dabhost_eti_build_batch.restype = ctypes.c_int64
+    so.dabhost_eti_build_batch.argtypes = [
+        ctypes.c_size_t, ctypes.c_uint8, ctypes.c_uint8, u8p,
+        ctypes.c_uint8, u8p, ctypes.c_size_t, u8p, ctypes.c_size_t,
+        u8p, ctypes.c_size_t, u8p]
     so.dabhost_u8_to_cf32.restype = None
     so.dabhost_u8_to_cf32.argtypes = [u8p, ctypes.POINTER(ctypes.c_float),
                                       ctypes.c_size_t, ctypes.c_float]
@@ -136,9 +141,29 @@ def eti_find_fsync(buf, start: int = 0) -> int:
     return int(lib().dabhost_eti_find_fsync(p, n, start))
 
 
+def eti_build_batch(fct0: int, fp0: int, err: bytes, mid: int,
+                    stc: bytes, n_streams: int, fic_all: bytes,
+                    fic_len: int, subch_all: bytes,
+                    subch_len: int) -> bytes:
+    """Assemble len(err) consecutive ETI frames in ONE native call."""
+    n = len(err)
+    out = np.empty(n * 6144, dtype=np.uint8)
+    ep, _ = _u8(err)
+    sp, _ = _u8(stc)
+    fp_, _ = _u8(fic_all)
+    dp, _ = _u8(subch_all)
+    r = lib().dabhost_eti_build_batch(
+        n, fct0, fp0, ep, mid, sp, n_streams, fp_, fic_len, dp, subch_len,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if r != n * 6144:
+        raise ValueError("ETI frame overflow")
+    return out.tobytes()
+
+
 def eti_build(fct: int, fp: int, err: int, mid: int, stc: bytes,
               n_streams: int, fic: bytes, subch: bytes) -> bytes:
-    out = np.zeros(6144, dtype=np.uint8)
+    # empty, not zeros: dabhost_eti_build writes every byte (0x55 tail)
+    out = np.empty(6144, dtype=np.uint8)
     sp, _ = _u8(stc)
     fic_p, fic_l = _u8(fic)
     dp, dl = _u8(subch)

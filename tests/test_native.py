@@ -118,3 +118,31 @@ def test_eti_find_fsync_matches_python_hunt():
         py = _find_fsync(buf, start)
         nat = native.eti_find_fsync(bytes(buf), max(start, 0))
         assert nat == (py - 1 if py > 0 else -1), start
+
+
+def test_eti_build_batch_matches_sequential():
+    """frame_batch (one native crossing per device block) is bit-identical
+    to N frame() calls, including ERR levels, FCT/FP continuity across
+    batches, and TIST stamping."""
+    from dabtools_tpu.eti.assemble import EtiAssembler
+    from dabtools_tpu.fic.config import Ensemble, Subchannel
+
+    subs = tuple(Subchannel.eep(i + 1, i * 96, 3, "A", 128)
+                 for i in range(9))
+    ens = Ensemble(eid=0x4FFF, subchannels=subs)
+    rng = np.random.default_rng(11)
+    fibs = [[rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
+             for _ in range(3)] for _ in range(20)]
+    datas = [{s.subchid: rng.integers(0, 256, s.data_bytes,
+                                      dtype=np.uint8).tobytes()
+              for s in subs} for _ in range(20)]
+    errs = [0] * 16 + [1, 2, 3, 0]
+    for tist in (None, 0.25):
+        a_seq = EtiAssembler(ens, tist_start=tist)
+        a_bat = EtiAssembler(ens, tist_start=tist)
+        seq = [a_seq.frame(f, d, e)
+               for f, d, e in zip(fibs, datas, errs)]
+        # two batches back to back: FCT/FP must continue across the seam
+        bat = (a_bat.frame_batch(fibs[:7], datas[:7], errs[:7])
+               + a_bat.frame_batch(fibs[7:], datas[7:], errs[7:]))
+        assert seq == bat, f"tist={tist}"
