@@ -552,6 +552,20 @@ def _extra_e2e(ens, n_frames, rng):
     log(f"# [e2e-host] ETI assembly alone (FIB CRC + pairing + STC + MST):"
         f" {n_cif * 0.024 / t_host:.0f}x real-time "
         f"({t_host / n_cif * 1e6:.0f} us/frame)")
+    # The production path: frame_batch = one native crossing per 64-CIF
+    # device block (what DabReceiver._emit_eti actually calls).
+    block = 64
+    t0 = _time.perf_counter()
+    for i in range(0, n_cif, block):
+        crc16_ok_batch(np.frombuffer(
+            b"".join(b"".join(fibs[(i + j) % 256]) for j in range(block)),
+            np.uint8).reshape(3 * block, 32))
+        asm.frame_batch([fibs[(i + j) % 256] for j in range(block)],
+                        [sub_data] * block)
+    t_batch = _time.perf_counter() - t0
+    log(f"# [e2e-host] batched (64-CIF blocks, production path): "
+        f"{n_cif * 0.024 / t_batch:.0f}x real-time "
+        f"({t_batch / n_cif * 1e6:.0f} us/frame)")
 
 
 def _extra_channelizer(ens, n_frames, rng):
