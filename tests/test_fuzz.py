@@ -143,3 +143,49 @@ def test_pft_reassembler_survives_garbage():
         blob[:2] = b"PF"               # force sync-hunting into headers
         r.feed(bytes(blob))
     r.flush()
+
+
+def test_fig_parser_survives_targeted_new_extensions():
+    """FIG type 0 ext in {5, 6, 14, 17, 21, 24} with random bodies:
+    the session's new parsers must degrade, never raise."""
+    rng = np.random.default_rng(7)
+    p = FigParser()
+    for ext in (5, 6, 14, 17, 21, 24):
+        for _ in range(80):
+            n = int(rng.integers(1, 28))
+            body = bytearray(rng.integers(0, 256, n, dtype=np.uint8))
+            body[0] = (body[0] & 0xE0) | ext     # force the extension
+            fig = bytes([0x00 | (n & 0x1F)]) + bytes(body)
+            data = (fig + b"\xff").ljust(30, b"\x00")[:30]
+            p.feed_fib(data + crc16_ccitt(data).to_bytes(2, "big"))
+    p.ensemble()                                  # must not raise either
+
+
+def test_fec_decoder_survives_garbage_then_recovers():
+    """Garbage into the packet-FEC decoder must not raise, and a valid
+    stream arriving afterwards must still sync and decode."""
+    from dabtools_tpu.eti.packet import PacketEncoder
+    from dabtools_tpu.eti.pfec import FecDecoder, FecEncoder
+
+    rng = np.random.default_rng(8)
+    dec = FecDecoder()
+    for _ in range(20):
+        dec.feed(rng.integers(0, 256, int(rng.integers(1, 4000)),
+                              dtype=np.uint8).tobytes())
+    # now a clean FEC stream: the decoder must resync onto it
+    groups = [rng.integers(0, 256, 150, dtype=np.uint8).tobytes()
+              for _ in range(40)]
+    pe = PacketEncoder(address=9, packet_size=96)
+    for g in groups:
+        pe.add_data_group(g)
+    enc = FecEncoder()
+    while (pkt := pe.take_packet()) is not None:
+        enc.add_packet(pkt)
+    enc.flush()
+    stream = bytearray()
+    while enc.pending_bytes:
+        stream += enc.take_frame(24 * 12)
+    got = [dg for a, dg in dec.feed(bytes(stream)) if a == 9]
+    sent = set(groups)
+    assert all(dg in sent for dg in got)
+    assert len(got) >= len(groups) // 2
