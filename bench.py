@@ -557,11 +557,12 @@ def _extra_e2e(ens, n_frames, rng):
     block = 64
     t0 = _time.perf_counter()
     for i in range(0, n_cif, block):
+        m = min(block, n_cif - i)      # clamp: time exactly n_cif frames
         crc16_ok_batch(np.frombuffer(
-            b"".join(b"".join(fibs[(i + j) % 256]) for j in range(block)),
-            np.uint8).reshape(3 * block, 32))
-        asm.frame_batch([fibs[(i + j) % 256] for j in range(block)],
-                        [sub_data] * block)
+            b"".join(b"".join(fibs[(i + j) % 256]) for j in range(m)),
+            np.uint8).reshape(3 * m, 32))
+        asm.frame_batch([fibs[(i + j) % 256] for j in range(m)],
+                        [sub_data] * m)
     t_batch = _time.perf_counter() - t0
     log(f"# [e2e-host] batched (64-CIF blocks, production path): "
         f"{n_cif * 0.024 / t_batch:.0f}x real-time "

@@ -162,7 +162,7 @@ def main(argv=None) -> int:
                   f"{'active' if ls['active'] else 'inactive'}"
                   f"{' intl' if ls['international'] else ''}, "
                   f"{kind}: {ids or '(none)'}")
-        for sid, (oe, eids) in sorted(fig.oe_services.items()):  # FIG 0/24
+        for (sid, oe), eids in sorted(fig.oe_services.items()):  # FIG 0/24
             ens_list = " ".join(f"0x{e:04X}" for e in eids)
             print(f"  service 0x{sid:04X} also in ensemble(s): {ens_list}"
                   + (" (OE)" if oe else ""))

@@ -50,6 +50,12 @@ def tpl_for_subchannel(s: Subchannel) -> int:
     return 0x20 | (option << 2) | (s.protection_level - 1)
 
 
+# Monotone degradation ladder [K-med, ETS 300 799 ERR levels]: 0xFF
+# clean, 0x7F FIB-CRC loss, 0x0F frame-sync degraded, 0x00 unusable —
+# four DISTINCT values so observability keeps the receiver's
+# level-1/level-2 distinction.  Shared by frame() and frame_batch().
+ERR_LADDER = (0xFF, 0x7F, 0x0F, 0x00)
+
 TIST_TICKS_PER_SEC = 16_384_000   # ETS 300 799 annex: 1/16.384 MHz [K-med]
 TIST_TICKS_PER_FRAME = TIST_TICKS_PER_SEC * 24 // 1000     # = 393216 exactly
 TIST_NONE = 0xFFFFFFFF
@@ -111,6 +117,18 @@ class EtiAssembler:
     def fct(self) -> int:
         return self.frame_count % 250
 
+    def _validated_parts(self, subch_data) -> list[bytes]:
+        """Per-frame payloads in STC order, length-checked."""
+        parts = []
+        for s in self.subs:
+            data = subch_data[s.subchid]
+            if len(data) != s.data_bytes:
+                raise ValueError(
+                    f"subch {s.subchid}: expected {s.data_bytes} bytes, "
+                    f"got {len(data)}")
+            parts.append(bytes(data))
+        return parts
+
     def frame_batch(self, fibs_list, subch_data_list,
                     error_levels=None) -> list[bytes]:
         """Assemble N consecutive frames with ONE native call.
@@ -123,25 +141,26 @@ class EtiAssembler:
         n = len(fibs_list)
         if error_levels is None:
             error_levels = [0] * n
+        if len(subch_data_list) != n or len(error_levels) != n:
+            # the native loop strides fixed offsets: a ragged batch would
+            # read past the end of the payload buffers
+            raise ValueError(
+                f"ragged batch: {n} FIB entries, "
+                f"{len(subch_data_list)} payload entries, "
+                f"{len(error_levels)} error levels")
         from dabtools_tpu.utils import native
         if n == 0 or native.lib() is None:
             return [self.frame(f, d, e) for f, d, e in
                     zip(fibs_list, subch_data_list, error_levels)]
-        fic_all = b"".join(bytes(f) for fibs in fibs_list for f in fibs)
-        if len(fic_all) != n * self._fic_len:
-            raise ValueError("bad FIC byte count in batch")
+        fics = [b"".join(bytes(f) for f in fibs) for fibs in fibs_list]
+        if any(len(f) != self._fic_len for f in fics):
+            raise ValueError(f"every frame needs {self._fic_len} FIC bytes")
+        fic_all = b"".join(fics)
         parts = []
         for subch_data in subch_data_list:
-            for s in self.subs:
-                data = subch_data[s.subchid]
-                if len(data) != s.data_bytes:
-                    raise ValueError(
-                        f"subch {s.subchid}: expected {s.data_bytes} "
-                        f"bytes, got {len(data)}")
-                parts.append(bytes(data))
+            parts += self._validated_parts(subch_data)
         subch_all = b"".join(parts)
-        err = bytes((0xFF, 0x7F, 0x0F, 0x00)[min(e, 3)]
-                    for e in error_levels)
+        err = bytes(ERR_LADDER[min(e, 3)] for e in error_levels)
         count = self.frame_count
         self.frame_count += n
         out = native.eti_build_batch(
@@ -168,23 +187,11 @@ class EtiAssembler:
         if len(fibs_bytes) != fic_len:
             raise ValueError(f"expected {fic_len} FIC bytes, got {len(fibs_bytes)}")
 
-        parts = []
-        for s in self.subs:
-            data = subch_data[s.subchid]
-            if len(data) != s.data_bytes:
-                raise ValueError(
-                    f"subch {s.subchid}: expected {s.data_bytes} bytes, "
-                    f"got {len(data)}")
-            parts.append(bytes(data))
+        parts = self._validated_parts(subch_data)
 
         nst, mst_bytes, fl_words = self._nst, self._mst_bytes, self._fl_words
         stc = self._stc               # config-constant, built in __init__
-
-        # Monotone degradation ladder [K-med, ETS 300 799 ERR levels]:
-        # 0xFF clean, 0x7F FIB-CRC loss, 0x0F frame-sync degraded, 0x00
-        # unusable — four DISTINCT values so observability keeps the
-        # receiver's level-1/level-2 distinction.
-        err = (0xFF, 0x7F, 0x0F, 0x00)[min(error_level, 3)]
+        err = ERR_LADDER[min(error_level, 3)]
         mid = self._mid
         count = self.frame_count
         self.frame_count += 1

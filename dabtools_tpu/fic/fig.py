@@ -391,15 +391,23 @@ def fig_0_21(ident: int, freqs_hz: tuple[int, ...], rm: int = 0,
 
 def fig_0_24(sid: int, eids: tuple[int, ...], oe: bool = True) -> bytes:
     """OE services (EN 300 401 s8.1.10) [K-med]: where else a service is
-    carried.  Per entry: SId(16) rfa(1) CAId(3) NumEIds(4) + EId(16)
-    list.  ``oe=True`` sets the header OE bit (the service belongs to
-    ANOTHER ensemble; False = this ensemble's service is also found in
-    the listed ensembles)."""
-    if len(eids) > 15:
-        raise ValueError("FIG 0/24 carries at most 15 ensemble ids")
+    carried.  Per entry: SId(16, or 32 with the header pd bit for data
+    services) rfa(1) CAId(3) NumEIds(4) + EId(16) list.  ``oe=True``
+    sets the header OE bit (the service belongs to ANOTHER ensemble;
+    False = this ensemble's service is also found in the listed
+    ensembles).  The parser merges multiple FIGs for one service, so
+    emit several for >12 ensembles (the 29-byte body cap)."""
+    pd = 1 if sid > 0xFFFF else 0
+    # body cap: 29 bytes = SId(2 or 4) + 1 + 2*n  ->  n <= 13 (pd=0)/12
+    max_eids = (29 - (4 if pd else 2) - 1) // 2
+    if len(eids) > max_eids:
+        raise ValueError(f"FIG 0/24 carries at most {max_eids} ensemble "
+                         f"ids per FIG; emit multiple FIGs")
+    if any(e >> 16 for e in eids):
+        raise ValueError("EIds are 16 bits")
     w = _BitWriter()
-    w.put(0, 1); w.put(1 if oe else 0, 1); w.put(0, 1); w.put(24, 5)
-    w.put(sid, 16)
+    w.put(0, 1); w.put(1 if oe else 0, 1); w.put(pd, 1); w.put(24, 5)
+    w.put(sid, 32 if pd else 16)
     w.put(0, 1)
     w.put(0, 3)                    # CAId
     w.put(len(eids), 4)
@@ -580,7 +588,9 @@ class FigParser:
     linkage_sets: dict = dataclasses.field(default_factory=dict)
     # FIG 0/21: (region, Id, R&M) -> tuple of frequencies in Hz
     freq_info: dict = dataclasses.field(default_factory=dict)
-    # FIG 0/24: SId -> (oe flag, tuple of EIds the service is also in)
+    # FIG 0/24: (SId, oe flag) -> tuple of EIds the service is also in
+    # (merged across FIGs; this-ensemble and other-ensemble info are
+    # distinct databases, hence the oe key)
     oe_services: dict = dataclasses.field(default_factory=dict)
     # FIG 0/8: (sid, SCIdS) -> ("scid", SCId) | ("subch", SubChId)
     scids_map: dict = dataclasses.field(default_factory=dict)
@@ -857,8 +867,11 @@ class FigParser:
                 n_eids = r.get(4)
                 if remaining_bits() < 16 * n_eids:
                     break
-                self.oe_services[sid] = (
-                    bool(oe), tuple(r.get(16) for _ in range(n_eids)))
+                eids = tuple(r.get(16) for _ in range(n_eids))
+                key = (sid, bool(oe))
+                have = self.oe_services.get(key, ())
+                self.oe_services[key] = have + tuple(
+                    e for e in eids if e not in have)
         elif ext == 8:
             # Service component global definition: SCIdS -> transport
             sid_bits = 32 if pd else 16

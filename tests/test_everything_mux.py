@@ -53,31 +53,37 @@ def everything(tmp_path_factory):
          "--cifs", "100", "-o", str(eti)],
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr
-    return {"tmp": tmp, "eti": eti, "obj": obj.read_bytes()}
+
+    # RF chain inside the fixture so every test (under -k selection or
+    # xdist distribution alike) gets the off-air artifacts.
+    from dabtools_tpu.mod.impairments import awgn, carrier_offset
+    from dabtools_tpu.models.receiver import DabReceiver
+
+    iq = tmp / "mux.cf32"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2iq", str(eti),
+         "-o", str(iq)], capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    x = np.fromfile(iq, dtype=np.complex64)
+    rng = np.random.default_rng(3)
+    x = carrier_offset(awgn(x, 16.0, rng), 420.0)
+    rx = DabReceiver(n_frames=4)
+    eti2 = rx.feed(x)
+    offair = tmp / "offair.eti"
+    offair.write_bytes(b"".join(eti2))
+    return {"tmp": tmp, "eti": eti, "obj": obj.read_bytes(), "rx": rx,
+            "offair": offair}
 
 
 def test_everything_over_impaired_rf(everything):
     """Full chain with AWGN + CFO: every payload bit-exact off air."""
     from dabtools_tpu.eti.parse import EtiParser
-    from dabtools_tpu.mod.impairments import awgn, carrier_offset
-    from dabtools_tpu.models.receiver import DabReceiver
 
-    iq = everything["tmp"] / "mux.cf32"
-    r = subprocess.run(
-        [sys.executable, "-m", "dabtools_tpu.cli.eti2iq",
-         str(everything["eti"]), "-o", str(iq)],
-        capture_output=True, text=True, timeout=600)
-    assert r.returncode == 0, r.stderr
-    x = np.fromfile(iq, dtype=np.complex64)
-    rng = np.random.default_rng(3)
-    x = carrier_offset(awgn(x, 16.0, rng), 420.0)
-
-    src = list(EtiParser().feed(everything["eti"].read_bytes()))
-    rx = DabReceiver(n_frames=4)
-    eti2 = rx.feed(x)
+    rx = everything["rx"]
     assert rx.ensemble is not None and rx.ensemble.eid == 0xE7E7
     assert rx.ensemble.fec_scheme(3) == 1          # FIG 0/14 came through
-    got = list(EtiParser().feed(b"".join(eti2)))
+    src = list(EtiParser().feed(everything["eti"].read_bytes()))
+    got = list(EtiParser().feed(everything["offair"].read_bytes()))
     assert len(got) >= 60, len(got)
     a = rx._activation_cif
     for k, f in enumerate(got):
@@ -85,16 +91,12 @@ def test_everything_over_impaired_rf(everything):
         for sc in (1, 2, 3):
             assert f.subchannel_data(sc) == src[a + k].subchannel_data(sc), \
                 f"subch {sc} frame {k}"
-    # save the off-air ETI for the CLI-side assertions
-    (everything["tmp"] / "offair.eti").write_bytes(b"".join(eti2))
 
 
 def test_everything_cli_extraction(everything):
     """eti2audio --all on the OFF-AIR ETI: audio files + the FEC-protected
     MOT object; DL Plus tags decode from the MP2 service."""
-    offair = everything["tmp"] / "offair.eti"
-    if not offair.exists():
-        pytest.skip("RF chain test did not run first")
+    offair = everything["offair"]
     outdir = everything["tmp"] / "all"
     r = subprocess.run(
         [sys.executable, "-m", "dabtools_tpu.cli.eti2audio", "--all",
@@ -118,11 +120,9 @@ def test_everything_cli_extraction(everything):
 
 def test_everything_metadata_display(everything):
     """etiinfo on the off-air ETI shows the full metadata set."""
-    offair = everything["tmp"] / "offair.eti"
-    if not offair.exists():
-        pytest.skip("RF chain test did not run first")
     r = subprocess.run(
-        [sys.executable, "-m", "dabtools_tpu.cli.etiinfo", str(offair)],
+        [sys.executable, "-m", "dabtools_tpu.cli.etiinfo",
+         str(everything["offair"])],
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr
     out = r.stdout

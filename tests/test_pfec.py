@@ -211,14 +211,22 @@ def test_fig_0_6_and_0_21_roundtrip():
     assert parser.freq_info[(0, 0x4FFF, 0)] == (227_360_000, 225_648_000)
     assert parser.freq_info[(3, 0x89AB, 8)] == (95_800_000,)
 
-    # FIG 0/24: OE services round-trip (oe=False: "also found in")
+    # FIG 0/24: OE services round-trip (oe=False: "also found in");
+    # multiple FIGs for one service MERGE, 32-bit data-service SIds ride
+    # the pd bit, and this/other-ensemble info stay separate databases.
     from dabtools_tpu.fic.fig import fig_0_24
     parser24 = FigParser()
-    for fib in build_fibs_for_ensemble(
-            ens, 0, extra_figs=(fig_0_24(0x5678, (0x4FFF, 0xC0FE),
-                                         oe=False),)):
+    figs24 = (fig_0_24(0x5678, (0x4FFF, 0xC0FE), oe=False),
+              fig_0_24(0x5678, (0xC0FE, 0xAAAA), oe=False),   # merge+dedup
+              fig_0_24(0x5678, (0xBBBB,), oe=True),           # distinct db
+              fig_0_24(0xE1C00042, (0x1234,), oe=False))      # 32-bit SId
+    for fib in build_fibs_for_ensemble(ens, 0, extra_figs=figs24):
         parser24.feed_fib(fib.tobytes())
-    assert parser24.oe_services[0x5678] == (False, (0x4FFF, 0xC0FE))
+    assert parser24.oe_services[(0x5678, False)] == (0x4FFF, 0xC0FE, 0xAAAA)
+    assert parser24.oe_services[(0x5678, True)] == (0xBBBB,)
+    assert parser24.oe_services[(0xE1C00042, False)] == (0x1234,)
+    with pytest.raises(ValueError):
+        fig_0_24(1, tuple(range(14)))    # over the 29-byte body cap
 
     # change-event form (no id list) updates flags without erasing ids
     parser2 = FigParser()
