@@ -184,31 +184,49 @@ class Channelizer:
 def _channelize_fft(x, hspec, phases, *, n_fft, hop, decim, shifts):
     n_chunks = (x.shape[0] - n_fft) // hop + 1
     nd = n_fft // decim
+    n_ch = len(shifts)
     idx = (jnp.arange(n_chunks)[:, None] * hop
            + jnp.arange(n_fft)[None, :])
     spec = jnp.fft.fft(x[idx], axis=-1)            # (n_chunks, n_fft)
-    outs = []
-    for k, s in enumerate(shifts):
-        mixed = jnp.roll(spec, -s, axis=-1) * hspec[None, :]
-        folded = mixed.reshape(n_chunks, decim, nd).sum(axis=1)
-        z = jnp.fft.ifft(folded, axis=-1) / decim  # (n_chunks, nd)
-        z = z[:, : hop // decim] * phases[k][:, None]
-        outs.append(z.reshape(-1))
-    return jnp.stack(outs).astype(jnp.complex64)
+    # All channels' spectrum rolls as one gather, then ONE batched IFFT
+    # over (n_chunks, K, nd) — no per-channel kernel launches.
+    roll = ((jnp.arange(n_fft)[None, :]
+             + jnp.asarray(shifts, jnp.int32)[:, None]) % n_fft)  # (K, n)
+    mixed = spec[:, roll] * hspec[None, None, :]   # (n_chunks, K, n_fft)
+    folded = mixed.reshape(n_chunks, n_ch, decim, nd).sum(axis=2)
+    z = jnp.fft.ifft(folded, axis=-1) / decim      # (n_chunks, K, nd)
+    z = z[:, :, : hop // decim] * phases.T[:, :, None]
+    return (z.transpose(1, 0, 2).reshape(n_ch, -1)).astype(jnp.complex64)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("taps", "decim", "q_list"))
 def _channelize(x, mixers, phases, *, taps, decim, q_list):
-    h = jnp.asarray(taps, dtype=jnp.float32)[None, None, :]
-    outs = []
-    n = x.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    for k, (mix, q) in enumerate(zip(mixers, q_list)):
-        m = mix[(phases[k] + idx) % q]
-        xm = x * m
-        planes = jnp.stack([xm.real, xm.imag])[:, None, :]   # (2, 1, n)
-        y = jax.lax.conv_general_dilated(
-            planes, h, window_strides=(decim,), padding="VALID")
-        outs.append(jax.lax.complex(y[0, 0], y[1, 0]))
-    return jnp.stack(outs)
+    """Modulated-filter-bank form of mix -> FIR -> decimate.
+
+    y_c[m] = sum_k h[k] x[mD+k] mix_c[start+mD+k]
+           = mix_c[start+mD] * sum_k (h[k] mix_c[k]) x[mD+k],
+    so all K channels are ONE strided conv with 2K real output channels
+    (modulated complex taps, trace-time constants) plus a periodic
+    output derotation — the wideband input is read once instead of
+    materializing K mixed copies (the HBM-bandwidth win), and the MXU
+    sees one matmul-shaped conv instead of K single-channel ones.
+    """
+    h = jnp.asarray(taps, dtype=jnp.float32)       # (T,)
+    n_taps = h.shape[0]
+    n_ch = len(q_list)
+    k_idx = jnp.arange(n_taps, dtype=jnp.int32)
+    hh = jnp.stack([mix[k_idx % q]                 # (K, T) complex taps
+                    for mix, q in zip(mixers, q_list)]) * h[None, :]
+    filt = jnp.concatenate([hh.real, hh.imag], axis=0)[:, None, :]
+    planes = jnp.stack([x.real, x.imag])[:, None, :]         # (2, 1, n)
+    y = jax.lax.conv_general_dilated(
+        planes, filt, window_strides=(decim,), padding="VALID")
+    # y[b, oc]: b = re/im of x; oc < K = re(taps), oc >= K = im(taps)
+    yr = y[0, :n_ch] - y[1, n_ch:]                 # (K, n_out)
+    yi = y[0, n_ch:] + y[1, :n_ch]
+    z = jax.lax.complex(yr, yi)
+    m = jnp.arange(z.shape[1], dtype=jnp.int32)
+    derot = jnp.stack([mix[(phases[k] + m * decim) % q]
+                       for k, (mix, q) in enumerate(zip(mixers, q_list))])
+    return z * derot
