@@ -166,6 +166,16 @@ def main(argv=None) -> int:
             ens_list = " ".join(f"0x{e:04X}" for e in eids)
             print(f"  service 0x{sid:04X} also in ensemble(s): {ens_list}"
                   + (" (OE)" if oe else ""))
+        for sid, (asu, eids) in sorted(
+                fig.oe_announce_support.items()):          # FIG 0/25
+            ens_list = " ".join(f"0x{e:04X}" for e in eids)
+            print(f"  service 0x{sid:04X} announcements (ASu 0x{asu:04X}) "
+                  f"also in: {ens_list}")
+        for cluster, (asw, eid_o, cl_o, _) in sorted(
+                fig.oe_announce_active.items()):           # FIG 0/26
+            print(f"  announcement active in other ensemble: cluster "
+                  f"{cluster} -> EId 0x{eid_o:04X} cluster {cl_o} "
+                  f"(ASw 0x{asw:04X})")
         for (region, ident, rm), freqs in sorted(
                 fig.freq_info.items()):                    # FIG 0/21
             what = {0: f"DAB ensemble 0x{ident:04X}",

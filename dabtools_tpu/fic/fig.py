@@ -417,6 +417,44 @@ def fig_0_24(sid: int, eids: tuple[int, ...], oe: bool = True) -> bytes:
     return bytes([0x00 | len(body)]) + body
 
 
+def fig_0_25(sid: int, asu_flags: int, eids: tuple[int, ...]) -> bytes:
+    """OE announcement support (EN 300 401 s8.1.10.5.1) [K-med]: this
+    ensemble's service ``sid`` supports announcements (``asu_flags``)
+    carried in the OTHER ensembles listed.  Entry: SId(16) ASu(16)
+    rfa(4) NumEIds(4) + EId(16) list."""
+    if len(eids) > 12:
+        raise ValueError("FIG 0/25 carries at most 12 ensemble ids")
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(25, 5)   # ext=25
+    w.put(sid, 16)
+    w.put(asu_flags, 16)
+    w.put(0, 4)
+    w.put(len(eids), 4)
+    for e in eids:
+        w.put(e, 16)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
+def fig_0_26(cluster_current: int, asw_flags: int, eid_other: int,
+             cluster_other: int, new_flag: bool = True) -> bytes:
+    """OE announcement switching (EN 300 401 s8.1.10.5.2) [K-low field
+    packing — reconstructed]: an announcement for local cluster
+    ``cluster_current`` is running in ensemble ``eid_other`` under its
+    ``cluster_other``.  Entry: ClusterIdCurrent(8) ASw(16) NewFlag(1)
+    rfa(7) EId(16) ClusterIdOther(8)."""
+    w = _BitWriter()
+    w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(26, 5)   # ext=26
+    w.put(cluster_current, 8)
+    w.put(asw_flags, 16)
+    w.put(1 if new_flag else 0, 1)
+    w.put(0, 7)
+    w.put(eid_other, 16)
+    w.put(cluster_other, 8)
+    body = w.bytes()
+    return bytes([0x00 | len(body)]) + body
+
+
 def fig_0_9(lto_half_hours: int = 0, ecc: int = 0,
             table_id: int = 1) -> bytes:
     """Country, LTO and international table (EN 300 401 s8.1.3.2) [K-med]:
@@ -592,6 +630,10 @@ class FigParser:
     # (merged across FIGs; this-ensemble and other-ensemble info are
     # distinct databases, hence the oe key)
     oe_services: dict = dataclasses.field(default_factory=dict)
+    # FIG 0/25: SId -> (ASu flags, tuple of EIds carrying the support)
+    oe_announce_support: dict = dataclasses.field(default_factory=dict)
+    # FIG 0/26: local cluster -> (ASw, other EId, other cluster, tick)
+    oe_announce_active: dict = dataclasses.field(default_factory=dict)
     # FIG 0/8: (sid, SCIdS) -> ("scid", SCId) | ("subch", SubChId)
     scids_map: dict = dataclasses.field(default_factory=dict)
     _user_apps_scids: dict = dataclasses.field(default_factory=dict)
@@ -859,6 +901,29 @@ class FigParser:
                 static = bool(r.get(1))
                 r.get(1); r.get(1)
                 self.ptys[sid] = (r.get(5), static)
+        elif ext == 25:
+            while remaining_bits() >= 40:
+                sid = r.get(16)
+                asu = r.get(16)
+                r.get(4)
+                n_eids = r.get(4)
+                if remaining_bits() < 16 * n_eids:
+                    break
+                self.oe_announce_support[sid] = (
+                    asu, tuple(r.get(16) for _ in range(n_eids)))
+        elif ext == 26:
+            while remaining_bits() >= 56:
+                cluster = r.get(8)
+                asw = r.get(16)
+                r.get(1)                     # new flag
+                r.get(7)
+                eid_other = r.get(16)
+                cluster_other = r.get(8)
+                if asw:
+                    self.oe_announce_active[cluster] = (
+                        asw, eid_other, cluster_other, self._tick)
+                else:
+                    self.oe_announce_active.pop(cluster, None)
         elif ext == 24:
             sid_bits = 32 if pd else 16
             while remaining_bits() >= sid_bits + 8:

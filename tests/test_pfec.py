@@ -228,6 +228,23 @@ def test_fig_0_6_and_0_21_roundtrip():
     with pytest.raises(ValueError):
         fig_0_24(1, tuple(range(14)))    # over the 29-byte body cap
 
+    # FIG 0/25 + 0/26: other-ensemble announcements round-trip
+    from dabtools_tpu.fic.fig import fig_0_25, fig_0_26
+    parser25 = FigParser()
+    for fib in build_fibs_for_ensemble(
+            ens, 0, extra_figs=(
+                fig_0_25(0x1111, 0x0002, (0x4FFF,)),
+                fig_0_26(5, 0x0002, 0x4FFF, 9))):
+        parser25.feed_fib(fib.tobytes())
+    assert parser25.oe_announce_support[0x1111] == (0x0002, (0x4FFF,))
+    asw, eid_o, cl_o, _ = parser25.oe_announce_active[5]
+    assert (asw, eid_o, cl_o) == (0x0002, 0x4FFF, 9)
+    # ASw = 0 ends it
+    for fib in build_fibs_for_ensemble(
+            ens, 0, extra_figs=(fig_0_26(5, 0, 0x4FFF, 9),)):
+        parser25.feed_fib(fib.tobytes())
+    assert 5 not in parser25.oe_announce_active
+
     # change-event form (no id list) updates flags without erasing ids
     parser2 = FigParser()
     for fib in build_fibs_for_ensemble(
