@@ -78,6 +78,30 @@ _DLPLUS_KEYS = {"title": 1, "album": 2, "artist": 4, "band": 9,
                 "homepage": 39}
 
 
+def _label_groups(dls: str | None, dlplus: dict | None):
+    """DLS (+ DL Plus tags) config -> rotating group list, or None."""
+    if dlplus and not dls:         # compose "artist - title"-style label
+        dls = " - ".join(str(v) for v in dlplus.values())
+    if not dls:
+        return None
+    from dabtools_tpu.eti.pad import dls_data_groups, dlplus_command
+    groups = dls_data_groups(dls, toggle=0)
+    if dlplus:                     # TS 102 980 tags into the rotation
+        tags = []
+        for key, val in dlplus.items():
+            ct = _DLPLUS_KEYS.get(str(key).lower())
+            if ct is None:
+                raise SystemExit(f"unknown dlplus key {key!r} "
+                                 f"(use {sorted(_DLPLUS_KEYS)})")
+            start = dls.find(str(val))
+            if start < 0:
+                raise SystemExit(f"dlplus {key}={val!r} is not a substring "
+                                 f"of the dls label {dls!r}")
+            tags.append((ct, start, len(str(val))))
+        groups.append(dlplus_command(tags, toggle=0, item_running=True))
+    return groups
+
+
 class _Mp2Source:
     """Raw MP2 bytes (file or PRBS) sliced per logical frame, with an
     optional rotating X-PAD dynamic label (+ DL Plus tags)."""
@@ -88,28 +112,7 @@ class _Mp2Source:
         self.data = data or None
         self.rng = rng
         self.pos = 0
-        self.groups = None
-        if dlplus and not dls:     # compose "artist - title"-style label
-            dls = " - ".join(str(v) for v in dlplus.values())
-        if dls:
-            from dabtools_tpu.eti.pad import dls_data_groups, dlplus_command
-            self.groups = dls_data_groups(dls, toggle=0)
-            if dlplus:             # TS 102 980 tags into the rotation
-                tags = []
-                for key, val in dlplus.items():
-                    ct = _DLPLUS_KEYS.get(str(key).lower())
-                    if ct is None:
-                        raise SystemExit(
-                            f"unknown dlplus key {key!r} "
-                            f"(use {sorted(_DLPLUS_KEYS)})")
-                    start = dls.find(str(val))
-                    if start < 0:
-                        raise SystemExit(
-                            f"dlplus {key}={val!r} is not a substring of "
-                            f"the dls label {dls!r}")
-                    tags.append((ct, start, len(str(val))))
-                self.groups.append(
-                    dlplus_command(tags, toggle=0, item_running=True))
+        self.groups = _label_groups(dls, dlplus)
         self.n = 0
 
     def frame(self) -> bytes:
@@ -132,17 +135,26 @@ class _Mp2Source:
 
 class _DabPlusSource:
     """DAB+ superframes: file bytes pass through verbatim (already
-    superframe-formatted); PRBS AUs are built via SuperframeBuilder."""
+    superframe-formatted); PRBS AUs are built via SuperframeBuilder,
+    optionally carrying DLS/DL Plus as an AU-leading PAD DSE
+    (TS 102 563 s5.4.3 — what eti2audio --labels decodes)."""
 
-    def __init__(self, bitrate_kbps: int, data: bytes | None, rng):
+    def __init__(self, bitrate_kbps: int, data: bytes | None, rng,
+                 dls: str | None = None, dlplus: dict | None = None):
         self.frame_bytes = bitrate_kbps * 3
         self.data = data or None
         self.pos = 0
         self.rng = rng
         self.pending: list[bytes] = []
+        self.groups = _label_groups(dls, dlplus)
         if self.data is None:
             from dabtools_tpu.eti.dabplus import SuperframeBuilder
             self.sb = SuperframeBuilder(bitrate_kbps)
+        elif self.groups is not None:
+            raise SystemExit("dls/dlplus on a dab+ service needs "
+                             "source=prbs (file superframes pass through "
+                             "verbatim)")
+        self.n = 0
 
     def frame(self) -> bytes:
         if self.data is not None:
@@ -150,8 +162,20 @@ class _DabPlusSource:
                                             self.frame_bytes)
             return chunk
         if not self.pending:
-            aus = [self.rng.integers(0, 256, n, dtype=np.uint8).tobytes()
-                   for n in self.sb.au_sizes()]
+            aus = []
+            for size in self.sb.au_sizes():
+                head = b""
+                if self.groups is not None:
+                    from dabtools_tpu.eti.pad import (APP_DLS_START,
+                                                      build_xpad,
+                                                      wrap_pad_dse)
+                    xpad, fpad = build_xpad([(
+                        APP_DLS_START,
+                        self.groups[self.n % len(self.groups)])])
+                    head = wrap_pad_dse(xpad, fpad)
+                    self.n += 1
+                aus.append(head + self.rng.integers(
+                    0, 256, size - len(head), dtype=np.uint8).tobytes())
             self.pending = [r.tobytes() for r in self.sb.build(aus)]
         return self.pending.pop(0)
 
@@ -283,7 +307,8 @@ def main(argv=None) -> int:
                 components=(ServiceComponent(tmid=0, subchid=sub.subchid,
                                              ascty=63),)))
             sources[sub.subchid] = _DabPlusSource(sub.bitrate_kbps, data,
-                                                  rng)
+                                                  rng, dls=svc.get("dls"),
+                                                  dlplus=svc.get("dlplus"))
         else:
             services.append(Service(
                 sid=sid, label=svc.get("label", ""),

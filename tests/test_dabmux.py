@@ -31,7 +31,7 @@ def mux(tmp_path_factory):
             {"sid": "0x2222", "label": "NEWSPLUS", "type": "dab+",
              "subch": {"id": 2, "start_cu": 48, "protection": "EEP-3A",
                        "bitrate": 72}, "source": "prbs",
-             "also_in_ensembles": ["0xC0FE"]},
+             "dls": "DAB+ news now", "also_in_ensembles": ["0xC0FE"]},
             {"sid": "0xE1C00042", "label": "EPG", "type": "packet",
              "subch": {"id": 3, "start_cu": 102, "protection": "EEP-3A",
                        "bitrate": 32},
@@ -83,11 +83,13 @@ def test_dabmux_dls_and_dabplus(mux):
     assert "ITEM.TITLE='demo'" in r.stderr
     r = subprocess.run(
         [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
-         "--sid", "0x2222", str(mux["eti"]),
+         "--sid", "0x2222", "--labels", str(mux["eti"]),
          "-o", str(mux["tmp"] / "news.aac")],
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert (mux["tmp"] / "news.aac").stat().st_size > 0
+    # DLS rides the DAB+ AU-leading PAD DSE (TS 102 563 s5.4.3)
+    assert "dynamic label: 'DAB+ news now'" in r.stderr
 
 
 def test_dabmux_packet_objects(mux):
