@@ -268,6 +268,9 @@ def main(argv=None) -> int:
     p.add_argument("--mode", choices=("I", "II", "III", "IV"), default="I",
                    help="DAB transmission mode of the ETI source")
     p.add_argument("--output", "-o", default="-")
+    p.add_argument("--stats-json", default=None, metavar="PATH",
+                   help="write a machine-readable JSON summary of the "
+                        "decode (frame/AU/data-group/RS/DLS counters)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                         format="%(name)s: %(message)s")
@@ -609,6 +612,18 @@ def main(argv=None) -> int:
     out.flush()
     if args.output != "-":
         out.close()
+    if args.stats_json:
+        import json
+        rec = dict(stats)
+        if pkt is not None:
+            rec["packet"] = pkt.stats
+        if decs:
+            rec["dabplus"] = {sc: d.stats for sc, d in decs.items()}
+        if pad is not None:
+            rec["dls"] = pad.dls.stats
+        with open(args.stats_json, "w") as sf:
+            json.dump(rec, sf, indent=1)
+        log.info("stats written to %s", args.stats_json)
     return 0
 
 

@@ -81,15 +81,20 @@ def test_dabmux_dls_and_dabplus(mux):
     assert "dynamic label: 'dabmux demo'" in r.stderr
     assert "ITEM.ARTIST='dabmux'" in r.stderr      # TS 102 980 DL Plus
     assert "ITEM.TITLE='demo'" in r.stderr
+    stats_path = mux["tmp"] / "news_stats.json"
     r = subprocess.run(
         [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
-         "--sid", "0x2222", "--labels", str(mux["eti"]),
-         "-o", str(mux["tmp"] / "news.aac")],
+         "--sid", "0x2222", "--labels", "--stats-json", str(stats_path),
+         str(mux["eti"]), "-o", str(mux["tmp"] / "news.aac")],
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert (mux["tmp"] / "news.aac").stat().st_size > 0
     # DLS rides the DAB+ AU-leading PAD DSE (TS 102 563 s5.4.3)
     assert "dynamic label: 'DAB+ news now'" in r.stderr
+    stats = json.loads(stats_path.read_text())
+    assert stats["aus"] > 0 and stats["aus_bad"] == 0
+    assert stats["dls"]["labels"] > 0
+    assert stats["dabplus"]["2"]["rs_failures"] == 0
 
 
 def test_dabmux_packet_objects(mux):
