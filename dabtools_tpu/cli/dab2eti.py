@@ -23,9 +23,17 @@ log = logging.getLogger("dabtools_tpu.dab2eti")
 CHUNK = 1 << 22
 
 
+_FORMATS = {        # bytes per complex sample
+    "u8": 2,        # RTL-SDR: unsigned 8-bit interleaved, offset 128
+    "s8": 2,        # HackRF: signed 8-bit interleaved
+    "s16": 4,       # Airspy/SDRplay: signed 16-bit interleaved
+    "cf32": 8,      # complex64
+}
+
+
 def iter_samples(path: str, fmt: str):
     f = sys.stdin.buffer if path == "-" else open(path, "rb")
-    itemsize = 2 if fmt == "u8" else 8
+    itemsize = _FORMATS[fmt]
     carry = b""   # pipes deliver arbitrary read sizes; keep partial samples
     try:
         while True:
@@ -41,6 +49,12 @@ def iter_samples(path: str, fmt: str):
                 # raw u8 IQ goes to the device as-is (2 B/sample, converted
                 # on device — 4x less host->device traffic than cf32)
                 yield np.frombuffer(raw, dtype=np.uint8)
+            elif fmt == "s8":
+                a = np.frombuffer(raw, dtype=np.int8).astype(np.float32)
+                yield (a[0::2] + 1j * a[1::2]).astype(np.complex64) / 128.0
+            elif fmt == "s16":
+                a = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+                yield (a[0::2] + 1j * a[1::2]).astype(np.complex64) / 32768.0
             else:
                 yield np.frombuffer(raw, dtype=np.complex64)
     finally:
@@ -136,9 +150,11 @@ def main(argv=None) -> int:
     p.add_argument("input", nargs="?", default="-",
                    help="IQ file path, or '-' for stdin (ignored with "
                         "--device rtlsdr)")
-    p.add_argument("--format", choices=("u8", "cf32"), default="u8",
-                   help="u8: RTL-SDR style unsigned 8-bit interleaved IQ; "
-                        "cf32: complex64")
+    p.add_argument("--format", choices=("u8", "s8", "s16", "cf32"),
+                   default="u8",
+                   help="u8: RTL-SDR unsigned 8-bit interleaved IQ; "
+                        "s8: HackRF signed 8-bit; s16: Airspy/SDRplay "
+                        "signed 16-bit (little-endian); cf32: complex64")
     p.add_argument("--device", choices=("file", "rtlsdr"), default="file",
                    help="input source: 'file' (default; path/stdin) or "
                         "'rtlsdr' (live librtlsdr dongle; needs "

@@ -242,3 +242,32 @@ def test_eti2audio_subch_without_mci_emits_everything(tmp_path):
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert out.read_bytes() == data.reshape(-1).tobytes()
+
+
+@pytest.mark.parametrize("fmt", ["s16", "s8"])
+def test_dab2eti_sdr_integer_formats(fmt, capture):
+    """s16 (Airspy/SDRplay) and s8 (HackRF) interleaved captures decode
+    like cf32 through the CLI."""
+    x = np.fromfile(capture["path"], dtype=np.complex64)
+    x = x / (np.abs(x).max() * 1.05)       # headroom before quantizing
+    inter = np.empty(2 * x.size, dtype=np.float32)
+    inter[0::2], inter[1::2] = x.real, x.imag
+    if fmt == "s16":
+        raw = np.round(inter * 32768).clip(-32768, 32767).astype("<i2")
+    else:
+        raw = np.round(inter * 128).clip(-128, 127).astype(np.int8)
+    cap = capture["tmp"] / f"capture.{fmt}"
+    raw.tofile(cap)
+    out = capture["tmp"] / f"out_{fmt}.eti"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dab2eti", "--cpu",
+         "--format", fmt, str(cap), "-o", str(out),
+         "--frames-per-block", "4"],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "ensemble 0xC0DE" in r.stderr
+    from dabtools_tpu.eti.parse import EtiParser
+    frames = list(EtiParser().feed(out.read_bytes()))
+    # s8 quantization is ~48 dB SNR: the convolutional code wipes it out
+    assert len(frames) >= 16
+    assert all(f.header_crc_ok and f.mst_crc_ok for f in frames)
