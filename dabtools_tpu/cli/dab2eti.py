@@ -31,6 +31,20 @@ _FORMATS = {        # bytes per complex sample
 }
 
 
+def decode_iq(raw: bytes, fmt: str) -> np.ndarray:
+    """Wire bytes -> samples.  u8 stays uint8 (converted on device —
+    4x less host->device traffic than cf32); the rest become complex64."""
+    if fmt == "u8":
+        return np.frombuffer(raw, dtype=np.uint8)
+    if fmt == "s8":
+        a = np.frombuffer(raw, dtype=np.int8).astype(np.float32)
+        return (a[0::2] + 1j * a[1::2]).astype(np.complex64) / 128.0
+    if fmt == "s16":
+        a = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+        return (a[0::2] + 1j * a[1::2]).astype(np.complex64) / 32768.0
+    return np.frombuffer(raw, dtype=np.complex64)
+
+
 def iter_samples(path: str, fmt: str):
     f = sys.stdin.buffer if path == "-" else open(path, "rb")
     itemsize = _FORMATS[fmt]
@@ -43,20 +57,8 @@ def iter_samples(path: str, fmt: str):
             raw = carry + raw
             usable = len(raw) // itemsize * itemsize
             raw, carry = raw[:usable], raw[usable:]
-            if not raw:
-                continue
-            if fmt == "u8":
-                # raw u8 IQ goes to the device as-is (2 B/sample, converted
-                # on device — 4x less host->device traffic than cf32)
-                yield np.frombuffer(raw, dtype=np.uint8)
-            elif fmt == "s8":
-                a = np.frombuffer(raw, dtype=np.int8).astype(np.float32)
-                yield (a[0::2] + 1j * a[1::2]).astype(np.complex64) / 128.0
-            elif fmt == "s16":
-                a = np.frombuffer(raw, dtype="<i2").astype(np.float32)
-                yield (a[0::2] + 1j * a[1::2]).astype(np.complex64) / 32768.0
-            else:
-                yield np.frombuffer(raw, dtype=np.complex64)
+            if raw:
+                yield decode_iq(raw, fmt)
     finally:
         if path != "-":
             f.close()

@@ -29,7 +29,10 @@ def main(argv=None) -> int:
     p.add_argument("--rate", type=float, required=True,
                    help="capture sample rate, Hz (integer multiple of "
                         "2.048 MHz)")
-    p.add_argument("--format", choices=("u8", "cf32"), default="cf32")
+    p.add_argument("--format", choices=("u8", "s8", "s16", "cf32"),
+                   default="cf32",
+                   help="u8: RTL-SDR; s8: HackRF; s16: Airspy/SDRplay; "
+                        "cf32: complex64")
     p.add_argument("--seconds", type=float, default=2.0,
                    help="how much capture to scan")
     p.add_argument("--cpu", action="store_true")
@@ -51,14 +54,13 @@ def main(argv=None) -> int:
     print(f"scanning {len(candidates)} blocks: "
           f"{', '.join(l for l, _ in candidates)}", file=sys.stderr)
 
+    from dabtools_tpu.cli.dab2eti import _FORMATS, decode_iq
     n = int(args.seconds * fs)
     f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
-    if args.format == "u8":
+    x = decode_iq(f.read(_FORMATS[args.format] * n), args.format)
+    if x.dtype == np.uint8:
         from dabtools_tpu.mod.impairments import u8_to_complex
-        raw = f.read(2 * n)
-        x = u8_to_complex(np.frombuffer(raw, dtype=np.uint8))
-    else:
-        x = np.frombuffer(f.read(8 * n), dtype=np.complex64)
+        x = u8_to_complex(x)
     if args.input != "-":
         f.close()
 
