@@ -33,7 +33,11 @@ _FORMATS = {        # bytes per complex sample
 
 def decode_iq(raw: bytes, fmt: str) -> np.ndarray:
     """Wire bytes -> samples.  u8 stays uint8 (converted on device —
-    4x less host->device traffic than cf32); the rest become complex64."""
+    4x less host->device traffic than cf32); the rest become complex64.
+
+    Truncated captures are tolerated: a trailing partial sample is
+    dropped rather than raising (interrupted SDR recordings)."""
+    raw = raw[:len(raw) // _FORMATS[fmt] * _FORMATS[fmt]]
     if fmt == "u8":
         return np.frombuffer(raw, dtype=np.uint8)
     if fmt == "s8":

@@ -267,9 +267,11 @@ def main(argv=None) -> int:
         if "language" in svc:          # FIG 0/5 (TS 101 756 table 9 code)
             meta_figs.append(fig_0_5(sub.subchid, int(svc["language"])))
         if "also_in_ensembles" in svc:   # FIG 0/24 (service following)
-            meta_figs.append(fig_0_24(
-                sid, tuple(int(str(e), 0)
-                           for e in svc["also_in_ensembles"]), oe=False))
+            eids = tuple(int(str(e), 0) for e in svc["also_in_ensembles"])
+            per_fig = 11 if sid > 0xFFFF else 12   # 29-byte body cap
+            for i in range(0, len(eids), per_fig):   # parser merges
+                meta_figs.append(
+                    fig_0_24(sid, eids[i:i + per_fig], oe=False))
         if "pty" in svc:               # FIG 0/17 (table 12 int. code)
             if sid > 0xFFFF:
                 raise SystemExit(

@@ -73,6 +73,18 @@ def _safe_label(label: str, sid: int) -> str:
     return f"0x{sid:X}" + (f"_{s}" if s else "")
 
 
+def _write_stats(args, rec: dict) -> None:
+    """``--stats-json``: one machine-readable summary per run, written on
+    every exit path (including errors, with an ``error`` key) so
+    automation never reads a stale file."""
+    if not args.stats_json:
+        return
+    import json
+    with open(args.stats_json, "w") as sf:
+        json.dump(rec, sf, indent=1)
+    log.info("stats written to %s", args.stats_json)
+
+
 def _extract_all(args, f, parser, fig) -> int:
     """One-pass whole-mux extraction (``--all DIR``): every audio service
     to its own elementary-stream file, every packet data service's MOT
@@ -204,6 +216,7 @@ def _extract_all(args, f, parser, fig) -> int:
 
     if not n_frames:
         log.error("no ETI frames found")
+        _write_stats(args, {"frames": 0, "error": "no ETI frames found"})
         return 1
     if not sinks:                    # short stream: create sinks at EOF
         for sid in ensure_sinks(force=True):
@@ -211,7 +224,10 @@ def _extract_all(args, f, parser, fig) -> int:
                 feed_one(sinks[sid], fr)
     if not sinks:
         log.error("no MCI decoded from FIC; nothing extracted")
+        _write_stats(args, {"frames": n_frames,
+                            "error": "no MCI decoded from FIC"})
         return 1
+    svc_stats: dict[str, dict] = {}
     for sid, s in sinks.items():
         if s["kind"] == "mp2":
             log.info("0x%X: %d MP2 bytes -> %s", sid, s["count"], s["path"])
@@ -222,6 +238,10 @@ def _extract_all(args, f, parser, fig) -> int:
         else:
             log.info("0x%X: %d MOT objects -> %s (packet stats=%s)",
                      sid, s["count"], s["dir"], s["pkt"].stats)
+        svc_stats[f"0x{sid:X}"] = {"kind": s["kind"], "count": s["count"]}
+        if s["kind"] == "packet":
+            svc_stats[f"0x{sid:X}"]["packet"] = s["pkt"].stats
+    _write_stats(args, {"frames": n_frames, "services": svc_stats})
     return 0
 
 
@@ -307,11 +327,18 @@ def main(argv=None) -> int:
             f.close()
         if not n_frames:
             log.error("no ETI frames found")
+            _write_stats(args, {"frames": 0, "error": "no ETI frames found"})
             return 1
         ens = fig.ensemble()
         if ens is None:
             print("no MCI decoded")
+            _write_stats(args, {"frames": n_frames,
+                                "error": "no MCI decoded"})
             return 1
+        _write_stats(args, {
+            "frames": n_frames, "ensemble": f"0x{ens.eid:04X}",
+            "label": ens.label,
+            "services": [f"0x{s.sid:X}" for s in ens.services]})
         print(f"ensemble 0x{ens.eid:04X} {ens.label!r}")
         if fig.ecc is not None:
             print(f"  ECC 0x{fig.ecc:02X}  LTO "
@@ -564,10 +591,12 @@ def main(argv=None) -> int:
         f.close()
     if not stats["frames"]:
         log.error("no ETI frames found")
+        _write_stats(args, dict(stats, error="no ETI frames found"))
         return 1
     if target is None:
         target = try_resolve(final=True)
         if target is None:
+            _write_stats(args, dict(stats, error="target not resolved"))
             return 1
         if overflowed:
             log.warning("target resolved only at EOF after >%d frames; "
@@ -578,6 +607,8 @@ def main(argv=None) -> int:
 
     if not stats["with_sub"]:
         log.error("sub-channel %d not present in ETI", target[0])
+        _write_stats(args, dict(
+            stats, error=f"sub-channel {target[0]} not present in ETI"))
         return 1
     if target[2] is not None:
         if args.objects is not None and mot is not None:
@@ -612,18 +643,14 @@ def main(argv=None) -> int:
     out.flush()
     if args.output != "-":
         out.close()
-    if args.stats_json:
-        import json
-        rec = dict(stats)
-        if pkt is not None:
-            rec["packet"] = pkt.stats
-        if decs:
-            rec["dabplus"] = {sc: d.stats for sc, d in decs.items()}
-        if pad is not None:
-            rec["dls"] = pad.dls.stats
-        with open(args.stats_json, "w") as sf:
-            json.dump(rec, sf, indent=1)
-        log.info("stats written to %s", args.stats_json)
+    rec = dict(stats)
+    if pkt is not None:
+        rec["packet"] = pkt.stats
+    if decs:
+        rec["dabplus"] = {sc: d.stats for sc, d in decs.items()}
+    if pad is not None:
+        rec["dls"] = pad.dls.stats
+    _write_stats(args, rec)
     return 0
 
 

@@ -398,8 +398,9 @@ def fig_0_24(sid: int, eids: tuple[int, ...], oe: bool = True) -> bytes:
     ensembles).  The parser merges multiple FIGs for one service, so
     emit several for >12 ensembles (the 29-byte body cap)."""
     pd = 1 if sid > 0xFFFF else 0
-    # body cap: 29 bytes = SId(2 or 4) + 1 + 2*n  ->  n <= 13 (pd=0)/12
-    max_eids = (29 - (4 if pd else 2) - 1) // 2
+    # body cap: 29 bytes = ext hdr(1) + SId(2 or 4) + 1 + 2*n
+    #   -> n <= 12 (pd=0) / 11 (pd=1)
+    max_eids = (29 - 1 - (4 if pd else 2) - 1) // 2
     if len(eids) > max_eids:
         raise ValueError(f"FIG 0/24 carries at most {max_eids} ensemble "
                          f"ids per FIG; emit multiple FIGs")
@@ -422,8 +423,10 @@ def fig_0_25(sid: int, asu_flags: int, eids: tuple[int, ...]) -> bytes:
     ensemble's service ``sid`` supports announcements (``asu_flags``)
     carried in the OTHER ensembles listed.  Entry: SId(16) ASu(16)
     rfa(4) NumEIds(4) + EId(16) list."""
-    if len(eids) > 12:
-        raise ValueError("FIG 0/25 carries at most 12 ensemble ids")
+    # body cap: 29 bytes = ext hdr(1) + SId(2) + ASu(2) + 1 + 2*n -> n <= 11
+    if len(eids) > 11:
+        raise ValueError("FIG 0/25 carries at most 11 ensemble ids per "
+                         "FIG; emit multiple FIGs (the parser merges)")
     w = _BitWriter()
     w.put(0, 1); w.put(0, 1); w.put(0, 1); w.put(25, 5)   # ext=25
     w.put(sid, 16)
@@ -909,8 +912,12 @@ class FigParser:
                 n_eids = r.get(4)
                 if remaining_bits() < 16 * n_eids:
                     break
+                eids = tuple(r.get(16) for _ in range(n_eids))
+                # >11 ensembles span multiple FIGs: merge, like ext 24.
+                old_asu, have = self.oe_announce_support.get(sid, (0, ()))
                 self.oe_announce_support[sid] = (
-                    asu, tuple(r.get(16) for _ in range(n_eids)))
+                    asu | old_asu, have + tuple(
+                        e for e in eids if e not in have))
         elif ext == 26:
             while remaining_bits() >= 56:
                 cluster = r.get(8)

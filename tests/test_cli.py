@@ -175,24 +175,30 @@ def test_eti2audio_unknown_service(eti_file):
     assert "not found" in r.stderr
 
 
-def test_eti2audio_list(eti_file):
+def test_eti2audio_list(eti_file, tmp_path):
+    stats = tmp_path / "list.json"
     r = subprocess.run(
         [sys.executable, "-m", "dabtools_tpu.cli.eti2audio", "--list",
-         str(eti_file)],
+         "--stats-json", str(stats), str(eti_file)],
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert "ensemble 0xC0DE 'CLI TEST'" in r.stdout
     assert "0x1111" in r.stdout and "MP2" in r.stdout
     assert "0x2222" in r.stdout and "DAB+" in r.stdout
+    import json
+    rec = json.loads(stats.read_text())     # --stats-json works in --list
+    assert rec["ensemble"] == "0xC0DE" and rec["frames"] >= 16
+    assert set(rec["services"]) == {"0x1111", "0x2222"}
 
 
 def test_eti2audio_all_services(eti_file, capture, tmp_path):
     """--all extracts every service in one pass: MP2 bytes and AAC AUs
     land in per-service files."""
     outdir = tmp_path / "mux"
+    stats = tmp_path / "all.json"
     r = subprocess.run(
         [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
-         "--all", str(outdir), str(eti_file)],
+         "--all", str(outdir), "--stats-json", str(stats), str(eti_file)],
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     mp2 = (outdir / "0x1111_MP2_SVC.mp2").read_bytes()
@@ -201,6 +207,23 @@ def test_eti2audio_all_services(eti_file, capture, tmp_path):
     aac = (outdir / "0x2222_AAC_SVC.aac").read_bytes()
     all_aus = b"".join(b"".join(aus) for aus in capture["sf_aus"])
     assert len(aac) > 0 and aac in all_aus
+    import json
+    rec = json.loads(stats.read_text())      # --stats-json works in --all
+    assert rec["services"]["0x1111"] == {"kind": "mp2", "count": len(mp2)}
+    assert rec["services"]["0x2222"]["kind"] == "dab+"
+
+
+def test_decode_iq_tolerates_truncated_captures():
+    """A trailing partial sample (interrupted SDR recording) is dropped,
+    not a crash, for every wire format."""
+    from dabtools_tpu.cli.dab2eti import _FORMATS, decode_iq
+    for fmt, itemsize in _FORMATS.items():
+        raw = bytes(range(3 * itemsize))
+        whole = decode_iq(raw, fmt)
+        for cut in range(1, itemsize):
+            got = decode_iq(raw[:-cut], fmt)
+            assert len(got) == len(whole) - (1 if fmt != "u8" else 2)
+            np.testing.assert_array_equal(got, whole[:len(got)])
 
 
 def test_eti2audio_subch_sniffs_dabplus(eti_file, capture):

@@ -237,6 +237,27 @@ def test_fig_0_6_and_0_21_roundtrip():
                 fig_0_26(5, 0x0002, 0x4FFF, 9))):
         parser25.feed_fib(fib.tobytes())
     assert parser25.oe_announce_support[0x1111] == (0x0002, (0x4FFF,))
+
+    # max-size FIGs must still fit a FIB; one-over raises at build time
+    for fig in (fig_0_24(1, tuple(range(1, 13))),            # pd=0 cap 12
+                fig_0_24(0x10000001, tuple(range(1, 12))),   # pd=1 cap 11
+                fig_0_25(1, 1, tuple(range(1, 12)))):        # cap 11
+        assert len(build_fibs_for_ensemble(ens, 0, extra_figs=(fig,)))
+    with pytest.raises(ValueError):
+        fig_0_24(1, tuple(range(13)))
+    with pytest.raises(ValueError):
+        fig_0_24(0x10000001, tuple(range(12)))
+    with pytest.raises(ValueError):
+        fig_0_25(1, 1, tuple(range(12)))
+
+    # >11 ensembles span several FIG 0/25s: the parser merges them
+    for fib in build_fibs_for_ensemble(
+            ens, 0, extra_figs=(
+                fig_0_25(0x2222, 0x0001, tuple(range(1, 12))),
+                fig_0_25(0x2222, 0x0001, (11, 12, 13)))):
+        parser25.feed_fib(fib.tobytes())
+    assert parser25.oe_announce_support[0x2222] == (
+        0x0001, tuple(range(1, 14)))
     asw, eid_o, cl_o, _ = parser25.oe_announce_active[5]
     assert (asw, eid_o, cl_o) == (0x0002, 0x4FFF, 9)
     # ASw = 0 ends it
