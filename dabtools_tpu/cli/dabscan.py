@@ -35,6 +35,9 @@ def main(argv=None) -> int:
                         "cf32: complex64")
     p.add_argument("--seconds", type=float, default=2.0,
                    help="how much capture to scan")
+    p.add_argument("--json", action="store_true",
+                   help="machine-readable output: one JSON object per "
+                        "candidate block on stdout")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.WARNING, stream=sys.stderr)
@@ -93,6 +96,8 @@ def main(argv=None) -> int:
     fib_bytes_all = np.asarray(out["fib_bytes"])    # (C, B, 12, 32)
     null_ratio = np.asarray(out["null_ratio"])
 
+    import json
+
     found = 0
     for c, (label, freq) in enumerate(candidates):
         fig = FigParser()
@@ -104,10 +109,25 @@ def main(argv=None) -> int:
                     fig.feed_fib(fib)
         ens = fig.ensemble()
         if ens is None:
-            print(f"{label} {freq / 1e6:8.3f} MHz: -- "
-                  f"(null ratio {float(null_ratio[c]):.2f})")
+            if args.json:
+                print(json.dumps({"block": label, "freq_hz": freq,
+                                  "null_ratio": float(null_ratio[c])}))
+            else:
+                print(f"{label} {freq / 1e6:8.3f} MHz: -- "
+                      f"(null ratio {float(null_ratio[c]):.2f})")
             continue
         found += 1
+        if args.json:
+            print(json.dumps({
+                "block": label, "freq_hz": freq,
+                "null_ratio": float(null_ratio[c]),
+                "eid": f"0x{ens.eid:04X}", "label": ens.label,
+                "subchannels": len(ens.subchannels),
+                "services": [
+                    {"sid": f"0x{s.sid:X}", "label": s.label,
+                     "dabplus": any(c.is_dabplus for c in s.components)}
+                    for s in ens.services]}))
+            continue
         svcs = ", ".join(
             f"{s.label or hex(s.sid)}"
             f"[{'DAB+' if any(c.is_dabplus for c in s.components) else 'MP2'}]"

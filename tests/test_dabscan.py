@@ -52,3 +52,18 @@ def test_scan_finds_ensembles(tmp_path):
     assert "0xB10C" in c_line and "BLOCK B" in c_line
     assert "--" in b_line                      # empty block stays empty
     assert "2 ensemble(s) found" in r.stderr
+
+    # --json: one object per candidate block, machine-readable
+    import json
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dabscan", "--cpu",
+         "--center", str(center), "--rate", str(fs),
+         "--seconds", "0.8", "--json", str(cap)],
+        capture_output=True, text=True, timeout=500)
+    assert r.returncode == 0, r.stderr + r.stdout
+    recs = {j["block"]: j for j in map(json.loads, r.stdout.splitlines())}
+    assert set(recs) == {"6A", "6B", "6C", "6D"}
+    assert recs["6A"]["eid"] == "0x4FFF"
+    assert recs["6C"]["label"] == "BLOCK B"
+    assert isinstance(recs["6C"]["services"], list)
+    assert "eid" not in recs["6B"]
