@@ -58,7 +58,20 @@ def main(argv=None) -> int:
     r = EdiReader(mode=C.MODES[args.mode])
     pft = None
     n = 0
+    oversized = 0
     first = True
+
+    def write_frames(frames) -> int:
+        nonlocal oversized
+        k = 0
+        for frame in frames:
+            try:
+                out.write(r.to_eti_bytes(frame))
+                k += 1
+            except ValueError:   # oversized frame: skip, keep the stream
+                oversized += 1
+        return k
+
     while True:
         chunk = read_chunk()
         if not chunk:
@@ -70,14 +83,10 @@ def main(argv=None) -> int:
                 pft = PftReassembler(dest=dest)
         if pft is not None:
             chunk = b"".join(pft.feed(chunk))
-        for frame in r.feed(chunk):
-            out.write(r.to_eti_bytes(frame))
-            n += 1
+        n += write_frames(r.feed(chunk))
     if pft is not None:     # end of stream: close pending groups (RS FEC
         for af in pft.flush():     # recovery for incomplete ones)
-            for frame in r.feed(af):
-                out.write(r.to_eti_bytes(frame))
-                n += 1
+            n += write_frames(r.feed(af))
     out.flush()
     if sock is not None:
         sock.close()
@@ -85,8 +94,9 @@ def main(argv=None) -> int:
         f.close()
     if args.output != "-":
         out.close()
-    log.info("wrote %d ETI frames (AF resyncs=%d, CRC failures=%d%s)",
-             n, r.af.resyncs, r.af.crc_failures,
+    log.info("wrote %d ETI frames (AF resyncs=%d, CRC failures=%d, "
+             "oversized skipped=%d%s)",
+             n, r.af.resyncs, r.af.crc_failures, oversized,
              f", PFT dropped={pft.dropped_groups} "
              f"recovered={pft.recovered_groups}" if pft else "")
     return 0 if n else 1

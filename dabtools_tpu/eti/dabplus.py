@@ -172,6 +172,7 @@ class SuperframeDecoder:
         self.frame_bytes = subch_bitrate_kbps * 3
         self._frames: list[np.ndarray] = []
         self._synced = False
+        self._sync_cache: tuple | None = None
         self._sf_index = 0
         self.stats = {"superframes": 0, "rs_corrected": 0,
                       "rs_failures": 0, "firecode_failures": 0,
@@ -195,28 +196,34 @@ class SuperframeDecoder:
 
     def _check_phase(self) -> bool:
         chunk = np.concatenate(self._frames[:C.SUPERFRAME_FRAMES])
-        payload = self._rs_pass(chunk, count_stats=False)
-        if payload is None:
+        payload, counts = self._rs_raw(chunk)
+        if (counts < 0).any():
             return False
         ok = firecode(payload[2:11].tobytes()) == (
             int(payload[0]) << 8 | int(payload[1]))
         if ok:
             self._synced = True
+            # Hand the decoded payload to the immediate _decode_superframe
+            # of the same 5-frame window: the RS pass dominates the path
+            # (NumPy fallback ~0.7x real-time), so re-running it would
+            # double every resync's stall.
+            self._sync_cache = (chunk.tobytes(), payload, counts)
             log.info("DAB+ superframe sync acquired")
         return ok
 
-    def _rs_pass(self, chunk: np.ndarray, count_stats=True):
+    def _rs_raw(self, chunk: np.ndarray):
         table = chunk.reshape(C.RS_N, self.n_cols).T.copy()  # (cols, 120)
         data, counts = _rs_decode_columns(table)
-        if count_stats:
-            self.stats["rs_corrected"] += int(np.sum(counts[counts > 0]))
-            self.stats["rs_failures"] += int(np.sum(counts < 0))
-        if (counts < 0).any() and not count_stats:
-            return None
-        return data.T.reshape(-1)      # (110 * n_cols,) payload bytes
+        return data.T.reshape(-1), counts  # (110 * n_cols,) payload bytes
 
     def _decode_superframe(self, chunk: np.ndarray) -> list[AccessUnit]:
-        payload = self._rs_pass(chunk)
+        cached, self._sync_cache = self._sync_cache, None
+        if cached is not None and cached[0] == chunk.tobytes():
+            payload, counts = cached[1], cached[2]
+        else:
+            payload, counts = self._rs_raw(chunk)
+        self.stats["rs_corrected"] += int(np.sum(counts[counts > 0]))
+        self.stats["rs_failures"] += int(np.sum(counts < 0))
         self.stats["superframes"] += 1
         sf = self._sf_index
         self._sf_index += 1

@@ -230,8 +230,18 @@ class EdiReader:
         # MST layout must follow SAD order: EtiParser (and any ETS 300 799
         # consumer) slices stream data at mst[sad*8:...], so concatenating
         # in subchid order while keeping the original SADs would silently
-        # scramble muxes whose subchid order differs from CU order.
+        # scramble muxes whose subchid order differs from CU order.  SADs
+        # are then RECOMPUTED from the actual contiguous placement:
+        # third-party EDI may carry SADs with gaps (e.g. CIF CU addresses
+        # after a reconfiguration), which would misaddress every stream
+        # in the rebuilt frame while both CRCs still pass.
         streams = sorted(frame.streams, key=lambda s: s[1])
+        sad = len(frame.fic) // 8
+        placed = []
+        for subchid, _, tpl, data in streams:
+            placed.append((subchid, sad, tpl, data))
+            sad += len(data) // 8
+        streams = placed
         nst = len(streams)
         mst_bytes = fic_len + sum(len(d) for _, _, _, d in streams)
         fl_words = (4 * nst + 4 + mst_bytes) // 4
@@ -258,6 +268,12 @@ class EdiReader:
         out += crc16_ccitt(mst).to_bytes(2, "big") + b"\xff\xff"
         out += (frame.tist if frame.tist is not None
                 else 0xFFFFFFFF).to_bytes(4, "big")
+        if len(out) > C.ETI_FRAME_BYTES:
+            # mirror EtiAssembler.frame: a silent >6144-byte "frame" would
+            # desynchronize every downstream 6144-byte-aligned consumer
+            raise ValueError(
+                f"ETI frame overflow: {len(out)} > {C.ETI_FRAME_BYTES} "
+                f"bytes (oversized EDI stream data)")
         out += b"\x55" * (C.ETI_FRAME_BYTES - len(out))
         return bytes(out)
 
@@ -424,12 +440,26 @@ class PftReassembler:
         out = []
         if len(g) == fcount and all(i in g for i in range(fcount)):
             out += self._finish(pseq)
-        # Bound memory: close the oldest incomplete group (loss on link) —
+        # Bound memory: close the OLDEST incomplete group (loss on link) —
         # with FEC, closure attempts erasure recovery first.  Never close
         # the group a fragment just arrived for: it is still filling.
+        # Age must be SIGNED wraparound distance: groups newer than pseq
+        # would otherwise wrap to huge "ages" and a single stale fragment
+        # would evict every in-flight newer group (cascading to zero
+        # output on a reordering link).  A stale arrival (everything else
+        # newer) therefore evicts nothing until the hard 2x+1 cap.
         if len(self._groups) > self._max_pending:
-            oldest = max((p for p in self._groups if p != pseq),
-                         key=lambda p: (pseq - p) & 0xFFFF, default=None)
+            def _age(p: int) -> int:
+                d = (pseq - p) & 0xFFFF
+                return d - 0x10000 if d >= 0x8000 else d
+            others = [p for p in self._groups if p != pseq]
+            older = [p for p in others if _age(p) > 0]
+            if older:
+                oldest = max(older, key=_age)
+            elif len(self._groups) > 2 * self._max_pending + 1:
+                oldest = max(others, key=_age, default=None)
+            else:
+                oldest = None
             if oldest is not None:
                 if (self._last_emitted is None
                         or self._newer(oldest, self._last_emitted)):

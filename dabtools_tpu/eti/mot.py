@@ -43,6 +43,11 @@ CONTENT_IMAGE = 2
 SUBTYPE_JFIF = 1
 SUBTYPE_PNG = 3
 
+# In-flight incomplete transfers kept per data-group type before the
+# stalest is evicted (memory bound for 24/7 lossy reception; a slideshow
+# carousel rarely has more than a handful of objects in flight).
+MAX_PENDING_TRANSFERS = 64
+
 
 # ------------------------------------------------------- MSC data groups
 def dgli(length: int) -> bytes:
@@ -100,17 +105,25 @@ def parse_data_group(dg: bytes) -> DataGroup | None:
         pos += 2
     segment, last = 0, True
     if seg_flag:
+        if pos + 2 > len(dg):           # truncated: header fields missing
+            return None
         v = int.from_bytes(dg[pos:pos + 2], "big")
         last, segment = bool(v >> 15), v & 0x7FFF
         pos += 2
     tid = None
     if user_flag:
+        if pos >= len(dg):
+            return None
         ua = dg[pos]
         li = ua & 0x0F
         pos += 1
         if ua >> 4 & 1:                 # transport id present
+            if pos + 2 > len(dg):
+                return None
             tid = int.from_bytes(dg[pos:pos + 2], "big")
         pos += li
+        if pos > len(dg):
+            return None
     return DataGroup(dg_type=b0 & 0x0F, continuity=dg[1] >> 4,
                      segment=segment, last=last, transport_id=tid,
                      payload=dg[pos:])
@@ -205,12 +218,16 @@ def parse_mot_directory_compressed(data: bytes) -> dict[int, bytes] | None:
     compression type is unknown."""
     import gzip
 
+    import zlib
+
     if len(data) < 5 or data[4] != COMPRESSION_GZIP:
         return None
     size = int.from_bytes(data[:4], "big") & 0x3FFFFFFF
     try:
         raw = gzip.decompress(data[5:size])
-    except OSError:
+    except (OSError, EOFError, zlib.error):
+        # gzip raises BadGzipFile (OSError) on bad magic, but EOFError on
+        # truncation and zlib.error on corrupt deflate data
         return None
     return parse_mot_directory(raw)
 
@@ -434,7 +451,10 @@ class MotDecoder:
         n = self._dg_len if self._dg_len is not None else self._dg_length(raw)
         self._dg_len = None
         dg = parse_data_group(raw[:n]) if n and n <= len(raw) else None
-        if dg is None:
+        if dg is None and raw and raw[0] >> 6 & 1:
+            # Guess-the-end fallback is only safe for groups that carry a
+            # CRC: without one, ANY truncation of corrupt bytes "parses"
+            # and garbage would be accepted as valid segments.
             for end in range(len(raw), 3, -1):
                 dg = parse_data_group(raw[:end])
                 if dg is not None:
@@ -445,16 +465,27 @@ class MotDecoder:
             return []
         seg = dg.payload[2:2 + (int.from_bytes(dg.payload[:2], "big")
                                 & 0x1FFF)]
-        store = (self._headers if dg.dg_type == DG_TYPE_MOT_HEADER
-                 else self._bodies if dg.dg_type == DG_TYPE_MOT_BODY
-                 else self._dirs if dg.dg_type in (DG_TYPE_MOT_DIRECTORY,
-                                                   DG_TYPE_MOT_DIRECTORY_Z)
-                 else None)
-        if store is None:
+        if dg.dg_type == DG_TYPE_MOT_HEADER:
+            store, types = self._headers, (DG_TYPE_MOT_HEADER,)
+        elif dg.dg_type == DG_TYPE_MOT_BODY:
+            store, types = self._bodies, (DG_TYPE_MOT_BODY,)
+        elif dg.dg_type in (DG_TYPE_MOT_DIRECTORY, DG_TYPE_MOT_DIRECTORY_Z):
+            store, types = self._dirs, (DG_TYPE_MOT_DIRECTORY,
+                                        DG_TYPE_MOT_DIRECTORY_Z)
+        else:
             return []
         store.setdefault(dg.transport_id, {})[dg.segment] = seg
         if dg.last:
             self._last_seg[(dg.dg_type, dg.transport_id)] = dg.segment
+        # Bound memory on 24/7 reception: header-mode transfers whose last
+        # segment is lost would otherwise accumulate forever (rotating
+        # transport ids on a lossy signal).  Evict the stalest transfer
+        # (dict order = first touched), never the one just fed.
+        if len(store) > MAX_PENDING_TRANSFERS:
+            victim = next(t for t in store if t != dg.transport_id)
+            del store[victim]
+            for k in types:
+                self._last_seg.pop((k, victim), None)
         if dg.dg_type in (DG_TYPE_MOT_DIRECTORY, DG_TYPE_MOT_DIRECTORY_Z):
             return self._try_directory(dg.transport_id, dg.dg_type)
         return self._try_complete(dg.transport_id)

@@ -63,14 +63,21 @@ def dls_data_groups(label: str, toggle: int, charset: int = 0) -> list[bytes]:
     """
     raw = label.encode("latin-1", "replace")[: DLS_MAX_SEGMENTS *
                                              DLS_MAX_SEGMENT_CHARS]
+    if not raw:
+        # A zero-char segment is not representable (Field1 = nchars-1):
+        # the receiver's CRC window would be one byte off and every
+        # group rejected.  Clearing the display is a command, not a label.
+        raise ValueError(
+            "DLS labels cannot be empty; use dls_clear_command() to "
+            "clear the display")
     chunks = [raw[i:i + DLS_MAX_SEGMENT_CHARS]
-              for i in range(0, len(raw), DLS_MAX_SEGMENT_CHARS)] or [b""]
+              for i in range(0, len(raw), DLS_MAX_SEGMENT_CHARS)]
     groups = []
     for seg, chunk in enumerate(chunks):
         first = seg == 0
         last = seg == len(chunks) - 1
         b0 = ((toggle & 1) << 7 | first << 6 | last << 5 | 0 << 4
-              | (max(len(chunk), 1) - 1))
+              | (len(chunk) - 1))
         b1 = (charset << 4) if first else (seg << 4)
         body = bytes([b0, b1]) + chunk
         groups.append(body + crc16_ccitt(body).to_bytes(2, "big"))

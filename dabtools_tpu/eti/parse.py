@@ -95,6 +95,15 @@ class EtiParser:
 
         mst_start = 8 + 4 * nst + 4
         mst_len = 4 * fl_words - 4 * nst - 4
+        if not header_crc_ok or mst_len < 0 or (
+                mst_start + mst_len + 8 > C.ETI_FRAME_BYTES):
+            # A corrupt FC (bit error, false FSYNC lock) makes NST/FL —
+            # and with them every slice offset below — garbage; emit a
+            # frame that carries the damage verdict but no data rather
+            # than feeding misaddressed bytes downstream.
+            return EtiFrame(err=err, fct=fct, fp=fp, mid=mid, fic=b"",
+                            streams={}, header_crc_ok=False,
+                            mst_crc_ok=False)
         mst = raw[mst_start: mst_start + mst_len]
         eof = raw[mst_start + mst_len: mst_start + mst_len + 4]
         mst_crc_ok = crc16_ok(mst + eof[:2])

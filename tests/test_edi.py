@@ -415,3 +415,72 @@ def test_pft_late_recovery_not_emitted_out_of_order():
     got += r.feed(fa[-1])                # 10's tail arrives too late
     assert got == [b]
     assert r.late_dropped >= 1
+
+
+def test_pft_stale_fragment_does_not_evict_newer_groups():
+    """A stale (older-pseq) fragment arriving while newer groups are
+    filling must evict the STALE group, not cascade-evict the newer ones
+    (wraparound-signed age, not unsigned distance)."""
+    from dabtools_tpu.eti.edi import PftReassembler, pft_fragments
+    packets = {k: af_packet(bytes([65 + k]) * 300, k) for k in (5, 6, 7)}
+    frags = {k: pft_fragments(packets[k], seq=k, mtu=200) for k in packets}
+    assert all(len(f) == 2 for f in frags.values())
+    r = PftReassembler(max_pending=2)
+    got = []
+    for k in (5, 6, 7):              # first fragments, in order
+        got += r.feed(frags[k][0])
+    for k in (5, 6, 7):              # completing fragments, in order
+        got += r.feed(frags[k][1])
+    # group 5 was evicted by the pending cap; 6 and 7 must both survive
+    # the stale re-arrival of 5's second fragment
+    assert got == [packets[6], packets[7]]
+
+
+def test_edi_reader_recomputes_sads_for_gapped_muxes():
+    """Third-party EDI may carry SAD values with gaps; the rebuilt ETI
+    must address streams where they are actually placed."""
+    from dabtools_tpu.eti.edi import EdiFrame
+    from dabtools_tpu.eti.parse import EtiParser
+    r = EdiReader()
+    fic = bytes(96)
+    frame = EdiFrame(fct=0, fp=0, mid=1, err=0xFF, fic=fic,
+                     streams=[(3, 40, 0x23, b"B" * 32),   # gap before SAD 40
+                              (1, 12, 0x23, b"A" * 64)],
+                     tist=None)
+    eti = r.to_eti_bytes(frame)
+    (parsed,) = EtiParser().feed(eti)
+    assert parsed.header_crc_ok and parsed.mst_crc_ok
+    assert parsed.subchannel_data(1) == b"A" * 64
+    assert parsed.subchannel_data(3) == b"B" * 32
+    # contiguous placement after the FIC, in original SAD order
+    assert parsed.streams[1].sad_words == 96 // 8
+    assert parsed.streams[3].sad_words == 96 // 8 + 64 // 8
+
+
+def test_edi_reader_rejects_oversized_frame():
+    from dabtools_tpu.eti.edi import EdiFrame
+    r = EdiReader()
+    frame = EdiFrame(fct=0, fp=0, mid=1, err=0xFF, fic=bytes(96),
+                     streams=[(1, 12, 0x23, b"X" * 8000)], tist=None)
+    with pytest.raises(ValueError, match="overflow"):
+        r.to_eti_bytes(frame)
+
+
+def test_eti_parser_quarantines_corrupt_header():
+    """A frame whose FC is corrupted (header CRC fails) must surface as
+    data-less, not as garbage stream slices."""
+    from dabtools_tpu.fic.config import Ensemble, Subchannel
+    ens = Ensemble(eid=1, label="X",
+                   subchannels=(Subchannel.eep(1, 0, 3, "A", 64),))
+    asm = EtiAssembler(ens)
+    fib = b"\xff" + bytes(29)
+    from dabtools_tpu.utils.crc import crc16_ccitt
+    fib += crc16_ccitt(fib).to_bytes(2, "big")
+    good = asm.frame([fib] * 3, {1: bytes(192)})
+    bad = bytearray(good)
+    bad[5] ^= 0x55                       # corrupt FICF/NST field
+    from dabtools_tpu.eti.parse import EtiParser
+    frames = list(EtiParser().feed(bytes(bad) + good))
+    assert len(frames) == 2
+    assert not frames[0].header_crc_ok and frames[0].streams == {}
+    assert frames[1].header_crc_ok and 1 in frames[1].streams

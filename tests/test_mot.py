@@ -263,3 +263,54 @@ def test_compressed_directory_carousel():
         again += dec.feed(apptype, data)
     again += dec.flush()
     assert again == []
+
+
+def test_parse_data_group_truncated_returns_none():
+    """Corrupt/short groups must return None, never raise (the decoder
+    survives corruption by design)."""
+    # ext=1, crc=0, seg=1, user=1: header fields run past the end
+    assert parse_data_group(bytes([0b10110100, 0, 0, 0, 0])) is None
+    # user-access byte missing entirely
+    assert parse_data_group(bytes([0b00010011, 0])) is None
+    # transport id flagged but truncated
+    assert parse_data_group(bytes([0b00010011, 0, 0x12, 0x00])) is None
+    # user-access length runs past the end
+    assert parse_data_group(bytes([0b00010011, 0, 0x1F, 0, 0])) is None
+
+
+def test_compressed_directory_corrupt_gzip_returns_none():
+    from dabtools_tpu.eti.mot import (build_mot_directory_compressed,
+                                      parse_mot_directory_compressed)
+    good = build_mot_directory_compressed(
+        [(1, mot_header_core(0, 7, 2, 1))])
+    assert parse_mot_directory_compressed(good) is not None
+    truncated = good[:4] + good[4:5] + good[5:-6]  # cut the gzip stream
+    truncated = (len(truncated) & 0x3FFFFFFF).to_bytes(4, "big") + truncated[4:]
+    assert parse_mot_directory_compressed(truncated) is None
+    corrupt = bytearray(good)
+    corrupt[18] ^= 0xFF      # inside deflate data (gzip header is 5+10 B)
+    assert parse_mot_directory_compressed(bytes(corrupt)) is None
+
+
+def test_crcless_garbage_not_accepted_by_fallback():
+    """The guess-the-end fallback only trusts groups that carry a CRC:
+    crc-flag-0 garbage from corrupt X-PAD bytes must not become
+    segments."""
+    dec = MotDecoder()
+    garbage = bytes([0b00110100]) + bytes(40)      # crc=0, seg+user flags
+    dec.feed(12, garbage)                          # APP_MOT_START
+    dec.feed(12, b"\x00" * 8)                      # next start closes it
+    assert dec.stats["objects"] == 0
+    assert dec._headers == {} and dec._bodies == {}
+
+
+def test_pending_transfer_eviction_bounds_memory():
+    from dabtools_tpu.eti.mot import MAX_PENDING_TRANSFERS, build_data_group
+    dec = MotDecoder()
+    for tid in range(MAX_PENDING_TRANSFERS + 20):
+        # header segment 0, never the last: transfer can never complete
+        g = build_data_group(3, tid & 0x0F, 0, False, tid, b"\x00\x05hello")
+        dec.feed_data_group(g)
+    assert len(dec._headers) <= MAX_PENDING_TRANSFERS
+    # the most recent transfers are the ones kept
+    assert (MAX_PENDING_TRANSFERS + 19) in dec._headers

@@ -190,3 +190,9 @@ def test_dlplus_through_pad_decoder_mp2():
     assert [(t.content_type, t.text) for t in info.tags] == [
         (4, "ArtistX"), (1, "TitleY")]
     assert pad.take_dlplus() == []          # drained
+
+
+def test_empty_dls_label_rejected():
+    import pytest
+    with pytest.raises(ValueError, match="empty"):
+        dls_data_groups("", toggle=0)
