@@ -28,8 +28,10 @@ Config example (JSON)::
 
 ``"fec": true`` (packet services) applies the RS(204,188) packet-mode
 FEC of EN 300 401 s5.3.5 and signals it via FIG 0/14.  Optional
-per-service ``"language"`` (TS 101 756 table 9 code -> FIG 0/5) and
-``"pty"`` (table 12 programme type -> FIG 0/17) metadata.
+per-service ``"language"`` (TS 101 756 table 9 code -> FIG 0/5),
+``"pty"`` (table 12 programme type -> FIG 0/17), ``"component_label"``
+(FIG 1/4) and ``"xpad_label"`` (FIG 1/6, labels the DLS X-PAD app)
+metadata.
 
 ``source``: "prbs" (deterministic pseudo-random payload) or a file path
 whose bytes fill the sub-channel's logical frames (e.g. an MP2 elementary
@@ -242,7 +244,7 @@ def main(argv=None) -> int:
     )
     from dabtools_tpu.fic.fig import (build_fibs_for_ensemble, fig_0_5,
                                       fig_0_6, fig_0_9, fig_0_10, fig_0_17,
-                                      fig_0_21, fig_0_24)
+                                      fig_0_21, fig_0_24, fig_1_6)
 
     with open(args.config) as f:
         cfg = json.load(f)
@@ -279,6 +281,10 @@ def main(argv=None) -> int:
                     f"services (16-bit SIds) only — FIG 0/17 cannot carry "
                     f"a 32-bit data-service SId")
             meta_figs.append(fig_0_17(sid, int(svc["pty"])))
+        if "xpad_label" in svc:        # FIG 1/6 label for the DLS X-PAD
+            meta_figs.append(fig_1_6(sid, 2, str(svc["xpad_label"]),
+                                     pd=sid > 0xFFFF))
+        comp_label = str(svc.get("component_label", ""))   # FIG 1/4
         src = svc.get("source", "prbs")
         data = None if src == "prbs" else open(src, "rb").read()
         if kind == "packet":
@@ -295,7 +301,8 @@ def main(argv=None) -> int:
             services.append(Service(
                 sid=sid, label=svc.get("label", ""),
                 components=(ServiceComponent(tmid=3, subchid=-1, scid=scid,
-                                             user_apps=(apptype,)),)))
+                                             user_apps=(apptype,),
+                                             label=comp_label),)))
             objs = [(name.rsplit("/", 1)[-1], open(name, "rb").read())
                     for name in svc.get("objects", [])]
             fec = bool(svc.get("fec", False))
@@ -307,7 +314,8 @@ def main(argv=None) -> int:
             services.append(Service(
                 sid=sid, label=svc.get("label", ""),
                 components=(ServiceComponent(tmid=0, subchid=sub.subchid,
-                                             ascty=63),)))
+                                             ascty=63,
+                                             label=comp_label),)))
             sources[sub.subchid] = _DabPlusSource(sub.bitrate_kbps, data,
                                                   rng, dls=svc.get("dls"),
                                                   dlplus=svc.get("dlplus"))
@@ -315,7 +323,8 @@ def main(argv=None) -> int:
             services.append(Service(
                 sid=sid, label=svc.get("label", ""),
                 components=(ServiceComponent(tmid=0, subchid=sub.subchid,
-                                             ascty=0),)))
+                                             ascty=0,
+                                             label=comp_label),)))
             sources[sub.subchid] = _Mp2Source(sub.data_bytes, data,
                                               svc.get("dls"), rng,
                                               dlplus=svc.get("dlplus"))

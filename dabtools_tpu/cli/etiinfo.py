@@ -127,8 +127,9 @@ def main(argv=None) -> int:
                                               programme_type_name)
         for svc in ens.services:
             comps = ", ".join(
-                f"SCId {c.scid} (packet)" if c.tmid == 3 else
-                f"subch {c.subchid} ({'DAB+' if c.is_dabplus else 'MP2'})"
+                (f"SCId {c.scid} (packet)" if c.tmid == 3 else
+                 f"subch {c.subchid} ({'DAB+' if c.is_dabplus else 'MP2'})")
+                + (f" {c.label!r}" if c.label else "")   # FIG 1/4
                 for c in svc.components)
             meta = ""
             pty = fig.ptys.get(svc.sid)
@@ -147,6 +148,10 @@ def main(argv=None) -> int:
                 if lang is not None:         # FIG 0/5
                     meta += f", {language_name(lang)}"
             print(f"  service 0x{svc.sid:04X} {svc.label!r}: {comps}{meta}")
+        for (sid, scids, appty), lab in sorted(
+                fig.xpad_labels.items()):                   # FIG 1/6
+            print(f"  X-PAD app label: service 0x{sid:04X} SCIdS {scids} "
+                  f"AppTy {appty}: {lab!r}")
         for pc in ens.packet_components:
             fec = (", FEC RS(204,188)"
                    if ens.fec_scheme(pc.subchid) == 1 else "")

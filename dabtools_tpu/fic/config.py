@@ -88,6 +88,7 @@ class ServiceComponent:
     user_apps: tuple = ()        # FIG 0/13 user application types
                                  # (2 = MOT slideshow, TS 101 756)
     scid: int = -1               # tmid=3: 12-bit service component id
+    label: str = ""              # FIG 1/4 service component label
 
     @property
     def is_dabplus(self) -> bool:

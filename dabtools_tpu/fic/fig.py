@@ -507,6 +507,36 @@ def _fig_1(ext: int, ident: int, label: str) -> bytes:
     return bytes([0x20 | len(body)]) + body
 
 
+def fig_1_4(sid: int, label: str, scids: int = 0,
+            pd: bool = False) -> bytes:
+    """Service component label (EN 300 401 s8.1.14.3) [K-med packing]:
+    charset(4) OE(1) ext(3)=4, then P/D(1) rfa(3) SCIdS(4), SId(16/32),
+    16-char label + character flag field."""
+    lab = label.encode("latin-1", "replace")[:16].ljust(16)
+    w = _BitWriter()
+    w.put(0, 4); w.put(0, 1); w.put(4, 3)
+    w.put(1 if pd else 0, 1); w.put(0, 3); w.put(scids, 4)
+    w.put(sid, 32 if pd else 16)
+    body = w.bytes() + lab + b"\xff\x00"
+    return bytes([0x20 | len(body)]) + body
+
+
+def fig_1_6(sid: int, appty: int, label: str, scids: int = 0,
+            pd: bool = False) -> bytes:
+    """X-PAD user application label (EN 300 401 s8.1.14.4) [K-med
+    packing]: as FIG 1/4 plus one byte rfa(2) rfu(1) X-PAD-AppTy(5)
+    between the SId and the label.  ``appty`` is the X-PAD application
+    type (TS 101 756, e.g. 2 = dynamic label, 12 = MOT slideshow)."""
+    lab = label.encode("latin-1", "replace")[:16].ljust(16)
+    w = _BitWriter()
+    w.put(0, 4); w.put(0, 1); w.put(6, 3)
+    w.put(1 if pd else 0, 1); w.put(0, 3); w.put(scids, 4)
+    w.put(sid, 32 if pd else 16)
+    w.put(0, 2); w.put(0, 1); w.put(appty, 5)
+    body = w.bytes() + lab + b"\xff\x00"
+    return bytes([0x20 | len(body)]) + body
+
+
 def _fits_one_frame(figs: list[bytes], n_fibs: int) -> bool:
     """Would the greedy FIB packer fit ``figs`` into ``n_fibs`` FIBs?"""
     fib_idx, used = 0, 0
@@ -556,6 +586,13 @@ def build_fibs_for_ensemble(ens: Ensemble, frame_idx: int,
         if svc.label:
             labels.append(_fig_1(5 if svc.sid > 0xFFFF else 1,
                                  svc.sid, svc.label))
+        # FIG 1/4 component labels; SCIdS = the component's index in the
+        # service's FIG 0/2 order (0 = primary) — the same convention the
+        # parser uses to attach them back.
+        for k, comp in enumerate(svc.components):
+            if comp.label:
+                labels.append(fig_1_4(svc.sid, comp.label, scids=k,
+                                      pd=svc.sid > 0xFFFF))
     if labels:
         start = (3 * frame_idx) % len(labels)
         rest += (labels[start:] + labels[:start])[:3]
@@ -617,6 +654,10 @@ class FigParser:
     subchannels: dict = dataclasses.field(default_factory=dict)
     services: dict = dataclasses.field(default_factory=dict)
     service_labels: dict = dataclasses.field(default_factory=dict)
+    # FIG 1/4: (SId, SCIdS) -> service component label
+    component_labels: dict = dataclasses.field(default_factory=dict)
+    # FIG 1/6: (SId, SCIdS, X-PAD AppTy) -> user application label
+    xpad_labels: dict = dataclasses.field(default_factory=dict)
     user_apps: dict = dataclasses.field(default_factory=dict)
     packet_comps: dict = dataclasses.field(default_factory=dict)
     # FIG 0/14: subchid -> FEC scheme (1 = RS(204,188) packet-mode FEC)
@@ -1011,17 +1052,30 @@ class FigParser:
         self.services[sid] = tuple(new)
 
     def _parse_fig1(self, body: bytes) -> None:
-        r = _BitReader(body[:5])
+        r = _BitReader(body)
         r.get(4); r.get(1)
         ext = r.get(3)
-        n_ident = 4 if ext == 5 else 2     # 1/5: 32-bit data-service SId
-        ident = r.get(8 * n_ident)
-        off = 1 + n_ident
+        scids = appty = None
+        if ext in (4, 6):                  # P/D(1) rfa(3) SCIdS(4) lead-in
+            pd = r.get(1)
+            r.get(3)
+            scids = r.get(4)
+        else:
+            pd = 1 if ext == 5 else 0      # 1/5: 32-bit data-service SId
+        ident = r.get(32 if pd else 16)
+        if ext == 6:                       # rfa(2) rfu(1) X-PAD AppTy(5)
+            r.get(3)
+            appty = r.get(5)
+        off = r.pos // 8
         label = body[off:off + 16].decode("latin-1", "replace").rstrip()
         if ext == 0:
             self.ensemble_label = label
         elif ext in (1, 5):
             self.service_labels[ident] = label
+        elif ext == 4:
+            self.component_labels[(ident, scids)] = label
+        elif ext == 6:
+            self.xpad_labels[(ident, scids, appty)] = label
 
     def announcement_for(self, sid: int) -> tuple[int, int] | None:
         """(ASw flags, subchid) of an active announcement this service
@@ -1048,6 +1102,29 @@ class FigParser:
                 return asw, subchid
         return None
 
+    def _with_component_labels(self, sid: int, comps: tuple) -> tuple:
+        """Attach FIG 1/4 labels to a service's components.  A label is
+        keyed (SId, SCIdS); the SCIdS resolves to a transport via FIG 0/8
+        when one was signalled (as `_attach_user_apps` does), else by the
+        builder's convention SCIdS = index in FIG 0/2 order."""
+        if not self.component_labels:
+            return comps
+        new = list(comps)
+        for (s, scids), label in self.component_labels.items():
+            if s != sid:
+                continue
+            m = self.scids_map.get((sid, scids))
+            if m is not None:
+                kind, ident = m
+                for i, c in enumerate(new):
+                    if ((kind == "scid" and c.scid == ident)
+                            or (kind == "subch" and c.subchid == ident)):
+                        new[i] = dataclasses.replace(c, label=label)
+                        break
+            elif scids < len(new):
+                new[scids] = dataclasses.replace(new[scids], label=label)
+        return tuple(new)
+
     def _live_subchannels(self) -> dict:
         horizon = self._tick - self.max_subch_age_fibs
         return {sc: sub for sc, sub in self.subchannels.items()
@@ -1061,7 +1138,8 @@ class FigParser:
         if not live:
             return None
         services = tuple(
-            Service(sid=sid, components=comps,
+            Service(sid=sid, components=self._with_component_labels(
+                        sid, comps),
                     label=self.service_labels.get(sid, ""))
             for sid, comps in sorted(self.services.items())
             if all(c.subchid in live for c in comps if c.tmid == 0))

@@ -27,7 +27,8 @@ def mux(tmp_path_factory):
                        "bitrate": 64},
              "source": "prbs", "dls": "dabmux demo",
              "dlplus": {"artist": "dabmux", "title": "demo"},
-             "language": 9, "pty": 10},
+             "language": 9, "pty": 10,
+             "component_label": "POP STEREO", "xpad_label": "POP DLS"},
             {"sid": "0x2222", "label": "NEWSPLUS", "type": "dab+",
              "subch": {"id": 2, "start_cu": 48, "protection": "EEP-3A",
                        "bitrate": 72}, "source": "prbs",
@@ -153,3 +154,14 @@ def test_dabmux_mode_ii(tmp_path):
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert "ensemble 0x4D59 'MODE2'" in r.stdout
+
+
+def test_dabmux_component_and_xpad_labels(mux):
+    """FIG 1/4 + 1/6 flow from the config keys through the ETI FIC to
+    etiinfo's display."""
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.etiinfo", str(mux["eti"])],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "'POP STEREO'" in r.stdout                     # FIG 1/4
+    assert "AppTy 2: 'POP DLS'" in r.stdout               # FIG 1/6

@@ -314,3 +314,72 @@ def test_big_mux_mci_spreads_across_frames():
     assert {s.sid for s in got.services} == {0x4000 + i for i in range(24)}
     # every frame still carries FIG 0/0 (the parser always sees the eid)
     assert got.eid == 0xBEEF
+
+
+class TestComponentAndXpadLabels:
+    """FIG 1/4 (service component label) + FIG 1/6 (X-PAD app label)."""
+
+    def _ens(self):
+        return Ensemble(
+            eid=0x4FFF, label="LBL MUX",
+            subchannels=(Subchannel.eep(1, 0, 3, "A", 64),
+                         Subchannel.eep(5, 48, 1, "B", 96)),
+            services=(
+                Service(sid=0x1234, label="SVC ONE", components=(
+                    ServiceComponent(tmid=0, subchid=1, ascty=0,
+                                     label="MAIN AUDIO"),)),
+                Service(sid=0x5678, label="SVC TWO", components=(
+                    ServiceComponent(tmid=0, subchid=5, ascty=63),
+                    ServiceComponent(tmid=0, subchid=1, ascty=0,
+                                     primary=False, label="SECONDARY"),))))
+
+    def _parse_frames(self, ens, n_frames=6, extra_figs=()):
+        parser = FigParser()
+        for t in range(n_frames):
+            fibs = build_fibs_for_ensemble(ens, t, extra_figs=extra_figs)
+            for i in range(fibs.shape[0]):
+                parser.feed_fib(fibs[i].tobytes())
+        return parser
+
+    def test_fig_1_4_roundtrip(self):
+        parser = self._parse_frames(self._ens())
+        out = parser.ensemble()
+        by_sid = {s.sid: s for s in out.services}
+        assert by_sid[0x1234].components[0].label == "MAIN AUDIO"
+        assert by_sid[0x5678].components[0].label == ""
+        assert by_sid[0x5678].components[1].label == "SECONDARY"
+
+    def test_fig_1_4_data_service_32bit_sid(self):
+        from dabtools_tpu.fic.fig import fig_1_4
+        fig = fig_1_4(0xE1C00042, "EPG DATA", scids=0, pd=True)
+        parser = FigParser()
+        payload = fig + b"\xff"
+        payload = payload.ljust(30, b"\x00")
+        from dabtools_tpu.utils.crc import crc16_ccitt
+        parser.feed_fib(payload + crc16_ccitt(payload).to_bytes(2, "big"))
+        assert parser.component_labels[(0xE1C00042, 0)] == "EPG DATA"
+
+    def test_fig_1_6_roundtrip(self):
+        from dabtools_tpu.fic.fig import fig_1_6
+        ens = self._ens()
+        parser = self._parse_frames(
+            ens, extra_figs=(fig_1_6(0x1234, 2, "NOW PLAYING"),
+                             fig_1_6(0xE1C00042, 12, "SLIDES", pd=True)))
+        assert parser.xpad_labels[(0x1234, 0, 2)] == "NOW PLAYING"
+        assert parser.xpad_labels[(0xE1C00042, 0, 12)] == "SLIDES"
+
+    def test_fig_1_4_scids_resolves_via_fig_0_8(self):
+        """When FIG 0/8 maps the SCIdS to a transport, attachment follows
+        the transport, not the component index."""
+        from dabtools_tpu.fic.fig import fig_1_4
+        parser = self._parse_frames(self._ens())
+        # Point SCIdS 9 at subch 5 (SVC TWO's first component) via the
+        # parser's FIG 0/8 map, then label SCIdS 9.
+        parser.scids_map[(0x5678, 9)] = ("subch", 5)
+        fig = fig_1_4(0x5678, "VIA 0/8", scids=9)
+        payload = (fig + b"\xff").ljust(30, b"\x00")
+        from dabtools_tpu.utils.crc import crc16_ccitt
+        parser.feed_fib(payload + crc16_ccitt(payload).to_bytes(2, "big"))
+        out = parser.ensemble()
+        by_sid = {s.sid: s for s in out.services}
+        assert by_sid[0x5678].components[0].label == "VIA 0/8"
