@@ -206,6 +206,21 @@ def main():
             log(f"# headline attempt {attempt + 1} failed "
                 f"({str(e)[:100]}); waiting for a good relay window")
             _wait_for_relay()
+            # _wait_for_relay returned => a FRESH subprocess just passed
+            # the probe.  If THIS process failed twice anyway, its relay
+            # client is wedged (observed 2026-08-18: one process returned
+            # UNIMPLEMENTED for 10+ min straight — even for jnp.zeros and
+            # persistent-cache reads — while every fresh process was
+            # fine).  Re-exec into a fresh process; the on-disk compile
+            # cache makes the restart cheap, and nothing has been printed
+            # to stdout yet so the JSON line cannot be duplicated.
+            reexecs = int(os.environ.get("DABTOOLS_REEXECS", "0"))
+            if attempt >= 1 and reexecs < 3:
+                os.environ["DABTOOLS_REEXECS"] = str(reexecs + 1)
+                log(f"# re-exec into a fresh process (wedged relay "
+                    f"client suspected), restart #{reexecs + 1}")
+                sys.stderr.flush()
+                os.execv(sys.executable, [sys.executable] + sys.argv)
     else:
         log("# FATAL: headline unmeasurable (relay bad through every "
             "attempt); no number to report")
@@ -308,10 +323,21 @@ _SECTION_TIMEOUT = {"closedloop": 600, "e2e": 600, "channelizer": 600,
                     "kernels": 600}
 
 
+# The probe must exercise everything a bad window breaks, else it
+# green-lights sections into guaranteed failure (measured 2026-08-18:
+# a window where the old probe — cached tiny jit + 4 MB put — PASSED
+# while every fresh compile and every >~8 MB transfer failed for 30+
+# min).  So: a FRESH compile (unique constant defeats the persistent
+# cache), a headline-scale 32 MB H2D transfer, and a fetch.
 _PROBE_SRC = """
+import time
 import numpy as np, jax, jax.numpy as jnp
 np.asarray(jax.jit(lambda: jnp.zeros(8))())
-d = jax.device_put(np.zeros(1 << 20, np.float32)); d.block_until_ready()
+c = float(int(time.time() * 1e3) % 100003)
+np.asarray(jax.jit(
+    lambda v: (jnp.fft.fft(v) * c).real.sum())(jnp.ones(2048,
+                                                        jnp.complex64)))
+d = jax.device_put(np.zeros(1 << 25, np.uint8)); d.block_until_ready()
 """
 
 

@@ -5,8 +5,9 @@ Replays any ETI artifact as RF: sub-channel organization comes from the
 FIC carried in the stream itself (FIG 0/1), the FIBs and MST bytes are
 re-modulated verbatim with the standard-exact modulator (N17), so
 ``dab2eti(eti2iq(mux.eti))`` closes the loop bit-exactly.  Optional
-calibrated impairments (AWGN / carrier offset / timing offset) make it a
-receiver-test signal generator.
+calibrated impairments (AWGN / carrier offset / timing offset / COST 207
+multipath with Rayleigh fading / SFN echoes) make it a receiver-test
+signal generator.
 
 Streaming: frames are modulated and written in 6-transmission-frame
 chunks (the modulator's time-interleaver state carries across chunks and
@@ -54,6 +55,17 @@ def main(argv=None) -> int:
                    help="apply a carrier frequency offset")
     p.add_argument("--timing-offset", type=int, default=0,
                    help="prepend this many zero samples")
+    p.add_argument("--multipath", default=None, metavar="PROFILE",
+                   help="tapped-delay-line channel: 'tu6' / 'ra4' "
+                        "(COST 207), or custom 'delay_us:power_db,...' "
+                        "taps")
+    p.add_argument("--doppler-hz", type=float, default=0.0,
+                   help="Rayleigh-fade the --multipath taps at this "
+                        "max Doppler (0 = static channel)")
+    p.add_argument("--echo-us", type=float, default=None,
+                   help="add an SFN echo at this delay (us)")
+    p.add_argument("--echo-db", type=float, default=-3.0,
+                   help="SFN echo power relative to the main path (dB)")
     p.add_argument("--frames", type=int, default=None,
                    help="stop after N transmission frames")
     args = p.parse_args(argv)
@@ -64,6 +76,8 @@ def main(argv=None) -> int:
     from dabtools_tpu.eti.parse import EtiParser
     from dabtools_tpu.fic.fig import FigParser
     from dabtools_tpu.mod.impairments import (
+        PROFILES,
+        MultipathChannel,
         awgn,
         carrier_offset,
         quantize_u8,
@@ -81,7 +95,30 @@ def main(argv=None) -> int:
           "dropped": False}
     buf: list = []
 
+    channel = None
+    taps: list = []
+    if args.multipath:
+        if args.multipath.lower() in PROFILES:
+            taps += list(PROFILES[args.multipath.lower()])
+        else:
+            taps += [(float(d), float(p)) for d, p in
+                     (t.split(":") for t in args.multipath.split(","))]
+    if args.echo_us is not None:
+        # An SFN echo is just a 2nd transmitter: main path at 0 dB plus
+        # the delayed tap (composable with a --multipath profile).
+        if not taps:
+            taps.append((0.0, 0.0))
+        taps.append((float(args.echo_us), float(args.echo_db)))
+    if taps:
+        channel = MultipathChannel(taps, doppler_hz=args.doppler_hz,
+                                   rng=np.random.default_rng(1))
+        log.info("channel: %d taps, %s",
+                 len(taps), f"{args.doppler_hz:g} Hz Doppler"
+                 if args.doppler_hz else "static")
+
     def emit(x: np.ndarray) -> None:
+        if channel is not None:     # propagation first, then receiver LO
+            x = channel(x)
         if args.cfo_hz:
             x = carrier_offset(x, args.cfo_hz,
                                start_sample=st["sample0"])

@@ -86,3 +86,29 @@ def test_eti2iq_u8_and_impairments(tmp_path):
     a = rx._activation_cif
     for k, f in enumerate(frames):
         assert f.subchannel_data(1) == data[1][a + k].tobytes(), k
+
+
+def test_eti2iq_multipath_sfn(tmp_path):
+    """TU6 urban multipath with 8 Hz fading PLUS an SFN echo at 120 us
+    (inside the Mode I guard) via the CLI: payload still bit-exact."""
+    ens, data, src = _mux(tmp_path, n_cifs=40)
+    iq = tmp_path / "out.cf32"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2iq", str(src),
+         "--multipath", "tu6", "--doppler-hz", "8",
+         "--echo-us", "120", "--echo-db", "-4", "--snr", "26",
+         "-o", str(iq)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert "channel: 7 taps, 8 Hz Doppler" in r.stderr
+    x = np.fromfile(iq, dtype=np.complex64)
+    rx = DabReceiver(n_frames=4)
+    eti = rx.feed(x)
+    assert rx.ensemble is not None
+    frames = list(EtiParser().feed(b"".join(eti)))
+    assert len(frames) >= 16
+    a = rx._activation_cif
+    for k, f in enumerate(frames):
+        for sc in (1, 5):
+            assert f.subchannel_data(sc) == data[sc][a + k].tobytes(), \
+                f"subch {sc} CIF {a + k}"
