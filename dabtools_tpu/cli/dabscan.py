@@ -95,6 +95,9 @@ def main(argv=None) -> int:
     out = call_with_retries(jax.device_get, out)
     fib_bytes_all = np.asarray(out["fib_bytes"])    # (C, B, 12, 32)
     null_ratio = np.asarray(out["null_ratio"])
+    # PRS channel sounding per block (SFN/multipath view): us RMS.
+    delay_us = (np.asarray(out["delay_spread"]).mean(axis=1)
+                * 1e6 / C.SAMPLE_RATE)
 
     import json
 
@@ -121,6 +124,7 @@ def main(argv=None) -> int:
             print(json.dumps({
                 "block": label, "freq_hz": freq,
                 "null_ratio": float(null_ratio[c]),
+                "delay_spread_us": round(float(delay_us[c]), 2),
                 "eid": f"0x{ens.eid:04X}", "label": ens.label,
                 "subchannels": len(ens.subchannels),
                 "services": [
@@ -133,7 +137,8 @@ def main(argv=None) -> int:
             f"[{'DAB+' if any(c.is_dabplus for c in s.components) else 'MP2'}]"
             for s in ens.services) or "(no services signalled yet)"
         print(f"{label} {freq / 1e6:8.3f} MHz: ensemble 0x{ens.eid:04X} "
-              f"{ens.label!r} — {len(ens.subchannels)} subch — {svcs}")
+              f"{ens.label!r} — {len(ens.subchannels)} subch — "
+              f"delay spread {float(delay_us[c]):.1f} us — {svcs}")
     print(f"{found} ensemble(s) found", file=sys.stderr)
     return 0 if found else 2
 

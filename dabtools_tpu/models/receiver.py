@@ -37,7 +37,12 @@ from dabtools_tpu.ops.fec import (
     time_deinterleave,
 )
 from dabtools_tpu.ops.ofdm import demod_frames
-from dabtools_tpu.ops.sync import coarse_null_sync, fine_sync_prs, fractional_cfo
+from dabtools_tpu.ops.sync import (
+    channel_impulse_response,
+    coarse_null_sync,
+    fine_sync_prs,
+    fractional_cfo,
+)
 from dabtools_tpu.ops.viterbi import viterbi_decode
 from dabtools_tpu.tables.puncturing import FIC_PROFILE
 from dabtools_tpu.utils.crc import crc16_ok, crc16_ok_batch
@@ -81,6 +86,22 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
 
     soft, diag = demod_frames(x, frame_starts, mode, cfo, drift)
 
+    # ---- Channel impulse response (PRS LS estimate; SFN analysis) ------
+    # One extra FFT+IFFT per frame — noise next to the 76-symbol demod.
+    # Window |h|^2 to lags [-guard, +guard) around the timing reference;
+    # RMS delay spread over taps within 20 dB of the strongest path.
+    prs_u = frame_starts + mode.null_size + mode.guard
+    cir = jax.vmap(
+        lambda s: channel_impulse_response(x, s, cfo, mode))(prs_u)
+    half = mode.fft_size // 2
+    pw = jnp.abs(cir[:, half - mode.guard: half + mode.guard]) ** 2
+    mask = pw > jnp.max(pw, axis=-1, keepdims=True) * 1e-2
+    lags = jnp.arange(-mode.guard, mode.guard, dtype=jnp.float32)
+    e = jnp.sum(pw * mask, -1) + 1e-20
+    tbar = jnp.sum(pw * mask * lags, -1) / e
+    delay_spread = jnp.sqrt(
+        jnp.sum(pw * mask * (lags - tbar[:, None]) ** 2, -1) / e)
+
     # ---- FIC ----------------------------------------------------------
     # Codewords protect FIB triplets; in Mode III they span frames
     # (4 FIBs/frame), so slice the block's whole FIC bit stream.
@@ -105,6 +126,8 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
         "prs_peak": fine["peak"],
         "prs_offset": fine["offset"],
         "carrier_mag_cv": diag["carrier_mag_cv"],
+        "cir_power": jnp.mean(pw, axis=0),     # (2*guard,) lag window
+        "delay_spread": delay_spread,          # (n_frames,) samples RMS
         "subch": {},
         "subch_metric": {},
     }
@@ -184,6 +207,10 @@ class FrameStats:
     prs_peak_min: float
     fib_crc_ok: int
     fib_crc_bad: int
+    # RMS delay spread of the PRS channel impulse response (us), mean
+    # over the block's frames: ~0 for a clean channel, the echo distance
+    # for an SFN, ~1 us for urban multipath.
+    delay_spread_us: float = 0.0
 
 
 class DabReceiver:
@@ -462,7 +489,9 @@ class DabReceiver:
             null_ratio=null_ratio,
             cfo_carriers=float(out["cfo_carriers"]),
             prs_peak_min=float(np.min(prs_peak)),
-            fib_crc_ok=n_ok, fib_crc_bad=n_bad))
+            fib_crc_ok=n_ok, fib_crc_bad=n_bad,
+            delay_spread_us=float(np.mean(out["delay_spread"]))
+            * 1e6 / C.SAMPLE_RATE))
         self._log_stats_jsonl(out)
 
         # Acquisition -> activation: rewind and reprocess the same block

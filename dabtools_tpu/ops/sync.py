@@ -105,3 +105,38 @@ def fine_sync_prs(x: jnp.ndarray, prs_guess: jnp.ndarray,
         "int_cfo": (c_idx - max_int_cfo).astype(jnp.int32),
         "peak": peak.astype(jnp.float32),
     }
+
+
+def channel_impulse_response(x: jnp.ndarray, prs_start: jnp.ndarray,
+                             cfo_carriers: jnp.ndarray,
+                             mode: Mode = MODE_I) -> jnp.ndarray:
+    """Least-squares channel impulse response from the synchronized PRS.
+
+    The PRS is a known unit-magnitude spectrum Z_k, so the per-carrier LS
+    channel estimate is simply H_k = Y_k * conj(Z_k) on the active
+    carriers; IFFT gives the complex CIR h[n], whose |h| peaks at each
+    propagation path's delay.  This is the SFN-analysis view professional
+    DAB monitors provide; the reference has no counterpart
+    (`upstream:input_sdr.c` uses the PRS only for sync, SURVEY.md R5).
+
+    ``prs_start``: traced int32, start of the PRS useful part after fine
+    sync.  ``cfo_carriers``: traced float32 total CFO in carrier spacings
+    (integer part undone by a spectrum roll, fractional part by a time-
+    domain derotation, so the estimate stays coherent).
+
+    Returns (fft_size,) complex64, circularly shifted so index
+    ``fft_size // 2`` is lag 0 (the receiver's timing reference);
+    pre-cursor paths appear below the center, echoes above it.
+    """
+    from dabtools_tpu.tables.prs import prs_spectrum
+
+    win = jax.lax.dynamic_slice(x, (prs_start,), (mode.fft_size,))
+    ic = jnp.round(cfo_carriers)
+    frac = cfo_carriers - ic
+    n = jnp.arange(mode.fft_size, dtype=jnp.float32)
+    win = win * jnp.exp(-2j * jnp.pi * frac * n / mode.fft_size)
+    y = jnp.roll(jnp.fft.fft(win), -ic.astype(jnp.int32))
+    z = prs_spectrum(mode)
+    h = jnp.fft.ifft(y * jnp.conj(jnp.asarray(z))
+                     * jnp.asarray((np.abs(z) > 0).astype(np.float32)))
+    return jnp.roll(h, mode.fft_size // 2)

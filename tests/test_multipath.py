@@ -105,20 +105,34 @@ def _decode_subch1(x, payload):
 
 def test_receiver_through_sfn_echo():
     """A -2 dB SFN echo at 150 us — well inside Mode I's 246 us guard —
-    must decode bit-exactly (the whole point of the guard interval)."""
+    must decode bit-exactly (the whole point of the guard interval), and
+    the PRS channel-impulse-response estimate must report the echo: RMS
+    delay spread of taps {0 dB @ 0, -2 dB @ 150 us} is 73.1 us."""
     x, payload = modulate(build_ensemble(), 14)
     rng = np.random.default_rng(5)
-    _decode_subch1(sfn_echo(awgn(x, 20.0, rng), 150.0, -2.0, phase=1.1),
-                   payload)
+    rx = _decode_subch1(
+        sfn_echo(awgn(x, 20.0, rng), 150.0, -2.0, phase=1.1), payload)
+    assert abs(rx.stats[-1].delay_spread_us - 73.1) < 4.0
 
 
 def test_receiver_through_tu6_static():
     """COST 207 Typical Urban, static (frequency-selective fades up to
-    5 us delay spread) at 20 dB SNR."""
+    5 us delay spread) at 20 dB SNR.  The profile's theoretical RMS
+    delay spread is 1.06 us; the CIR estimate must land near it (the
+    1.536 MHz bandwidth limits resolution to ~0.65 us)."""
     x, payload = modulate(build_ensemble(), 14)
     rng = np.random.default_rng(5)
-    _decode_subch1(multipath(awgn(x, 20.0, rng), TU6,
-                             rng=np.random.default_rng(11)), payload)
+    rx = _decode_subch1(multipath(awgn(x, 20.0, rng), TU6,
+                                  rng=np.random.default_rng(11)), payload)
+    assert 0.7 < rx.stats[-1].delay_spread_us < 1.8
+
+
+def test_delay_spread_clean_floor():
+    """Single-path channel: the delay-spread estimate sits at the sinc
+    sidelobe floor (~0.3 us), far below any multipath reading."""
+    x, payload = modulate(build_ensemble(), 14)
+    rx = _decode_subch1(x, payload)
+    assert rx.stats[-1].delay_spread_us < 0.6
 
 
 def test_receiver_through_tu6_fading_with_cfo():
