@@ -291,9 +291,10 @@ def main(argv=None) -> int:
                 n_eti += 1
             if args.stats and rx.stats:
                 s = rx.stats[-1]
-                log.info("cif=%d null@%d ratio=%.3f cfo=%+.1fHz fib_ok=%d "
-                         "fib_bad=%d", s.cif_count, s.null_start,
-                         s.null_ratio, s.cfo_carriers * 1000.0,
+                log.info("cif=%d null@%d snr=%.1fdB cfo=%+.1fHz "
+                         "delay_spread=%.1fus fib_ok=%d fib_bad=%d",
+                         s.cif_count, s.null_start, s.snr_db,
+                         s.cfo_carriers * 1000.0, s.delay_spread_us,
                          s.fib_crc_ok, s.fib_crc_bad)
         out.flush()
     finally:

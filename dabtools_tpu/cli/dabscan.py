@@ -100,6 +100,11 @@ def main(argv=None) -> int:
                 * 1e6 / C.SAMPLE_RATE)
 
     import json
+    import math
+
+    def snr_db(r):
+        r = min(max(float(r), 1e-6), 1 - 1e-6)
+        return round(10.0 * math.log10(1.0 / r - 1.0), 1)
 
     found = 0
     for c, (label, freq) in enumerate(candidates):
@@ -114,7 +119,8 @@ def main(argv=None) -> int:
         if ens is None:
             if args.json:
                 print(json.dumps({"block": label, "freq_hz": freq,
-                                  "null_ratio": float(null_ratio[c])}))
+                                  "null_ratio": float(null_ratio[c]),
+                                  "snr_db": snr_db(null_ratio[c])}))
             else:
                 print(f"{label} {freq / 1e6:8.3f} MHz: -- "
                       f"(null ratio {float(null_ratio[c]):.2f})")
@@ -124,6 +130,7 @@ def main(argv=None) -> int:
             print(json.dumps({
                 "block": label, "freq_hz": freq,
                 "null_ratio": float(null_ratio[c]),
+                "snr_db": snr_db(null_ratio[c]),
                 "delay_spread_us": round(float(delay_us[c]), 2),
                 "eid": f"0x{ens.eid:04X}", "label": ens.label,
                 "subchannels": len(ens.subchannels),

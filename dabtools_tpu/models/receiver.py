@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import math
 
 import jax
 import jax.numpy as jnp
@@ -212,6 +213,16 @@ class FrameStats:
     # for an SFN, ~1 us for urban multipath.
     delay_spread_us: float = 0.0
 
+    @property
+    def snr_db(self) -> float:
+        """SNR estimated from the null-symbol noise floor:
+        null_ratio r = P_null / P_mean, so SNR = (1 - r) / r.  Saturates
+        around 30 dB (the dip never reads exactly zero over 2656 samples)
+        and underestimates when anything raises the null floor: TII
+        carriers, or long-delay SFN echo tails spilling into the null."""
+        r = min(max(float(self.null_ratio), 1e-6), 1.0 - 1e-6)
+        return 10.0 * math.log10(1.0 / r - 1.0)
+
 
 class DabReceiver:
     """Streaming IQ -> ETI receiver with FIC acquisition (host orchestrator).
@@ -272,6 +283,7 @@ class DabReceiver:
         import json
         s = self.stats[-1]
         rec = dataclasses.asdict(s)
+        rec["snr_db"] = round(s.snr_db, 2)
         rec["fic_metric_mean"] = float(np.mean(out["fic_metric"]))
         for key, m in out.get("subch_metric", {}).items():
             # Viterbi path metric as a per-sub-channel BER proxy

@@ -127,6 +127,16 @@ def test_receiver_through_tu6_static():
     assert 0.7 < rx.stats[-1].delay_spread_us < 1.8
 
 
+@pytest.mark.parametrize("snr", [8, 15, 22])
+def test_snr_estimate_tracks_awgn(snr):
+    """FrameStats.snr_db (null-symbol noise-floor estimate) tracks the
+    injected AWGN level within 1 dB across the useful range."""
+    x, _ = modulate(build_ensemble(), 10)
+    rx = DabReceiver(n_frames=4)
+    rx.feed(awgn(x, float(snr), np.random.default_rng(1)))
+    assert abs(rx.stats[-1].snr_db - snr) < 1.0
+
+
 def test_delay_spread_clean_floor():
     """Single-path channel: the delay-spread estimate sits at the sinc
     sidelobe floor (~0.3 us), far below any multipath reading."""
