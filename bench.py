@@ -65,8 +65,26 @@ def _noise(n, rng, scale=0.3):
     return jnp.asarray(z[:, 0] + 1j * z[:, 1], dtype=jnp.complex64)
 
 
+# Incremental persistence (VERDICT r2 item 1a): every result line is
+# appended to this file the instant it exists, so a driver timeout
+# (rc=124) mid-run still leaves a partial artifact on disk.  The file is
+# truncated at the start of each top-level run (not by --section/--once
+# subprocesses, which share the parent's run).
+_PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_PARTIAL.log")
+
+
+def _persist(msg):
+    try:
+        with open(_PARTIAL_PATH, "a") as f:
+            f.write(f"{time.strftime('%Y-%m-%dT%H:%M:%S')} {msg}\n")
+    except OSError:
+        pass
+
+
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+    _persist(msg)
 
 
 def _wait_for_relay():
@@ -123,6 +141,14 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     quick = "--quick" in sys.argv
     if "--once" not in sys.argv:   # subprocess runs inherit a good window
+        # Top-level run: start a fresh partial artifact (subprocesses
+        # append to it via log()).
+        try:
+            with open(_PARTIAL_PATH, "w") as f:
+                f.write(f"{time.strftime('%Y-%m-%dT%H:%M:%S')} "
+                        f"# bench run start: argv={sys.argv[1:]}\n")
+        except OSError:
+            pass
         _wait_for_relay()
     profile_dir = None
     if "--profile" in sys.argv:      # device timeline (SURVEY.md s5.1)
@@ -230,6 +256,44 @@ def main():
     log(f"# [config 1] full-ensemble decode: {t * 1e3:.2f} ms/block "
         f"(sustained), {samples / t / 1e6:.0f} Msamples/s, "
         f"{rt:.0f}x real-time")
+    rt16 = rt
+
+    if not quick and "--section" not in sys.argv and "--once" not in sys.argv:
+        # Throughput-optimal operating point: 64-frame blocks amortize
+        # dispatch/sync overhead ~3x over the 16-frame low-latency point
+        # (both are sustained numbers on the same chain; only the block
+        # size differs).  The headline reports the BEST sustained
+        # operating point.  ONE hard-timeout subprocess attempt: the
+        # headline JSON must land within ~3 min of the first successful
+        # measurement (VERDICT r2 item 1b — rounds 1+2 both died at the
+        # driver's rc=124 with nothing on stdout).
+        import subprocess
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "64", "--quick", "--once"],
+                capture_output=True, text=True, timeout=240)
+            rt2 = float(json.loads(r.stdout.strip().splitlines()[-1])
+                        ["value"])
+            log(f"# [config 1b] 64-frame blocks: {rt2:.0f}x real-time "
+                f"(6.1 s latency operating point)")
+            if rt2 > rt:
+                log(f"# headline = 64-frame throughput-optimal point "
+                    f"(16-frame low-latency point: {rt:.0f}x)")
+                rt = rt2
+        except Exception as e:  # noqa: BLE001
+            log(f"# [config 1b] 64-frame SKIPPED: {str(e)[:120]}")
+
+    # Print the headline NOW — before the inline bit-exactness fetch, the
+    # stability re-measurements, and the extras: if the driver's budget
+    # expires at any later point, the JSON line is already on stdout.
+    print(json.dumps({
+        "metric": "realtime_multiple_full_ensemble_per_chip",
+        "value": round(rt, 2),
+        "unit": "x_realtime_2.048Msps",
+        "vs_baseline": round(rt, 2),
+    }), flush=True)
+    _persist(json.dumps({"metric": "realtime_multiple_full_ensemble_"
+                                   "per_chip", "value": round(rt, 2)}))
 
     if not quick:
         # Hardware bit-exactness riding the ALREADY-COMPILED, already-
@@ -247,59 +311,22 @@ def main():
 
     if not quick and "--section" not in sys.argv and "--once" not in sys.argv:
         # The compile relay serves differently-optimized executables per
-        # process (observed 2x spread); report the median of three
-        # independent process measurements.
-        import subprocess
-        rts = [rt]
+        # process (observed 2x spread); record the spread of three
+        # independent 16-frame process measurements (stderr + partial
+        # file only — the stdout headline is already printed).
+        rts = [rt16]
         for _ in range(2):
             try:
                 r = subprocess.run(
                     [sys.executable, __file__, str(n_frames), "--quick",
                      "--once"],
-                    capture_output=True, text=True, timeout=420)
+                    capture_output=True, text=True, timeout=300)
                 rts.append(json.loads(r.stdout.strip().splitlines()[-1])
                            ["value"])
             except Exception:  # noqa: BLE001
                 pass
-        log(f"# [config 1] per-process measurements: "
-            f"{[round(v) for v in rts]} -> median")
-        rt = float(np.median(rts))
-
-        # Throughput-optimal operating point: 64-frame blocks amortize
-        # dispatch/sync overhead ~3x over the 16-frame low-latency point
-        # (both are sustained numbers on the same chain; only the block
-        # size differs).  The headline reports the BEST sustained
-        # operating point.  Runs as a hard-timeout subprocess so a relay
-        # bad window or a failed big-program compile can never delay the
-        # headline JSON line (r01 died to the driver's rc=124 timeout
-        # with nothing printed).
-        for nf2 in (64, 32):
-            try:
-                r = subprocess.run(
-                    [sys.executable, __file__, str(nf2), "--quick",
-                     "--once"],
-                    capture_output=True, text=True, timeout=360)
-                rt2 = float(json.loads(r.stdout.strip().splitlines()[-1])
-                            ["value"])
-                log(f"# [config 1b] {nf2}-frame blocks: {rt2:.0f}x "
-                    f"real-time ({nf2 * 0.096:.1f} s latency operating "
-                    f"point)")
-                if rt2 > rt:
-                    log(f"# headline = {nf2}-frame throughput-optimal "
-                        f"point (16-frame low-latency point: {rt:.0f}x)")
-                    rt = rt2
-                break
-            except Exception as e:  # noqa: BLE001
-                log(f"# [config 1b] {nf2}-frame SKIPPED: {str(e)[:120]}")
-
-    # Print the headline BEFORE the extras: if the driver's budget expires
-    # mid-extras, the JSON line must already be on stdout.
-    print(json.dumps({
-        "metric": "realtime_multiple_full_ensemble_per_chip",
-        "value": round(rt, 2),
-        "unit": "x_realtime_2.048Msps",
-        "vs_baseline": round(rt, 2),
-    }), flush=True)
+        log(f"# [config 1] per-process spread (16-frame): "
+            f"{[round(v) for v in rts]} (median {np.median(rts):.0f}x)")
 
     if not quick:
         _extras(ens, n_frames, rng, rt)

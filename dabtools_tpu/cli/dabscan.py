@@ -100,11 +100,15 @@ def main(argv=None) -> int:
                 * 1e6 / C.SAMPLE_RATE)
 
     import json
-    import math
+
+    from dabtools_tpu.ops.sync import (
+        SNR_CAVEAT,
+        SNR_METHOD,
+        null_ratio_to_snr_db,
+    )
 
     def snr_db(r):
-        r = min(max(float(r), 1e-6), 1 - 1e-6)
-        return round(10.0 * math.log10(1.0 / r - 1.0), 1)
+        return round(null_ratio_to_snr_db(r), 1)
 
     found = 0
     for c, (label, freq) in enumerate(candidates):
@@ -120,7 +124,9 @@ def main(argv=None) -> int:
             if args.json:
                 print(json.dumps({"block": label, "freq_hz": freq,
                                   "null_ratio": float(null_ratio[c]),
-                                  "snr_db": snr_db(null_ratio[c])}))
+                                  "snr_db": snr_db(null_ratio[c]),
+                                  "snr_method": SNR_METHOD,
+                                  "snr_caveat": SNR_CAVEAT}))
             else:
                 print(f"{label} {freq / 1e6:8.3f} MHz: -- "
                       f"(null ratio {float(null_ratio[c]):.2f})")
@@ -131,6 +137,8 @@ def main(argv=None) -> int:
                 "block": label, "freq_hz": freq,
                 "null_ratio": float(null_ratio[c]),
                 "snr_db": snr_db(null_ratio[c]),
+                "snr_method": SNR_METHOD,
+                "snr_caveat": SNR_CAVEAT,
                 "delay_spread_us": round(float(delay_us[c]), 2),
                 "eid": f"0x{ens.eid:04X}", "label": ens.label,
                 "subchannels": len(ens.subchannels),

@@ -101,15 +101,34 @@ def main(argv=None) -> int:
         if args.multipath.lower() in PROFILES:
             taps += list(PROFILES[args.multipath.lower()])
         else:
-            taps += [(float(d), float(p)) for d, p in
-                     (t.split(":") for t in args.multipath.split(","))]
+            try:
+                for t in args.multipath.split(","):
+                    d, pw = t.split(":")
+                    d, pw = float(d), float(pw)
+                    if d < 0:
+                        raise ValueError(f"negative tap delay {d}")
+                    taps.append((d, pw))
+            except ValueError as e:
+                p.error(f"--multipath: {e}; expected 'tu6', 'ra4', or "
+                        f"'delay_us:power_db,...' taps (e.g. "
+                        f"'0:0,5.4:-3')")
     if args.echo_us is not None:
         # An SFN echo is just a 2nd transmitter: main path at 0 dB plus
         # the delayed tap (composable with a --multipath profile).
+        if args.echo_us < 0:
+            p.error("--echo-us must be >= 0")
         if not taps:
             taps.append((0.0, 0.0))
         taps.append((float(args.echo_us), float(args.echo_db)))
-    if taps:
+    if not taps:
+        # Fading/echo qualifiers without a channel would silently produce
+        # a clean channel; refuse rather than mislead the test.
+        if args.doppler_hz:
+            p.error("--doppler-hz needs a channel: add --multipath "
+                    "and/or --echo-us")
+        if args.echo_db != p.get_default("echo_db"):
+            p.error("--echo-db has no effect without --echo-us")
+    else:
         channel = MultipathChannel(taps, doppler_hz=args.doppler_hz,
                                    rng=np.random.default_rng(1))
         log.info("channel: %d taps, %s",

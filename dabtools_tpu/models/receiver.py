@@ -21,7 +21,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
-import math
 
 import jax
 import jax.numpy as jnp
@@ -215,13 +214,11 @@ class FrameStats:
 
     @property
     def snr_db(self) -> float:
-        """SNR estimated from the null-symbol noise floor:
-        null_ratio r = P_null / P_mean, so SNR = (1 - r) / r.  Saturates
-        around 30 dB (the dip never reads exactly zero over 2656 samples)
-        and underestimates when anything raises the null floor: TII
-        carriers, or long-delay SFN echo tails spilling into the null."""
-        r = min(max(float(self.null_ratio), 1e-6), 1.0 - 1e-6)
-        return 10.0 * math.log10(1.0 / r - 1.0)
+        """SNR estimated from the null-symbol noise floor (shared
+        estimator: ops.sync.null_ratio_to_snr_db; see SNR_CAVEAT there —
+        saturates ~30 dB, biased low under TII/long SFN echoes)."""
+        from dabtools_tpu.ops.sync import null_ratio_to_snr_db
+        return null_ratio_to_snr_db(self.null_ratio)
 
 
 class DabReceiver:
@@ -282,8 +279,11 @@ class DabReceiver:
             return
         import json
         s = self.stats[-1]
+        from dabtools_tpu.ops.sync import SNR_CAVEAT, SNR_METHOD
         rec = dataclasses.asdict(s)
         rec["snr_db"] = round(s.snr_db, 2)
+        rec["snr_method"] = SNR_METHOD
+        rec["snr_caveat"] = SNR_CAVEAT
         rec["fic_metric_mean"] = float(np.mean(out["fic_metric"]))
         for key, m in out.get("subch_metric", {}).items():
             # Viterbi path metric as a per-sub-channel BER proxy

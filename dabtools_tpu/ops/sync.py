@@ -21,6 +21,26 @@ from dabtools_tpu.constants import MODE_I, Mode
 from dabtools_tpu.tables.prs import prs_time
 
 
+# Where machine-readable output carries an snr_db derived from this,
+# attach SNR_METHOD/SNR_CAVEAT so consumers see the estimator's limits
+# without reading source (dabscan --json, --stats-json).
+SNR_METHOD = "null_floor"
+SNR_CAVEAT = ("saturates ~30 dB; underestimates when TII carriers or "
+              "long SFN echo tails raise the null-symbol floor")
+
+
+def null_ratio_to_snr_db(null_ratio: float) -> float:
+    """SNR estimated from the null-symbol noise floor.
+
+    null_ratio r = P_null / P_mean, so SNR = (1 - r) / r.  See SNR_CAVEAT
+    for the estimator's known biases.  One shared definition so
+    FrameStats.snr_db and dabscan cannot drift apart (ADVICE r2).
+    """
+    import math
+    r = min(max(float(null_ratio), 1e-6), 1.0 - 1e-6)
+    return 10.0 * math.log10(1.0 / r - 1.0)
+
+
 def moving_power(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """Sliding-window power sum, valid positions only (cumsum trick)."""
     p = jnp.abs(x) ** 2

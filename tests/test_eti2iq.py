@@ -112,3 +112,28 @@ def test_eti2iq_multipath_sfn(tmp_path):
         for sc in (1, 5):
             assert f.subchannel_data(sc) == data[sc][a + k].tobytes(), \
                 f"subch {sc} CIF {a + k}"
+
+
+def test_eti2iq_rejects_bad_channel_args(tmp_path):
+    """CLI usage errors instead of tracebacks / silent no-ops (ADVICE r2):
+    malformed --multipath taps, negative delays, and fading qualifiers
+    without any channel all exit with argparse's code 2."""
+    ens, data, src = _mux(tmp_path, n_cifs=4)
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "dabtools_tpu.cli.eti2iq", str(src),
+             "-o", str(tmp_path / "x.cf32"), *extra],
+            capture_output=True, text=True, timeout=120)
+
+    for argv, hint in [
+        (["--multipath", "1.0"], "--multipath"),          # no colon
+        (["--multipath", "a:b"], "--multipath"),          # non-numeric
+        (["--multipath=-2:0"], "negative"),               # negative delay
+        (["--doppler-hz", "10"], "--doppler-hz"),         # no channel
+        (["--echo-db", "-6"], "--echo-db"),               # no --echo-us
+        (["--echo-us", "-5"], "--echo-us"),               # negative echo
+    ]:
+        r = run(*argv)
+        assert r.returncode == 2, (argv, r.returncode, r.stderr)
+        assert hint in r.stderr, (argv, r.stderr)
