@@ -71,8 +71,12 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
     frac = fractional_cfo(x, frame_start_guesses[0], mode)
 
     prs_guess = frame_start_guesses + mode.null_size + mode.guard
+    # frac is derotated inside the PRS search so the integer-CFO bin and
+    # the fractional estimate can never pair inconsistently (half-carrier
+    # ambiguity; see fine_sync_prs docstring).
     fine = jax.vmap(
-        lambda g: fine_sync_prs(x, g, mode, search, max_int_cfo))(prs_guess)
+        lambda g: fine_sync_prs(x, g, mode, search, max_int_cfo,
+                                frac_cfo=frac))(prs_guess)
     frame_starts = frame_start_guesses + fine["offset"]
     cfo = frac + fine["int_cfo"][0].astype(jnp.float32)
 

@@ -93,7 +93,8 @@ def _prs_templates(mode: Mode, max_int_cfo: int, fft_len: int) -> np.ndarray:
 
 def fine_sync_prs(x: jnp.ndarray, prs_guess: jnp.ndarray,
                   mode: Mode = MODE_I, search: int = 256,
-                  max_int_cfo: int = 8):
+                  max_int_cfo: int = 8,
+                  frac_cfo: jnp.ndarray | float = 0.0):
     """Joint fine-timing + integer-CFO estimate from the PRS.
 
     ``prs_guess``: traced int32 — estimated start of the PRS *useful* part
@@ -102,6 +103,16 @@ def fine_sync_prs(x: jnp.ndarray, prs_guess: jnp.ndarray,
     by correlating against precomputed shifted PRS templates (one batched
     FFT correlation evaluates every hypothesis).
 
+    ``frac_cfo``: the guard-interval fractional-CFO estimate (carriers,
+    |.| <= 0.5), derotated from the window BEFORE the integer search.
+    Without it, a true CFO near a half-carrier boundary is ambiguous: the
+    fractional estimator wraps to the other side (+0.49 vs -0.49 carriers)
+    while the template correlation — evaluated at a half-carrier residual
+    where adjacent templates score almost equally — can pick the integer
+    bin that pairs with the OTHER wrap, a full 1-carrier error.  (Found by
+    the sharded-impairments test: one time shard of a 2.5-carrier-CFO
+    signal resolved 2.49, another 1.51.)
+
     Returns dict of traced values: ``offset`` (int32, add to prs_guess),
     ``int_cfo`` (int32, carriers), ``peak`` (float32 normalized 0..1
     correlation quality).
@@ -109,6 +120,13 @@ def fine_sync_prs(x: jnp.ndarray, prs_guess: jnp.ndarray,
     win_len = mode.fft_size + 2 * search
     fft_len = int(2 ** np.ceil(np.log2(win_len + mode.fft_size)))
     win = jax.lax.dynamic_slice(x, (prs_guess - search,), (win_len,))
+    # exp(-j*2*pi*f*t): same compensation convention as the demod ramp
+    # (ops/ofdm.py gather_symbol_windows); only |corr| is used below, so
+    # the window-relative timebase is fine.
+    ph = -2.0 * jnp.pi * jnp.mod(
+        jnp.asarray(frac_cfo, jnp.float32)
+        * jnp.arange(win_len, dtype=jnp.float32) / mode.fft_size, 1.0)
+    win = win * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
     wspec = jnp.fft.fft(win, n=fft_len)
     temps = jnp.asarray(_prs_templates(mode, max_int_cfo, fft_len))
     corr = jnp.fft.ifft(wspec[None, :] * temps, axis=-1)
