@@ -5,6 +5,10 @@ results: pre-Viterbi raw BER, post-FEC frame decode rate, FIB CRC rate.
 Not a CI test (minutes of CPU); run ad hoc:
 
   python tools/ber_sweep.py --snrs 4 5 6 7 8 10 12 --frames 12 -o ber.jsonl
+
+Runs on CPU by default; --tpu runs every decode through the real chip
+(one DabReceiver jit per point, persistent-cache friendly) so the
+waterfall also pins the production TPU path under noise.
 """
 
 from __future__ import annotations
@@ -71,15 +75,30 @@ def main():
     p.add_argument("--cfo", type=float, default=0.0)
     p.add_argument("--frames", type=int, default=12)
     p.add_argument("--seeds", type=int, default=2)
+    p.add_argument("--tpu", action="store_true",
+                   help="decode on the real accelerator instead of CPU")
     p.add_argument("-o", "--output", default="-")
     args = p.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from dabtools_tpu.utils.jitcache import enable_persistent_cache
+        enable_persistent_cache()
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            print("--tpu requested but only CPU devices available; "
+                  "refusing to mislabel results", file=sys.stderr)
+            return 3
+        print(f"# device: {dev.device_kind} ({dev.platform})",
+              file=sys.stderr)
     out = sys.stdout if args.output == "-" else open(args.output, "w")
+    platform = jax.devices()[0].platform
     for snr in args.snrs:
         for seed in range(args.seeds):
             rec = run_point(snr, args.cfo, args.frames, seed)
+            rec["platform"] = platform
             out.write(json.dumps(rec) + "\n")
             out.flush()
             print(f"SNR {snr:5.1f} dB seed {seed}: acq={rec['acquired']} "
@@ -88,7 +107,8 @@ def main():
                   file=sys.stderr)
     if args.output != "-":
         out.close()
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
