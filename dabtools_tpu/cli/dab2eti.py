@@ -197,6 +197,14 @@ def main(argv=None) -> int:
     p.add_argument("--tist", action="store_true",
                    help="stamp ETI frames with TIST timestamps "
                         "(stream-relative, 24 ms per frame)")
+    p.add_argument("--tist-utc", action="store_true",
+                   help="TIST anchored to this host's wall clock "
+                        "(accurate to the receiver's ~1-block output lag)")
+    p.add_argument("--tist-epoch", type=float, default=None,
+                   metavar="SECONDS",
+                   help="TIST from an external time source: UTC/GPS "
+                        "seconds timestamp of the capture's first sample "
+                        "(e.g. the SDR recording start time)")
     p.add_argument("--tii", action="store_true",
                    help="detect transmitter identification (TII) from the "
                         "null symbol and report it at exit")
@@ -234,9 +242,11 @@ def main(argv=None) -> int:
     if args.wideband is not None:
         return _wideband(args, mode, n_frames)
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    tist = (args.tist_epoch if args.tist_epoch is not None
+            else "utc" if args.tist_utc else args.tist)
     rx = DabReceiver(n_frames=n_frames, mode=mode,
                      stats_jsonl=args.stats_json, tii=args.tii,
-                     tist=args.tist)
+                     tist=tist)
     resampler = None
     if int(args.rate) != 2_048_000:
         from dabtools_tpu.ops.resample import Resampler

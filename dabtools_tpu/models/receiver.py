@@ -240,7 +240,13 @@ class DabReceiver:
                  stats_jsonl=None, tii: bool = False, tist: bool = False):
         self.mode = mode
         self.n_frames = n_frames
-        # TIST: stamp ETI frames with their stream-relative time.
+        # TIST source (ETS 300 799): False = no TIST; True = stream-
+        # relative phase (sample 0 of the stream defines second 0);
+        # "utc" = anchor to this host's wall clock at activation
+        # (accurate to the receiver's output lag, ~one block); a float =
+        # external time source: the UTC/GPS seconds timestamp of stream
+        # sample 0 (e.g. an SDR capture's recorded start time), the SFN
+        # lab-grade option.
         self._tist_enabled = tist
         # TII accumulation across blocks (EN 300 401 s14.8; ops/tii.py).
         self._tii_enabled = tii
@@ -397,9 +403,18 @@ class DabReceiver:
             str(s.subchid): init_deinterleave_ring(s.profile.tx_bits)
             for s in self._decode.subchannels}
         # TIST phase continues across (re)activations: frame N of the ETI
-        # output corresponds to received CIF N, 24 ms apart.
-        tist_start = ((int(self._cif_count) * 24e-3) % 1.0
-                      if self._tist_enabled else None)
+        # output corresponds to received CIF N, 24 ms apart.  The epoch
+        # depends on the configured time source (see __init__).
+        if not self._tist_enabled:
+            tist_start = None
+        elif self._tist_enabled is True:
+            tist_start = (int(self._cif_count) * 24e-3) % 1.0
+        elif self._tist_enabled == "utc":
+            import time
+            tist_start = time.time() % 1.0
+        else:
+            tist_start = (float(self._tist_enabled)
+                          + int(self._cif_count) * 24e-3) % 1.0
         self._assembler = EtiAssembler(self._decode, self.mode,
                                        tist_start=tist_start)
         self._activation_cif = int(self._cif_count)

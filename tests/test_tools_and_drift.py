@@ -90,3 +90,23 @@ def test_eti2mpa_alias(tmp_path):
         capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "out.mp2").stat().st_size > 0
+
+
+def test_tist_external_epoch():
+    """TIST from an external time source: DabReceiver(tist=<epoch>) stamps
+    frame phases as (epoch + cif*24ms) mod 1 s — the SFN lab-grade option
+    (a capture's recorded UTC start time anchors the output timeline)."""
+    ens = build_ensemble()
+    x, _ = modulate(ens, 14, seed=11)
+    epoch = 1755561600.8125          # any UTC timestamp; phase .8125 s
+    rx = DabReceiver(n_frames=4, tist=epoch)
+    frames = list(EtiParser().feed(b"".join(rx.feed(x))))
+    assert len(frames) > 8
+    a = rx._activation_cif
+    from dabtools_tpu.eti.assemble import TIST_TICKS_PER_FRAME
+    tick0 = frames[0].tist
+    want0 = round(((epoch + a * 24e-3) % 1.0) * 16_384_000)
+    assert tick0 == want0 % (16_384_000), (tick0, want0)
+    for k in range(1, len(frames)):
+        assert (frames[k].tist - frames[k - 1].tist) % 16_384_000 \
+            == TIST_TICKS_PER_FRAME
