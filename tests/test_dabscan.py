@@ -67,3 +67,9 @@ def test_scan_finds_ensembles(tmp_path):
     assert recs["6C"]["label"] == "BLOCK B"
     assert isinstance(recs["6C"]["services"], list)
     assert "eid" not in recs["6B"]
+    # snr_db provenance travels with every record, found-or-not
+    # (VERDICT r2: the estimator's saturation/bias caveat must be
+    # machine-readable, not source-only)
+    for rec in recs.values():
+        assert rec["snr_method"] == "null_floor"
+        assert "saturates" in rec["snr_caveat"]
