@@ -189,3 +189,40 @@ def test_fec_decoder_survives_garbage_then_recovers():
     sent = set(groups)
     assert all(dg in sent for dg in got)
     assert len(got) >= len(groups) // 2
+
+
+def test_etiremux_survives_garbage_and_corruption(tmp_path):
+    import subprocess
+    import sys
+
+    # pure garbage: clean exit 1, no traceback
+    p = tmp_path / "garbage.eti"
+    p.write_bytes(np.random.default_rng(5).integers(
+        0, 256, 50_000, dtype=np.uint8).tobytes())
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.etiremux", str(p),
+         "--keep", "1", "-o", str(tmp_path / "x.eti")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 1
+    assert "Traceback" not in r.stderr
+
+    # a real mux with bytes shredded mid-stream: parser resyncs, the
+    # remux keeps going, output parses
+    from tests.test_etiremux import _mux
+    _, data, src = _mux(tmp_path)
+    raw = bytearray(src.read_bytes())
+    raw[6144 * 5 + 100: 6144 * 5 + 400] = b"\x55" * 300
+    (tmp_path / "shredded.eti").write_bytes(bytes(raw))
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.etiremux",
+         str(tmp_path / "shredded.eti"), "--keep", "1",
+         "-o", str(tmp_path / "y.eti")],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "Traceback" not in r.stderr
+    from dabtools_tpu.eti.parse import EtiParser
+    frames = list(EtiParser().feed((tmp_path / "y.eti").read_bytes()))
+    assert len(frames) >= 20
+    ok = sum(f.subchannel_data(1) in
+             {data[1][n].tobytes() for n in range(24)} for f in frames)
+    assert ok >= len(frames) - 2      # at most the shredded frame(s) lost
