@@ -125,6 +125,13 @@ class _Mp2Source:
         else:
             row = bytearray(self.rng.integers(
                 0, 256, self.frame_bytes, dtype=np.uint8).tobytes())
+            # Filler carries real Layer II framing (one header per 24 ms
+            # frame at 48 kHz) so downstream header checks/sniffers see a
+            # self-consistent elementary stream (eti2audio --verify).
+            from dabtools_tpu.eti.mp2 import build_mp2_header
+            hdr = build_mp2_header(self.frame_bytes // 3)
+            if hdr is not None:
+                row[:4] = hdr
         if self.groups is not None:
             from dabtools_tpu.eti.pad import (APP_DLS_START, attach_pad_mp2,
                                               build_xpad)

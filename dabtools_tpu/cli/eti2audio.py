@@ -282,6 +282,10 @@ def main(argv=None) -> int:
                    help="decode MOT slideshow images from PAD into DIR")
     p.add_argument("--objects", metavar="DIR", default=None,
                    help="packet-mode service: decode MOT objects into DIR")
+    p.add_argument("--verify", action="store_true",
+                   help="report elementary-stream health: MP2 header "
+                        "cadence/consistency (syncword every frame, CBR, "
+                        "DAB-legal rate) or DAB+ AU-CRC/RS summary")
     p.add_argument("--follow-announcements", action="store_true",
                    help="switch to the announcement sub-channel while the "
                         "service's cluster signals one (FIG 0/18, 0/19)")
@@ -459,6 +463,11 @@ def main(argv=None) -> int:
         from dabtools_tpu.eti.pad import PadDecoder
         pad = PadDecoder(mot=args.slides is not None)
 
+    mp2check = None
+    if args.verify:
+        from dabtools_tpu.eti.mp2 import Mp2HealthChecker
+        mp2check = Mp2HealthChecker()
+
     def show(labels):
         for lab in labels:
             log.info("dynamic label: %r (charset %d)", lab.text, lab.charset)
@@ -548,6 +557,8 @@ def main(argv=None) -> int:
         if not is_dabplus:
             out.write(d)
             stats["mp2_bytes"] += len(d)
+            if mp2check is not None:
+                mp2check.feed(d)
             if pad is not None:
                 show(pad.feed_mp2_frame(d))
             return
@@ -619,10 +630,18 @@ def main(argv=None) -> int:
     elif not target[1]:
         log.info("wrote %d bytes MP2 from %d frames",
                  stats["mp2_bytes"], stats["with_sub"])
+        if mp2check is not None:
+            log.info("MP2 health: %s", mp2check.summary())
     else:
         log.info("wrote %d AAC AUs (%d failed CRC); stats=%s",
                  stats["aus"], stats["aus_bad"],
                  {sc: d.stats for sc, d in decs.items()})
+        if mp2check is not None:
+            bad, tot = stats["aus_bad"], stats["aus"] + stats["aus_bad"]
+            rsf = sum(d.stats["rs_failures"] for d in decs.values())
+            log.info("DAB+ health: %d/%d AUs pass CRC, %d RS failures%s",
+                     tot - bad, tot, rsf,
+                     " [healthy]" if not bad and not rsf else "")
     if args.follow_announcements and stats["switches"]:
         log.info("announcement switches: %d", stats["switches"])
     if pad is not None:
@@ -644,6 +663,8 @@ def main(argv=None) -> int:
     if args.output != "-":
         out.close()
     rec = dict(stats)
+    if mp2check is not None and mp2check.stats["frames"]:
+        rec["mp2_health"] = mp2check.stats
     if pkt is not None:
         rec["packet"] = pkt.stats
     if decs:

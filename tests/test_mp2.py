@@ -1,0 +1,96 @@
+"""MP2 header parsing + stream-health verification (eti/mp2.py,
+eti2audio --verify)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+from dabtools_tpu.eti.mp2 import (
+    Mp2HealthChecker,
+    build_mp2_header,
+    parse_mp2_header,
+)
+
+
+def test_header_roundtrip_all_dab_rates():
+    for kbps in (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+                 320, 384):
+        h = parse_mp2_header(build_mp2_header(kbps))
+        assert h is not None
+        assert (h.version, h.bitrate_kbps, h.sample_rate) == (1, kbps,
+                                                              48000)
+        assert h.frame_bytes == 3 * kbps      # 24 ms at 48 kHz, no padding
+    # MPEG-2 LSF half-rate DAB variant
+    h = parse_mp2_header(build_mp2_header(64, sample_rate=24000))
+    assert h is not None and h.version == 2 and h.sample_rate == 24000
+    # no Layer II index for this rate
+    assert build_mp2_header(72) is None
+
+
+def test_parse_rejects_non_layer2():
+    assert parse_mp2_header(b"\x00\x00\x00\x00") is None
+    assert parse_mp2_header(b"\xff\xfb\x90\x00") is None    # Layer III
+    assert parse_mp2_header(b"\xff\xfd\x00\x00") is None    # free bitrate
+
+
+def test_health_checker_clean_and_corrupt():
+    hdr = build_mp2_header(64)
+    frame = bytearray(hdr) + bytes(3 * 64 - 4)
+    chk = Mp2HealthChecker()
+    for _ in range(20):       # arbitrary chunking must not matter
+        chk.feed(bytes(frame[:100]))
+        chk.feed(bytes(frame[100:]))
+    s = chk.stats
+    assert s["frames"] == 20 and s["resyncs"] == 0
+    assert s["bitrate_kbps"] == 64 and s["dab_legal"]
+    assert "[healthy]" in chk.summary()
+
+    # shred one frame's header: the checker resyncs and keeps counting
+    chk2 = Mp2HealthChecker()
+    stream = bytes(frame) * 8
+    stream = stream[: 3 * 64 * 3] + b"\x00" * 4 + stream[3 * 64 * 3 + 4:]
+    chk2.feed(stream)
+    assert chk2.stats["frames"] >= 6
+    assert chk2.stats["resyncs"] >= 1
+    assert "resyncs" in chk2.summary()
+
+    # garbage-only input: no frames, no crash
+    chk3 = Mp2HealthChecker()
+    chk3.feed(np.random.default_rng(0).integers(
+        0, 256, 10_000, dtype=np.uint8).tobytes())
+    assert "no MP2 frames" in chk3.summary()
+
+
+def test_eti2audio_verify_on_dabmux_chain(tmp_path):
+    """dabmux filler audio now carries real Layer II framing; --verify
+    reports a healthy CBR stream end to end."""
+    cfg = tmp_path / "mux.json"
+    cfg.write_text(json.dumps({
+        "label": "VERIFY", "eid": "0x4321",
+        "services": [{"sid": "0x7001", "label": "AUD", "type": "mp2",
+                      "subch": {"id": 1, "start_cu": 0,
+                                "protection": "EEP-3A", "bitrate": 96}}],
+        "frames": 20,
+    }))
+    eti = tmp_path / "mux.eti"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dabmux", str(cfg),
+         "-o", str(eti)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    sj = tmp_path / "stats.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio", str(eti),
+         "--verify", "--stats-json", str(sj),
+         "-o", str(tmp_path / "out.mp2")],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert "MP2 health:" in r.stderr and "[healthy]" in r.stderr
+    rec = json.loads(sj.read_text())
+    # every logical frame is one 3*96-byte MP2 frame; all must parse
+    assert rec["mp2_health"]["frames"] == rec["mp2_bytes"] // (3 * 96) > 0
+    assert rec["mp2_health"]["bitrate_kbps"] == 96
+    assert rec["mp2_health"]["resyncs"] == 0
+    assert rec["mp2_health"]["dab_legal"] is True
