@@ -17,6 +17,41 @@ from dabtools_tpu.fic.fig import FigParser
 from dabtools_tpu.utils.crc import crc16_ok
 
 
+def _sniff_payload(frames: list[bytes] | None, subch) -> str:
+    """Detect the codec actually riding a sub-channel from its first
+    frames and cross-check against the FIC-signalled capacity: MP2 by
+    per-frame Layer II headers, DAB+ by achieving superframe sync
+    (firecode + RS).  Empty string when nothing is recognizable (e.g.
+    packet data) — the signalled info stands alone then."""
+    if not frames:
+        return ""
+    from dabtools_tpu.eti.mp2 import parse_mp2_header
+    ok = [h for h in (parse_mp2_header(b) for b in frames)
+          if h is not None]
+    if len(ok) >= max(2, int(0.8 * len(frames))):
+        h = ok[-1]
+        # one MP2 frame must fill one 24 ms logical frame exactly; a
+        # parseable header at the wrong rate is a mux-configuration bug
+        note = ("" if h.bitrate_kbps == subch.bitrate_kbps
+                and h.frame_bytes == len(frames[-1])
+                else f" [MISMATCH vs signalled {subch.bitrate_kbps}]")
+        return (f" — payload: MP2 {h.bitrate_kbps} kbit/s "
+                f"{h.sample_rate // 1000} kHz {h.mode}{note}")
+    try:
+        from dabtools_tpu.eti.dabplus import SuperframeDecoder
+        dec = SuperframeDecoder(len(frames[0]) // 3)
+        aus = []
+        for b in frames:
+            aus += dec.feed(b)
+        if dec.stats["superframes"]:
+            good = sum(a.crc_ok for a in aus)
+            return (f" — payload: DAB+ superframes "
+                    f"({good}/{len(aus)} AU CRCs pass)")
+    except Exception:  # noqa: BLE001 — sniffing must never break etiinfo
+        pass
+    return ""
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="etiinfo", description=__doc__)
     p.add_argument("input", help="ETI file, or '-' for stdin")
@@ -38,6 +73,8 @@ def main(argv=None) -> int:
     tist_seen = tist_jumps = 0
     last_fct = last_tist = None
     stream_layout = None
+    SNIFF_FRAMES = 25               # payload-codec sniff window (bounded)
+    sniff: dict[int, list[bytes]] = {}
     try:
         while True:
             chunk = f.read(1 << 20)
@@ -65,6 +102,9 @@ def main(argv=None) -> int:
                         fig.feed_fib(fib)
                     else:
                         fib_bad += 1
+                if n <= SNIFF_FRAMES:
+                    for sc, s in frame.streams.items():
+                        sniff.setdefault(sc, []).append(s.data)
                 layout = tuple(sorted(
                     (s.subchid, s.sad_words, s.stl_words, s.tpl)
                     for s in frame.streams.values()))
@@ -122,7 +162,8 @@ def main(argv=None) -> int:
             print(f"  subch {s.subchid:2d}: CU {s.start_cu:3d}+{s.size_cus:<3d}"
                   f" {s.protection_type}-{s.protection_level}"
                   f"{s.eep_option if s.protection_type == 'EEP' else ''}"
-                  f" {s.bitrate_kbps} kbit/s")
+                  f" {s.bitrate_kbps} kbit/s"
+                  f"{_sniff_payload(sniff.get(s.subchid), s)}")
         from dabtools_tpu.tables.meta import (language_name,
                                               programme_type_name)
         for svc in ens.services:

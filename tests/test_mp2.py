@@ -94,3 +94,68 @@ def test_eti2audio_verify_on_dabmux_chain(tmp_path):
     assert rec["mp2_health"]["bitrate_kbps"] == 96
     assert rec["mp2_health"]["resyncs"] == 0
     assert rec["mp2_health"]["dab_legal"] is True
+
+
+def test_etiinfo_sniffs_payload_codecs(tmp_path):
+    """etiinfo detects MP2 vs DAB+ from the payload itself and flags a
+    bitrate mismatch against the FIC-signalled capacity."""
+    cfg = tmp_path / "mux.json"
+    cfg.write_text(json.dumps({
+        "label": "SNIFF", "eid": "0x4323",
+        "services": [
+            {"sid": "0x7001", "label": "AUD", "type": "mp2",
+             "subch": {"id": 1, "start_cu": 0,
+                       "protection": "EEP-3A", "bitrate": 96}},
+            {"sid": "0x7002", "label": "PLUS", "type": "dab+",
+             "subch": {"id": 2, "start_cu": 80,
+                       "protection": "EEP-3A", "bitrate": 88}},
+        ],
+        "frames": 16,
+    }))
+    eti = tmp_path / "mux.eti"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dabmux", str(cfg),
+         "-o", str(eti)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.etiinfo", str(eti)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    sub1 = next(l for l in r.stdout.splitlines() if l.strip()
+                .startswith("subch  1"))
+    sub2 = next(l for l in r.stdout.splitlines() if l.strip()
+                .startswith("subch  2"))
+    assert "payload: MP2 96 kbit/s 48 kHz" in sub1 and "MISMATCH" not in sub1
+    assert "payload: DAB+ superframes" in sub2
+
+    # signalled-vs-carried mismatch: re-mux subch 1's bytes behind a FIC
+    # claiming 96k while the frames carry 64k MP2 headers
+    from dabtools_tpu.eti.mp2 import build_mp2_header
+    from dabtools_tpu.eti.assemble import EtiAssembler
+    from dabtools_tpu.fic.config import Ensemble, Service, ServiceComponent, Subchannel
+    from dabtools_tpu.fic.fig import build_fibs_for_ensemble
+    ens = Ensemble(eid=0x4324, label="LIAR",
+                   subchannels=(Subchannel.eep(1, 0, 3, "A", 96),),
+                   services=(Service(sid=0x7003, label="X", components=(
+                       ServiceComponent(tmid=0, subchid=1),)),))
+    frame96 = bytearray(np.zeros(3 * 96, np.uint8))
+    frame96[:4] = build_mp2_header(64)   # wrong rate for a 96k slot...
+    # ...but pad to a full bogus "64k" cadence inside the 96k frame so
+    # headers repeat at 192-byte spacing: etiinfo sees valid 64k headers
+    frame96[3 * 64: 3 * 64 + 4] = build_mp2_header(64)
+    asm = EtiAssembler(ens)
+    eti2 = b"".join(
+        asm.frame([f.tobytes() for f in build_fibs_for_ensemble(ens, k // 4)
+                   [3 * (k % 4): 3 * (k % 4) + 3]],
+                  {1: bytes(frame96)})
+        for k in range(16))
+    (tmp_path / "liar.eti").write_bytes(eti2)
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.etiinfo",
+         str(tmp_path / "liar.eti")],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    sub1 = next(l for l in r.stdout.splitlines() if l.strip()
+                .startswith("subch  1"))
+    assert "MISMATCH vs signalled 96" in sub1
