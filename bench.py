@@ -103,7 +103,7 @@ def _wait_for_relay():
         try:
             if subprocess.run([sys.executable, "-c", _PROBE_SRC],
                               capture_output=True,
-                              timeout=90).returncode == 0:
+                              timeout=150).returncode == 0:
                 if time.time() - t0 > 5:
                     log(f"# waited {time.time() - t0:.0f}s for a good "
                         f"relay window")
@@ -413,7 +413,7 @@ def _extras(ens, n_frames, rng, rt1):
         try:
             return subprocess.run(
                 [sys.executable, "-c", _PROBE_SRC], capture_output=True,
-                timeout=90).returncode == 0
+                timeout=150).returncode == 0
         except subprocess.TimeoutExpired:
             return False
 
