@@ -87,7 +87,7 @@ def log(msg):
     _persist(msg)
 
 
-def _wait_for_relay():
+def _wait_for_relay(budget: float | None = None):
     """Don't START inside a relay bad window (observed lasting 60+ min):
     probe compile+transfer+fetch in FRESH subprocesses (a wedged process
     proves nothing about a new one) and wait up to DABTOOLS_WEATHER_WAIT
@@ -97,7 +97,8 @@ def _wait_for_relay():
     import subprocess
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return                     # CPU run: no relay in the path
-    budget = float(os.environ.get("DABTOOLS_WEATHER_WAIT", 600))
+    if budget is None:
+        budget = float(os.environ.get("DABTOOLS_WEATHER_WAIT", 600))
     t0 = time.time()
     while time.time() - t0 < budget:
         try:
@@ -139,17 +140,6 @@ def main():
     from dabtools_tpu.ops.fec import init_deinterleave_ring
 
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    quick = "--quick" in sys.argv
-    if "--once" not in sys.argv:   # subprocess runs inherit a good window
-        # Top-level run: start a fresh partial artifact (subprocesses
-        # append to it via log()).
-        try:
-            with open(_PARTIAL_PATH, "w") as f:
-                f.write(f"{time.strftime('%Y-%m-%dT%H:%M:%S')} "
-                        f"# bench run start: argv={sys.argv[1:]}\n")
-        except OSError:
-            pass
-        _wait_for_relay()
     profile_dir = None
     if "--profile" in sys.argv:      # device timeline (SURVEY.md s5.1)
         profile_dir = "/tmp/dabtools_profile"
@@ -256,24 +246,101 @@ def main():
     log(f"# [config 1] full-ensemble decode: {t * 1e3:.2f} ms/block "
         f"(sustained), {samples / t / 1e6:.0f} Msamples/s, "
         f"{rt:.0f}x real-time")
-    rt16 = rt
 
-    if not quick and "--section" not in sys.argv and "--once" not in sys.argv:
-        # Throughput-optimal operating point: 64-frame blocks amortize
-        # dispatch/sync overhead ~3x over the 16-frame low-latency point
-        # (both are sustained numbers on the same chain; only the block
-        # size differs).  The headline reports the BEST sustained
-        # operating point.  ONE hard-timeout subprocess attempt: the
-        # headline JSON must land within ~3 min of the first successful
-        # measurement (VERDICT r2 item 1b — rounds 1+2 both died at the
-        # driver's rc=124 with nothing on stdout).
-        import subprocess
+    # Print the headline NOW — before the inline bit-exactness fetch: if
+    # anything later fails, the JSON line is already on stdout for the
+    # orchestrator (or the driver) to parse.
+    print(json.dumps({
+        "metric": "realtime_multiple_full_ensemble_per_chip",
+        "value": round(rt, 2),
+        "unit": "x_realtime_2.048Msps",
+        "vs_baseline": round(rt, 2),
+    }), flush=True)
+
+    # Hardware bit-exactness riding the ALREADY-COMPILED, already-
+    # measured headline program on the already-transferred input
+    # (VERDICT r1 item 1): one more execution + one ~250 KB fetch, so
+    # this evidence cannot be lost to a fresh compile or a big
+    # transfer hitting relay weather.  The separate [closedloop]
+    # section still exercises full DabReceiver orchestration on HW.
+    try:
+        out, _, _ = call_with_retries(step, x, rings, cif)
+        out = call_with_retries(jax.device_get, out)
+        _check_closedloop_inline(out, payload, n_frames)
+    except Exception as e:  # noqa: BLE001 — never cost the headline
+        log(f"# [closedloop-inline] SKIPPED ({str(e)[:120]})")
+
+    if profile_dir:
+        jax.profiler.stop_trace()
+        log(f"# profiler trace written to {profile_dir} (Perfetto/XProf)")
+
+
+def orchestrate():
+    """Top-level run: every device-touching measurement happens in a
+    FRESH subprocess, because this machine's relay wedges CLIENTS, not
+    just windows (a wedged process returns UNIMPLEMENTED for everything
+    — even cached programs — while fresh processes work fine).  The
+    orchestrator itself never touches the device, so it can never wedge,
+    and each headline attempt gets a brand-new relay client.  The
+    on-disk compile cache makes every attempt after the first cheap."""
+    import subprocess
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    quick = "--quick" in sys.argv
+    n_frames = int(args[0]) if args else 16
+    try:
+        with open(_PARTIAL_PATH, "w") as f:
+            f.write(f"{time.strftime('%Y-%m-%dT%H:%M:%S')} "
+                    f"# bench run start: argv={sys.argv[1:]}\n")
+    except OSError:
+        pass
+    _wait_for_relay()
+
+    extra = [a for a in ("--profile",) if a in sys.argv]
+    child_cmd = [sys.executable, __file__, str(n_frames), "--quick",
+                 "--once", *extra]
+
+    def run_child(cmd, timeout):
+        """Run one measurement child; relay its '# ' stderr lines (it
+        already persisted them itself) and return its parsed headline."""
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout)
+        for line in r.stderr.splitlines():
+            if line.startswith("# "):
+                print(line, file=sys.stderr, flush=True)
+        if r.returncode == 3:
+            # accelerator backend unavailable: retrying cannot help
+            log("# FATAL: child reports no accelerator; giving up")
+            sys.exit(3)
+        return float(json.loads(r.stdout.strip().splitlines()[-1])["value"])
+
+    rt16 = None
+    t_start = time.time()
+    budget = float(os.environ.get("DABTOOLS_HEADLINE_BUDGET", "2400"))
+    attempt = 0
+    while rt16 is None and time.time() - t_start < budget:
+        attempt += 1
         try:
-            r = subprocess.run(
-                [sys.executable, __file__, "64", "--quick", "--once"],
-                capture_output=True, text=True, timeout=240)
-            rt2 = float(json.loads(r.stdout.strip().splitlines()[-1])
-                        ["value"])
+            rt16 = run_child(child_cmd, timeout=420)
+        except Exception as e:  # noqa: BLE001
+            log(f"# headline attempt {attempt} (fresh process) failed "
+                f"({str(e)[:90]}); probing for the next window")
+            _wait_for_relay(300)
+    if rt16 is None:
+        log("# FATAL: headline unmeasurable (relay bad through "
+            f"{attempt} fresh-process attempts / {budget:.0f}s); "
+            "no number to report")
+        sys.exit(2)
+
+    rt = rt16
+    if not quick:
+        # Throughput-optimal operating point: 64-frame blocks amortize
+        # dispatch/sync overhead ~3x over the 16-frame low-latency
+        # point; the headline reports the BEST sustained operating
+        # point.  One hard-timeout attempt — the headline JSON must
+        # land within minutes of the first success (VERDICT r2 1b).
+        try:
+            rt2 = run_child([sys.executable, __file__, "64", "--quick",
+                             "--once"], timeout=300)
             log(f"# [config 1b] 64-frame blocks: {rt2:.0f}x real-time "
                 f"(6.1 s latency operating point)")
             if rt2 > rt:
@@ -283,9 +350,6 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"# [config 1b] 64-frame SKIPPED: {str(e)[:120]}")
 
-    # Print the headline NOW — before the inline bit-exactness fetch, the
-    # stability re-measurements, and the extras: if the driver's budget
-    # expires at any later point, the JSON line is already on stdout.
     print(json.dumps({
         "metric": "realtime_multiple_full_ensemble_per_chip",
         "value": round(rt, 2),
@@ -296,20 +360,6 @@ def main():
                                    "per_chip", "value": round(rt, 2)}))
 
     if not quick:
-        # Hardware bit-exactness riding the ALREADY-COMPILED, already-
-        # measured headline program on the already-transferred input
-        # (VERDICT r1 item 1): one more execution + one ~250 KB fetch, so
-        # this evidence cannot be lost to a fresh compile or a big
-        # transfer hitting relay weather.  The separate [closedloop]
-        # section still exercises full DabReceiver orchestration on HW.
-        try:
-            out, _, _ = call_with_retries(step, x, rings, cif)
-            out = call_with_retries(jax.device_get, out)
-            _check_closedloop_inline(out, payload, n_frames)
-        except Exception as e:  # noqa: BLE001 — never cost the headline
-            log(f"# [closedloop-inline] SKIPPED ({str(e)[:120]})")
-
-    if not quick and "--section" not in sys.argv and "--once" not in sys.argv:
         # The compile relay serves differently-optimized executables per
         # process (observed 2x spread); record the spread of three
         # independent 16-frame process measurements (stderr + partial
@@ -317,23 +367,12 @@ def main():
         rts = [rt16]
         for _ in range(2):
             try:
-                r = subprocess.run(
-                    [sys.executable, __file__, str(n_frames), "--quick",
-                     "--once"],
-                    capture_output=True, text=True, timeout=300)
-                rts.append(json.loads(r.stdout.strip().splitlines()[-1])
-                           ["value"])
+                rts.append(run_child(child_cmd, timeout=300))
             except Exception:  # noqa: BLE001
                 pass
         log(f"# [config 1] per-process spread (16-frame): "
             f"{[round(v) for v in rts]} (median {np.median(rts):.0f}x)")
-
-    if not quick:
-        _extras(ens, n_frames, rng, rt)
-
-    if profile_dir:
-        jax.profiler.stop_trace()
-        log(f"# profiler trace written to {profile_dir} (Perfetto/XProf)")
+        _extras(None, n_frames, None, rt)
 
 
 # Priority order under the wall-clock budget: hardware bit-exactness
@@ -702,4 +741,7 @@ if __name__ == "__main__":
     if "--section" in sys.argv:
         name = sys.argv[sys.argv.index("--section") + 1]
         sys.exit(run_section(name))
-    main()
+    if "--once" in sys.argv:
+        main()           # one in-process measurement (orchestrator child)
+    else:
+        orchestrate()    # top level: device work only in fresh children
