@@ -372,7 +372,7 @@ def orchestrate():
                 pass
         log(f"# [config 1] per-process spread (16-frame): "
             f"{[round(v) for v in rts]} (median {np.median(rts):.0f}x)")
-        _extras(None, n_frames, None, rt)
+        _extras()
 
 
 # Priority order under the wall-clock budget: hardware bit-exactness
@@ -407,7 +407,7 @@ d = jax.device_put(np.zeros(1 << 25, np.uint8)); d.block_until_ready()
 """
 
 
-def _extras(ens, n_frames, rng, rt1):
+def _extras():
     """Each section runs in its OWN subprocess: this machine's TPU relay
     wedges a process after a handful of fresh compiles, and a fresh
     process gets a fresh budget.  A section failure can never cost the

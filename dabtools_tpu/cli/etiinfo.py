@@ -28,15 +28,23 @@ def _sniff_payload(frames: list[bytes] | None, subch) -> str:
     from dabtools_tpu.eti.mp2 import parse_mp2_header
     ok = [h for h in (parse_mp2_header(b) for b in frames)
           if h is not None]
-    if len(ok) >= max(2, int(0.8 * len(frames))):
+    # Full-rate (48 kHz MPEG-1) audio has a header on EVERY 24 ms logical
+    # frame; half-rate (24 kHz MPEG-2 LSF) frames span TWO logical frames
+    # so only ~half carry one.  Thresholds per family, version-majority.
+    lsf = ok and sum(h.version == 2 for h in ok) > len(ok) // 2
+    need = int((0.4 if lsf else 0.8) * len(frames))
+    if len(ok) >= max(2, need):
         h = ok[-1]
-        # one MP2 frame must fill one 24 ms logical frame exactly; a
-        # parseable header at the wrong rate is a mux-configuration bug
+        # an MP2 frame must fill exactly 1 (full-rate) or 2 (LSF) logical
+        # frames; a parseable header at the wrong rate/cadence is a
+        # mux-configuration bug
+        span = 2 if h.version == 2 else 1
         note = ("" if h.bitrate_kbps == subch.bitrate_kbps
-                and h.frame_bytes == len(frames[-1])
+                and h.frame_bytes == span * len(frames[-1])
                 else f" [MISMATCH vs signalled {subch.bitrate_kbps}]")
         return (f" — payload: MP2 {h.bitrate_kbps} kbit/s "
-                f"{h.sample_rate // 1000} kHz {h.mode}{note}")
+                f"{h.sample_rate // 1000} kHz {h.mode}"
+                f"{' LSF' if h.version == 2 else ''}{note}")
     try:
         from dabtools_tpu.eti.dabplus import SuperframeDecoder
         dec = SuperframeDecoder(len(frames[0]) // 3)

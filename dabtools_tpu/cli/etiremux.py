@@ -116,7 +116,10 @@ def main(argv=None) -> int:
                 return
             keep = (set(args.keep) if args.keep is not None
                     else {s.subchid for s in full.subchannels} - args.drop)
-            ens = filter_ensemble(full, keep)
+            try:
+                ens = filter_ensemble(full, keep)
+            except ValueError as e:
+                p.error(str(e))     # e.g. --keep id absent from the mux
             if not ens.subchannels:
                 p.error("no sub-channels left after filtering")
             log.info("keeping %d/%d sub-channels (%s), %d/%d services",
@@ -125,14 +128,20 @@ def main(argv=None) -> int:
             st["ens"], st["asm"] = ens, EtiAssembler(ens)
         ens, asm = st["ens"], st["asm"]
         kept = [s.subchid for s in ens.subchannels]
+        from dabtools_tpu.eti.assemble import ERR_LADDER
         while buf:
             fr = buf.pop(0)
             n = st["n_out"]
+            # One FIB-carousel build per transmission frame, not per CIF
+            # (the builder returns the whole frame's n_fibs at once).
+            tx = n // mode.n_cifs
+            if st.get("fib_tx") != tx:
+                st["fib_tx"], st["fib_frame"] = tx, build_fibs_for_ensemble(
+                    ens, tx)
             fibs = [np.asarray(fb).tobytes() for fb in
-                    build_fibs_for_ensemble(
-                        ens, n // mode.n_cifs)[
-                        fibs_per_cif * (n % mode.n_cifs):
-                        fibs_per_cif * (n % mode.n_cifs) + fibs_per_cif]]
+                    st["fib_frame"][fibs_per_cif * (n % mode.n_cifs):
+                                    fibs_per_cif * (n % mode.n_cifs)
+                                    + fibs_per_cif]]
             data = {}
             for sc in kept:
                 if sc in fr.streams:
@@ -141,7 +150,6 @@ def main(argv=None) -> int:
                     data[sc] = bytes(ens.subchannel(sc).data_bytes)
             # Propagate the input frame's error severity (invert the
             # ERR ladder: 0xFF = error-free ... 0x00 = unusable).
-            from dabtools_tpu.eti.assemble import ERR_LADDER
             level = min((lv for lv, b in enumerate(ERR_LADDER)
                          if fr.err >= b), default=3)
             out.write(asm.frame(fibs, data, error_level=level))

@@ -110,12 +110,20 @@ class Mp2HealthChecker:
         self._buf += data
         self.stats["bytes"] += len(data)
         while True:
+            if len(self._buf) < 4:
+                return               # too short to judge — wait, don't drop
             hdr = parse_mp2_header(self._buf)
             if hdr is None:
                 # hunt for the next syncword (lost alignment)
                 pos = self._buf.find(b"\xff", 1)
                 if pos < 0:
                     self._buf.clear()
+                    return
+                if len(self._buf) - pos < 4:
+                    # candidate header straddles the chunk boundary: keep
+                    # it pending (discarding here corrupted the verdict
+                    # for callers feeding <4-byte-aligned chunks)
+                    del self._buf[:pos]
                     return
                 if parse_mp2_header(self._buf, pos) is None:
                     del self._buf[:pos + 1]

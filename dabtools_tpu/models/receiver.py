@@ -405,7 +405,8 @@ class DabReceiver:
         # TIST phase continues across (re)activations: frame N of the ETI
         # output corresponds to received CIF N, 24 ms apart.  The epoch
         # depends on the configured time source (see __init__).
-        if not self._tist_enabled:
+        # Identity checks, not truthiness: epoch 0.0 is a valid anchor.
+        if self._tist_enabled is False or self._tist_enabled is None:
             tist_start = None
         elif self._tist_enabled is True:
             tist_start = (int(self._cif_count) * 24e-3) % 1.0

@@ -159,3 +159,46 @@ def test_etiinfo_sniffs_payload_codecs(tmp_path):
     sub1 = next(l for l in r.stdout.splitlines() if l.strip()
                 .startswith("subch  1"))
     assert "MISMATCH vs signalled 96" in sub1
+
+
+def test_health_checker_chunk_boundaries():
+    """Byte-dribble feeding (headers straddling chunk boundaries) must
+    not fabricate resyncs or drop frames (review r3 finding)."""
+    hdr = build_mp2_header(64)
+    stream = (bytes(hdr) + bytes(3 * 64 - 4)) * 5
+    for step in (1, 2, 3, 5, 7):
+        chk = Mp2HealthChecker()
+        for i in range(0, len(stream), step):
+            chk.feed(stream[i:i + step])
+        assert chk.stats["frames"] == 5, (step, chk.stats)
+        assert chk.stats["resyncs"] == 0, (step, chk.stats)
+
+
+def test_etiinfo_sniffs_lsf_half_rate(tmp_path):
+    """24 kHz MPEG-2 LSF MP2 spans two logical frames; the sniffer must
+    still detect it (review r3 finding)."""
+    from dabtools_tpu.eti.assemble import EtiAssembler
+    from dabtools_tpu.fic.config import Ensemble, Service, ServiceComponent, Subchannel
+    from dabtools_tpu.fic.fig import build_fibs_for_ensemble
+    ens = Ensemble(eid=0x4325, label="LSF",
+                   subchannels=(Subchannel.eep(1, 0, 3, "A", 64),),
+                   services=(Service(sid=0x7004, label="HALF", components=(
+                       ServiceComponent(tmid=0, subchid=1),)),))
+    mp2 = bytearray(build_mp2_header(64, sample_rate=24000))
+    mp2 += bytes(6 * 64 - 4)          # one 48 ms LSF frame = 2 logical rows
+    asm = EtiAssembler(ens)
+    eti = b"".join(
+        asm.frame([f.tobytes() for f in build_fibs_for_ensemble(ens, k // 4)
+                   [3 * (k % 4): 3 * (k % 4) + 3]],
+                  {1: bytes(mp2[(k % 2) * 192:(k % 2) * 192 + 192])})
+        for k in range(16))
+    (tmp_path / "lsf.eti").write_bytes(eti)
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.etiinfo",
+         str(tmp_path / "lsf.eti")],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    sub1 = next(l for l in r.stdout.splitlines() if l.strip()
+                .startswith("subch  1"))
+    assert "payload: MP2 64 kbit/s 24 kHz" in sub1 and "LSF" in sub1
+    assert "MISMATCH" not in sub1

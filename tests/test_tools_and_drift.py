@@ -110,3 +110,13 @@ def test_tist_external_epoch():
     for k in range(1, len(frames)):
         assert (frames[k].tist - frames[k - 1].tist) % 16_384_000 \
             == TIST_TICKS_PER_FRAME
+
+
+def test_tist_epoch_zero_is_a_valid_anchor():
+    """tist=0.0 means 'sample 0 is exactly on a UTC second', not 'TIST
+    off' (review r3 finding: falsy-float bug)."""
+    ens = build_ensemble()
+    x, _ = modulate(ens, 10, seed=12)
+    rx = DabReceiver(n_frames=4, tist=0.0)
+    frames = list(EtiParser().feed(b"".join(rx.feed(x))))
+    assert frames and all(f.tist is not None for f in frames)
