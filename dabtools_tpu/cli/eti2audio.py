@@ -85,6 +85,38 @@ def _write_stats(args, rec: dict) -> None:
     log.info("stats written to %s", args.stats_json)
 
 
+def _iter_eti_chunks(f, mode):
+    """Yield ETI byte chunks from ``f``, transparently transcoding EDI
+    captures: the first two bytes identify plain AF framing (``AF``) or
+    PFT fragmentation (``PF``); anything else streams through untouched
+    and lands in the normal ETI resync path."""
+    first = f.read(1 << 20)
+    if not first:
+        return
+    if first[:2] in (b"AF", b"PF"):
+        from dabtools_tpu.eti.edi import EdiToEti
+        conv = EdiToEti(mode=mode)
+        log.info("EDI input detected (%s); transcoding to ETI",
+                 "PFT-fragmented" if first[:2] == b"PF" else "AF")
+        yield conv.feed(first)
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            yield conv.feed(chunk)
+        yield conv.flush()
+        if conv.stats["oversized"]:
+            log.warning("%d oversized EDI frames skipped",
+                        conv.stats["oversized"])
+        return
+    yield first
+    while True:
+        chunk = f.read(1 << 20)
+        if not chunk:
+            break
+        yield chunk
+
+
 def _extract_all(args, f, parser, fig) -> int:
     """One-pass whole-mux extraction (``--all DIR``): every audio service
     to its own elementary-stream file, every packet data service's MOT
@@ -195,10 +227,7 @@ def _extract_all(args, f, parser, fig) -> int:
             for fr in history:
                 feed_one(s, fr)
 
-    while True:
-        chunk = f.read(1 << 20)
-        if not chunk:
-            break
+    for chunk in _iter_eti_chunks(f, parser.mode):
         for frame in parser.feed(chunk):
             n_frames += 1
             for i in range(0, len(frame.fic), 32):
@@ -319,10 +348,7 @@ def main(argv=None) -> int:
     if args.list:
         # FIC-only scan: no frame retention at all.
         n_frames = 0
-        while True:
-            chunk = f.read(1 << 20)
-            if not chunk:
-                break
+        for chunk in _iter_eti_chunks(f, parser.mode):
             for frame in parser.feed(chunk):
                 n_frames += 1
                 for i in range(0, len(frame.fic), 32):
@@ -577,10 +603,7 @@ def main(argv=None) -> int:
 
     pending: list = []
     overflowed = False
-    while True:
-        chunk = f.read(1 << 20)
-        if not chunk:
-            break
+    for chunk in _iter_eti_chunks(f, parser.mode):
         for frame in parser.feed(chunk):
             stats["frames"] += 1
             for i in range(0, len(frame.fic), 32):

@@ -542,3 +542,46 @@ class PftReassembler:
         self._last_emitted = pseq
         data = m[:, :k].reshape(-1).tobytes()
         return [data[: c * k - z]]
+
+
+class EdiToEti:
+    """Transparent EDI -> ETI(NI) byte transcoder for consumers that
+    want ETI regardless of capture flavor (``eti2audio``/``etiinfo``
+    auto-detect: first two bytes ``AF`` = plain AF framing, ``PF`` =
+    PFT-fragmented).  Oversized frames are skipped, never fatal; counts
+    in ``stats``."""
+
+    def __init__(self, mode=None, dest: int | None = None):
+        from dabtools_tpu import constants as C
+        self._reader = EdiReader(mode=mode or C.MODE_I)
+        self._pft: PftReassembler | None = None
+        self._dest = dest
+        self._first = True
+        self.stats = {"frames": 0, "oversized": 0}
+
+    def _convert(self, frames) -> bytes:
+        out = []
+        for frame in frames:
+            try:
+                out.append(self._reader.to_eti_bytes(frame))
+                self.stats["frames"] += 1
+            except ValueError:
+                self.stats["oversized"] += 1
+        return b"".join(out)
+
+    def feed(self, chunk: bytes) -> bytes:
+        if self._first:
+            self._first = False
+            if chunk[:2] == PFT_SYNC:
+                self._pft = PftReassembler(dest=self._dest)
+        if self._pft is not None:
+            chunk = b"".join(self._pft.feed(chunk))
+        return self._convert(self._reader.feed(chunk))
+
+    def flush(self) -> bytes:
+        if self._pft is None:
+            return b""
+        out = []
+        for af in self._pft.flush():
+            out.append(self._convert(self._reader.feed(af)))
+        return b"".join(out)

@@ -484,3 +484,44 @@ def test_eti_parser_quarantines_corrupt_header():
     assert len(frames) == 2
     assert not frames[0].header_crc_ok and frames[0].streams == {}
     assert frames[1].header_crc_ok and 1 in frames[1].streams
+
+
+@pytest.mark.parametrize("pft", [False, True])
+def test_eti2audio_accepts_edi_input(tmp_path, pft):
+    """eti2audio auto-detects EDI input (AF or PFT framing) and extracts
+    the same audio bytes as from the equivalent ETI file."""
+    import json
+    cfg = tmp_path / "mux.json"
+    cfg.write_text(json.dumps({
+        "label": "EDIIN", "eid": "0x4326",
+        "services": [{"sid": "0x7005", "label": "AUD", "type": "mp2",
+                      "subch": {"id": 1, "start_cu": 0,
+                                "protection": "EEP-3A", "bitrate": 64}}],
+        "frames": 10,
+    }))
+    eti = tmp_path / "mux.eti"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dabmux", str(cfg),
+         "-o", str(eti)], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    edi = tmp_path / "mux.edi"
+    cmd = [sys.executable, "-m", "dabtools_tpu.cli.eti2edi", str(eti),
+           "-o", str(edi)]
+    if pft:
+        cmd[4:4] = ["--pft-mtu", "600"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+
+    def extract(path, out):
+        r = subprocess.run(
+            [sys.executable, "-m", "dabtools_tpu.cli.eti2audio",
+             str(path), "-o", str(out)],
+            capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr
+        return r.stderr
+
+    extract(eti, tmp_path / "ref.mp2")
+    err = extract(edi, tmp_path / "edi.mp2")
+    assert "EDI input detected" in err
+    ref = (tmp_path / "ref.mp2").read_bytes()
+    assert ref and (tmp_path / "edi.mp2").read_bytes() == ref
