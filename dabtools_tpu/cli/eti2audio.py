@@ -85,36 +85,7 @@ def _write_stats(args, rec: dict) -> None:
     log.info("stats written to %s", args.stats_json)
 
 
-def _iter_eti_chunks(f, mode):
-    """Yield ETI byte chunks from ``f``, transparently transcoding EDI
-    captures: the first two bytes identify plain AF framing (``AF``) or
-    PFT fragmentation (``PF``); anything else streams through untouched
-    and lands in the normal ETI resync path."""
-    first = f.read(1 << 20)
-    if not first:
-        return
-    if first[:2] in (b"AF", b"PF"):
-        from dabtools_tpu.eti.edi import EdiToEti
-        conv = EdiToEti(mode=mode)
-        log.info("EDI input detected (%s); transcoding to ETI",
-                 "PFT-fragmented" if first[:2] == b"PF" else "AF")
-        yield conv.feed(first)
-        while True:
-            chunk = f.read(1 << 20)
-            if not chunk:
-                break
-            yield conv.feed(chunk)
-        yield conv.flush()
-        if conv.stats["oversized"]:
-            log.warning("%d oversized EDI frames skipped",
-                        conv.stats["oversized"])
-        return
-    yield first
-    while True:
-        chunk = f.read(1 << 20)
-        if not chunk:
-            break
-        yield chunk
+from dabtools_tpu.eti.edi import iter_eti_chunks as _iter_eti_chunks  # noqa: E402
 
 
 def _extract_all(args, f, parser, fig) -> int:

@@ -83,11 +83,9 @@ def main(argv=None) -> int:
     stream_layout = None
     SNIFF_FRAMES = 25               # payload-codec sniff window (bounded)
     sniff: dict[int, list[bytes]] = {}
+    from dabtools_tpu.eti.edi import iter_eti_chunks
     try:
-        while True:
-            chunk = f.read(1 << 20)
-            if not chunk:
-                break
+        for chunk in iter_eti_chunks(f, parser.mode):
             for frame in parser.feed(chunk):
                 n += 1
                 err_counter[frame.err] += 1

@@ -585,3 +585,38 @@ class EdiToEti:
         for af in self._pft.flush():
             out.append(self._convert(self._reader.feed(af)))
         return b"".join(out)
+
+
+def iter_eti_chunks(f, mode=None):
+    """Yield ETI byte chunks from file-like ``f``, transparently
+    transcoding EDI captures: the first two bytes identify plain AF
+    framing (``AF``) or PFT fragmentation (``PF``); anything else
+    streams through untouched and lands in the caller's normal ETI
+    resync path.  Shared by eti2audio/etiinfo so every ETI consumer
+    accepts EDI files for free."""
+    import logging
+    log = logging.getLogger("dabtools_tpu.edi")
+    first = f.read(1 << 20)
+    if not first:
+        return
+    if first[:2] in (b"AF", PFT_SYNC):
+        conv = EdiToEti(mode=mode)
+        log.info("EDI input detected (%s); transcoding to ETI",
+                 "PFT-fragmented" if first[:2] == PFT_SYNC else "AF")
+        yield conv.feed(first)
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            yield conv.feed(chunk)
+        yield conv.flush()
+        if conv.stats["oversized"]:
+            log.warning("%d oversized EDI frames skipped",
+                        conv.stats["oversized"])
+        return
+    yield first
+    while True:
+        chunk = f.read(1 << 20)
+        if not chunk:
+            break
+        yield chunk
