@@ -209,9 +209,9 @@ def main(argv=None) -> int:
             st["n_tx"] += n
 
     n_in = 0
-    while st["n_tx"] != args.frames:
-        data = f.read(1 << 20)
-        if not data:
+    from dabtools_tpu.eti.edi import iter_eti_chunks
+    for data in iter_eti_chunks(f, mode):   # ETI, or EDI transcoded
+        if st["n_tx"] == args.frames:
             break
         for frame in parser.feed(data):
             n_in += 1

@@ -155,10 +155,8 @@ def main(argv=None) -> int:
             out.write(asm.frame(fibs, data, error_level=level))
             st["n_out"] += 1
 
-    while True:
-        data = f.read(1 << 20)
-        if not data:
-            break
+    from dabtools_tpu.eti.edi import iter_eti_chunks
+    for data in iter_eti_chunks(f, mode):   # ETI, or EDI transcoded
         for frame in parser.feed(data):
             st["n_in"] += 1
             for i in range(0, len(frame.fic), 32):
