@@ -109,12 +109,24 @@ class _Mp2Source:
     optional rotating X-PAD dynamic label (+ DL Plus tags)."""
 
     def __init__(self, frame_bytes: int, data: bytes | None, dls: str | None,
-                 rng, dlplus: dict | None = None):
+                 rng, dlplus: dict | None = None,
+                 sample_rate: int = 48000):
         self.frame_bytes = frame_bytes
         self.data = data or None
         self.rng = rng
+        self.sample_rate = sample_rate
         self.pos = 0
+        # Half-rate (24 kHz MPEG-2 LSF) audio frames span TWO 24 ms
+        # logical frames: stamp a header on even rows only.
+        self._lsf = sample_rate == 24000
+        self._row = 0
         self.groups = _label_groups(dls, dlplus)
+        if self._lsf and self.groups is not None:
+            # F-PAD/X-PAD sit at the tail of each AUDIO frame; LSF audio
+            # frames span two logical frames, which the per-row DLS
+            # attachment here doesn't model.
+            raise SystemExit("dls/dlplus with sample_rate 24000 (LSF) is "
+                             "not supported; use 48 kHz for labels")
         self.n = 0
 
     def frame(self) -> bytes:
@@ -126,12 +138,16 @@ class _Mp2Source:
             row = bytearray(self.rng.integers(
                 0, 256, self.frame_bytes, dtype=np.uint8).tobytes())
             # Filler carries real Layer II framing (one header per 24 ms
-            # frame at 48 kHz) so downstream header checks/sniffers see a
-            # self-consistent elementary stream (eti2audio --verify).
+            # frame at 48 kHz, or per 48 ms frame pair at 24 kHz LSF) so
+            # downstream header checks/sniffers see a self-consistent
+            # elementary stream (eti2audio --verify).
             from dabtools_tpu.eti.mp2 import build_mp2_header
-            hdr = build_mp2_header(self.frame_bytes // 3)
-            if hdr is not None:
-                row[:4] = hdr
+            if not self._lsf or self._row % 2 == 0:
+                hdr = build_mp2_header(self.frame_bytes // 3,
+                                       sample_rate=self.sample_rate)
+                if hdr is not None:
+                    row[:4] = hdr
+            self._row += 1
         if self.groups is not None:
             from dabtools_tpu.eti.pad import (APP_DLS_START, attach_pad_mp2,
                                               build_xpad)
@@ -332,9 +348,10 @@ def main(argv=None) -> int:
                 components=(ServiceComponent(tmid=0, subchid=sub.subchid,
                                              ascty=0,
                                              label=comp_label),)))
-            sources[sub.subchid] = _Mp2Source(sub.data_bytes, data,
-                                              svc.get("dls"), rng,
-                                              dlplus=svc.get("dlplus"))
+            sources[sub.subchid] = _Mp2Source(
+                sub.data_bytes, data, svc.get("dls"), rng,
+                dlplus=svc.get("dlplus"),
+                sample_rate=int(svc.get("sample_rate", 48000)))
 
     # Ensemble-level service following: FIG 0/21 alternative frequencies
     # and FIG 0/6 linkage sets.

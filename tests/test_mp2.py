@@ -202,3 +202,40 @@ def test_etiinfo_sniffs_lsf_half_rate(tmp_path):
                 .startswith("subch  1"))
     assert "payload: MP2 64 kbit/s 24 kHz" in sub1 and "LSF" in sub1
     assert "MISMATCH" not in sub1
+
+
+def test_dabmux_lsf_half_rate_chain(tmp_path):
+    """dabmux 'sample_rate': 24000 generates MPEG-2 LSF framing (one
+    header per 48 ms frame pair); --verify and the etiinfo sniffer both
+    recognize it."""
+    cfg = tmp_path / "mux.json"
+    cfg.write_text(json.dumps({
+        "label": "LSFMUX", "eid": "0x4327",
+        "services": [{"sid": "0x7006", "label": "HALF", "type": "mp2",
+                      "sample_rate": 24000,
+                      "subch": {"id": 1, "start_cu": 0,
+                                "protection": "EEP-3A", "bitrate": 64}}],
+        "frames": 16,
+    }))
+    eti = tmp_path / "mux.eti"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dabmux", str(cfg),
+         "-o", str(eti)], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    sj = tmp_path / "stats.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio", str(eti),
+         "--verify", "--stats-json", str(sj),
+         "-o", str(tmp_path / "out.mp2")],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    rec = json.loads(sj.read_text())
+    assert rec["mp2_health"]["sample_rate"] == 24000
+    assert rec["mp2_health"]["resyncs"] == 0
+    assert rec["mp2_health"]["dab_legal"] is True
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.etiinfo", str(eti)],
+        capture_output=True, text=True, timeout=300)
+    sub1 = next(l for l in r.stdout.splitlines() if l.strip()
+                .startswith("subch  1"))
+    assert "24 kHz" in sub1 and "LSF" in sub1 and "MISMATCH" not in sub1
