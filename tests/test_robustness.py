@@ -89,3 +89,25 @@ def test_stats_jsonl(tmp_path):
         assert {"cif_count", "null_ratio", "cfo_carriers",
                 "fib_crc_ok"} <= set(rec)
     assert any(k.startswith("subch") for k in lines[-1])
+
+
+@pytest.mark.parametrize("cfo_hz", [2500.0, -3500.0, 1499.0])
+def test_half_carrier_cfo_boundary(cfo_hz):
+    """CFO at (or near) a half-carrier boundary: the fractional estimate
+    wraps to either side of +-0.5 and the PRS integer search must pick
+    the CONSISTENT bin (regression for the 1-carrier pairing error the
+    impaired-sharding tests exposed; fine_sync_prs now derotates the
+    fractional estimate before the template correlation)."""
+    ens = build_ensemble()
+    x, payload_bytes = modulate(ens, 12, seed=5)
+    rng = np.random.default_rng(7)
+    x = awgn(carrier_offset(x, cfo_hz), 18.0, rng)
+    rx = DabReceiver(n_frames=4)
+    eti = rx.feed(x)
+    assert rx.ensemble is not None
+    assert abs(rx.stats[-1].cfo_carriers - cfo_hz / 1000.0) < 0.05
+    frames = list(EtiParser().feed(b"".join(eti)))
+    assert frames
+    a = rx._activation_cif
+    for k, f in enumerate(frames):
+        assert f.subchannel_data(1) == payload_bytes[1][a + k].tobytes()
