@@ -145,10 +145,14 @@ def _extract_all(args, f, parser, fig) -> int:
             elif comp.tmid == 0:
                 ext = "aac" if comp.is_dabplus else "mp2"
                 path = outdir / f"{_safe_label(svc.label, svc.sid)}.{ext}"
+                check = None
+                if args.verify and not comp.is_dabplus:
+                    from dabtools_tpu.eti.mp2 import Mp2HealthChecker
+                    check = Mp2HealthChecker()
                 sinks[svc.sid] = {
                     "kind": "dab+" if comp.is_dabplus else "mp2",
                     "subchid": comp.subchid, "out": open(path, "wb"),
-                    "path": path, "dec": None, "count": 0}
+                    "path": path, "dec": None, "count": 0, "check": check}
             else:
                 continue
             new.append(svc.sid)
@@ -168,6 +172,8 @@ def _extract_all(args, f, parser, fig) -> int:
         if s["kind"] == "mp2":
             s["out"].write(d)
             s["count"] += len(d)
+            if s.get("check") is not None:
+                s["check"].feed(d)
         elif s["kind"] == "dab+":
             if s["dec"] is None:
                 s["dec"] = SuperframeDecoder(len(d) // 3)
@@ -241,6 +247,9 @@ def _extract_all(args, f, parser, fig) -> int:
         svc_stats[f"0x{sid:X}"] = {"kind": s["kind"], "count": s["count"]}
         if s["kind"] == "packet":
             svc_stats[f"0x{sid:X}"]["packet"] = s["pkt"].stats
+        if s.get("check") is not None and s["check"].stats["frames"]:
+            log.info("0x%X: MP2 health: %s", sid, s["check"].summary())
+            svc_stats[f"0x{sid:X}"]["mp2_health"] = s["check"].stats
     _write_stats(args, {"frames": n_frames, "services": svc_stats})
     return 0
 

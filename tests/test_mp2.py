@@ -239,3 +239,38 @@ def test_dabmux_lsf_half_rate_chain(tmp_path):
     sub1 = next(l for l in r.stdout.splitlines() if l.strip()
                 .startswith("subch  1"))
     assert "24 kHz" in sub1 and "LSF" in sub1 and "MISMATCH" not in sub1
+
+
+def test_verify_in_all_mode(tmp_path):
+    """--all --verify attaches a per-service MP2 health record."""
+    cfg = tmp_path / "mux.json"
+    cfg.write_text(json.dumps({
+        "label": "ALLVER", "eid": "0x4328",
+        "services": [
+            {"sid": "0x7007", "label": "A", "type": "mp2",
+             "subch": {"id": 1, "start_cu": 0,
+                       "protection": "EEP-3A", "bitrate": 64}},
+            {"sid": "0x7008", "label": "B", "type": "mp2",
+             "subch": {"id": 2, "start_cu": 48,
+                       "protection": "EEP-3A", "bitrate": 96}},
+        ],
+        "frames": 16,
+    }))
+    eti = tmp_path / "mux.eti"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dabmux", str(cfg),
+         "-o", str(eti)], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    sj = tmp_path / "stats.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.eti2audio", str(eti),
+         "--all", str(tmp_path / "out"), "--verify",
+         "--stats-json", str(sj)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    rec = json.loads(sj.read_text())
+    assert rec["services"]["0x7007"]["mp2_health"]["bitrate_kbps"] == 64
+    assert rec["services"]["0x7008"]["mp2_health"]["bitrate_kbps"] == 96
+    assert all(s["mp2_health"]["resyncs"] == 0
+               for s in rec["services"].values())
+    assert r.stderr.count("MP2 health:") == 2
