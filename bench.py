@@ -397,6 +397,12 @@ def orchestrate():
 # configs.
 SECTIONS = ("closedloop", "e2e", "rs", "batched", "channelizer", "kernels")
 
+# Sections whose evidence requires a device-to-host fetch (decoded bytes
+# compared on host, or a correctness assert on fetched bits).  "rs" and
+# "batched" time pure executions and can run in exec-OK/fetch-hanging
+# windows.
+NEEDS_FETCH = {"closedloop", "e2e", "channelizer", "kernels"}
+
 
 # The relay's FIRST device-to-host fetch in a process can stall ~5 min
 # on bad days (measured 281 s for 4 KB, instant afterwards); sections
@@ -481,10 +487,10 @@ def _extras():
         except subprocess.TimeoutExpired:
             return "timeout"
 
-    def relay_ok():
+    def relay_ok(probe=_PROBE_SRC):
         try:
             return subprocess.run(
-                [sys.executable, "-c", _PROBE_SRC], capture_output=True,
+                [sys.executable, "-c", probe], capture_output=True,
                 timeout=150).returncode == 0
         except subprocess.TimeoutExpired:
             return False
@@ -499,12 +505,24 @@ def _extras():
     pending = list(SECTIONS)
     attempts = {}
     while pending and time.time() - t0 < budget:
-        while not relay_ok():
-            if time.time() - t0 >= budget:
-                break
+        # Two weather tiers: exec-only (enough for fetch-free sections)
+        # and full fetch.  In an exec-OK/fetch-hanging window, run the
+        # fetch-free sections instead of burning their timeouts or
+        # sleeping (observed: hours-long windows where execution works
+        # but every D2H fetch hangs).
+        if not relay_ok(_PROBE_SRC_EXEC):
             log("# relay in a bad window (probe failed); waiting 60s")
             time.sleep(60)
-        name = pending.pop(0)
+            continue
+        fetch_ok = relay_ok()
+        name = next((n for n in pending
+                     if fetch_ok or n not in NEEDS_FETCH), None)
+        if name is None:
+            log("# only fetch-needing sections left and fetches hang; "
+                "waiting 60s")
+            time.sleep(60)
+            continue
+        pending.remove(name)
         err = run_one(name)
         if err is None:
             continue
@@ -521,13 +539,17 @@ def _extras():
 
 def run_section(name: str) -> int:
     from __graft_entry__ import _flagship_ensemble
-    # Pay the relay's first-fetch stall HERE, before any timed or
-    # correctness-checked work (it can take minutes on bad days).
-    t0 = time.perf_counter()
-    np.asarray(jax.jit(lambda: jnp.zeros(8))())
-    warm = time.perf_counter() - t0
-    if warm > 5:
-        log(f"# [{name}] first-fetch warmup took {warm:.0f}s (relay stall)")
+    if name in NEEDS_FETCH:
+        # Pay the relay's first-fetch stall HERE, before any timed or
+        # correctness-checked work (it can take minutes on bad days).
+        # Fetch-free sections skip this: their measurements are pure
+        # block_until_ready and must run even in fetch-hanging windows.
+        t0 = time.perf_counter()
+        np.asarray(jax.jit(lambda: jnp.zeros(8))())
+        warm = time.perf_counter() - t0
+        if warm > 5:
+            log(f"# [{name}] first-fetch warmup took {warm:.0f}s "
+                f"(relay stall)")
     ens = _flagship_ensemble()
     rng = np.random.default_rng(0)
     fn = {"closedloop": _extra_closedloop, "batched": _extra_batched,
