@@ -263,12 +263,31 @@ def main():
     # this evidence cannot be lost to a fresh compile or a big
     # transfer hitting relay weather.  The separate [closedloop]
     # section still exercises full DabReceiver orchestration on HW.
-    try:
-        out, _, _ = call_with_retries(step, x, rings, cif)
-        out = call_with_retries(jax.device_get, out)
-        _check_closedloop_inline(out, payload, n_frames)
-    except Exception as e:  # noqa: BLE001 — never cost the headline
-        log(f"# [closedloop-inline] SKIPPED ({str(e)[:120]})")
+    # The fetch runs under a watchdog: in fetch-hanging windows a
+    # device_get can block forever, and this child's measurement is
+    # already printed — better to exit promptly (daemon thread dies
+    # with the process) than eat the orchestrator's child timeout.
+    import threading
+    box: dict = {}
+
+    def _fetch():
+        try:
+            o, _, _ = step(x, rings, cif)
+            box["out"] = jax.device_get(o)
+        except Exception as e:  # noqa: BLE001
+            box["err"] = e
+
+    th = threading.Thread(target=_fetch, daemon=True)
+    th.start()
+    th.join(float(os.environ.get("DABTOOLS_FETCH_WATCHDOG", "75")))
+    if "out" in box:
+        try:
+            _check_closedloop_inline(box["out"], payload, n_frames)
+        except Exception as e:  # noqa: BLE001 — never cost the headline
+            log(f"# [closedloop-inline] SKIPPED ({str(e)[:120]})")
+    else:
+        log(f"# [closedloop-inline] SKIPPED "
+            f"({'fetch hung (watchdog)' if 'err' not in box else str(box['err'])[:100]})")
 
     if profile_dir:
         jax.profiler.stop_trace()
