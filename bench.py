@@ -490,7 +490,8 @@ def _extras():
                 timeout=_SECTION_TIMEOUT.get(name, 420))
             for line in r.stderr.splitlines():
                 if line.startswith("# ["):
-                    log(line)
+                    # child already persisted its lines; stderr-only here
+                    print(line, file=sys.stderr, flush=True)
             if r.returncode != 0:
                 tail = [l for l in r.stderr.strip().splitlines()
                         if l and not l.startswith("WARNING")]
