@@ -288,6 +288,19 @@ def main():
     else:
         log(f"# [closedloop-inline] SKIPPED "
             f"({'fetch hung (watchdog)' if 'err' not in box else str(box['err'])[:100]})")
+        # Fetch-free fallback: compare decoded payloads against the
+        # modulator's expected bytes ON DEVICE and read the one-bit
+        # verdict out through EXECUTION TIME — lax.cond picks a fast
+        # branch when every byte matches and a deliberately-slow branch
+        # (~2000 chained 64k FFTs, hundreds of ms) otherwise, so
+        # block_until_ready timing alone distinguishes the outcomes
+        # with no device-to-host data path involved.  Calibrated
+        # against a deliberately-corrupted expectation in the same run.
+        try:
+            _check_closedloop_timing(step, x, rings, cif, payload,
+                                     n_frames, C)
+        except Exception as e:  # noqa: BLE001
+            log(f"# [closedloop-timing] SKIPPED ({str(e)[:120]})")
 
     if profile_dir:
         jax.profiler.stop_trace()
@@ -635,6 +648,78 @@ def _check_closedloop_inline(out, payload, n_frames):
         f"(headline executable): {status} ({good}/{good + bad} payload "
         f"rows over {len(payload)} subchannels, {fibs_ok}/{fib.shape[0]} "
         f"FIB CRCs pass)")
+
+
+def _check_closedloop_timing(step, x, rings, cif, payload, n_frames, C):
+    """Fetch-free hardware bit-exactness: the payload comparison runs on
+    device, and the one-bit verdict is read out through execution time.
+
+    ``lax.cond(all_bytes_equal, fast, slow)`` — the slow branch is a
+    serial chain of 20k 64k-point FFTs (hundreds of ms; the decode
+    itself is ~0.2 ms), so ``block_until_ready`` wall time alone
+    separates the outcomes without any device-to-host data transfer.
+    The same program is timed once with a deliberately corrupted
+    expectation (must take the slow path) and once with the true one:
+    a run is only declared BIT-EXACT when the corrupted run measured
+    slow AND the true run measured fast, so a window that somehow
+    executes nothing cannot fake a pass."""
+    n_cifs = n_frames * C.MODE_I.n_cifs
+    if n_cifs <= 15:
+        log("# [closedloop-timing] SKIPPED (block too small to have "
+            "fully-primed deinterleaver rows)")
+        return
+    exp_np = {str(sc): np.stack([payload[sc][j - 15]
+                                 for j in range(15, n_cifs)])
+              for sc in payload}
+    bad_np = {k: v.copy() for k, v in exp_np.items()}
+    first = next(iter(bad_np))
+    bad_np[first][0, 0] ^= 0xFF          # one corrupted expectation byte
+
+    def verdict(x, rings, cif, exp):
+        out, _, _ = step(x, rings, cif)
+        oks = [jnp.all(out["subch"][k][15:n_cifs] == v)
+               for k, v in exp.items()]
+        ok = jnp.all(jnp.stack(oks))
+
+        def slow(_):
+            def body(i, a):
+                return jnp.fft.fft(a) * (1.0 / 256.0)
+            a = jax.lax.fori_loop(
+                0, 20000, body, jnp.ones(1 << 16, jnp.complex64))
+            return a.real.sum()
+
+        def fast(_):
+            return jnp.float32(0.0)
+
+        return jax.lax.cond(ok, fast, slow, 0)
+
+    vf = jax.jit(verdict)
+    from dabtools_tpu.utils.retry import call_with_retries
+    exp = jax.device_put(exp_np)
+    bad = jax.device_put(bad_np)
+    jax.block_until_ready(call_with_retries(vf, x, rings, cif, bad))  # compile
+
+    def timed(e):
+        t0 = time.perf_counter()
+        jax.block_until_ready(vf(x, rings, cif, e))
+        return time.perf_counter() - t0
+
+    t_bad = timed(bad)
+    t_good = timed(exp)
+    rows = sum(v.shape[0] for v in exp_np.values())
+    if t_bad > max(0.05, 10 * t_good):
+        log(f"# [closedloop-timing] TPU decode of modulated flagship mux: "
+            f"BIT-EXACT via device-side compare + timing readout "
+            f"({rows} payload rows over {len(exp_np)} subchannels; "
+            f"corrupted-expectation control {t_bad * 1e3:.0f} ms slow-path "
+            f"vs {t_good * 1e3:.1f} ms fast-path; no D2H fetch involved)")
+    elif t_good > max(0.05, 10 * t_bad):
+        log(f"# [closedloop-timing] MISMATCH: true expectation took the "
+            f"slow path ({t_good * 1e3:.0f} ms vs control "
+            f"{t_bad * 1e3:.1f} ms)")
+    else:
+        log(f"# [closedloop-timing] INCONCLUSIVE (control {t_bad * 1e3:.1f}"
+            f" ms vs true {t_good * 1e3:.1f} ms — no timing separation)")
 
 
 def _extra_closedloop(ens, n_frames, rng):
