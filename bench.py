@@ -437,7 +437,7 @@ SECTIONS = ("closedloop", "e2e", "rs", "batched", "channelizer", "kernels")
 # compared on host, or a correctness assert on fetched bits).  "rs" and
 # "batched" time pure executions and can run in exec-OK/fetch-hanging
 # windows.
-NEEDS_FETCH = {"closedloop", "e2e", "channelizer", "kernels"}
+NEEDS_FETCH = {"closedloop", "e2e", "kernels"}
 
 
 # The relay's FIRST device-to-host fetch in a process can stall ~5 min
@@ -842,19 +842,49 @@ def _extra_e2e(ens, n_frames, rng):
 
 
 def _extra_channelizer(ens, n_frames, rng):
-    from dabtools_tpu.ops.fir import Channelizer
+    """Times the jitted device kernels directly (exactly what
+    Channelizer.__call__ dispatches, same shapes and real mixer phases)
+    with block_until_ready — NO host materialization, so this section is
+    fetch-free and runs in exec-OK/fetch-hanging relay windows."""
+    import math
+
+    from dabtools_tpu.ops.fir import Channelizer, _channelize, _channelize_fft
+
     fs = 16_384_000
     offsets = [(-3 + k) * 1_712_000 for k in range(7)]
     wide_np = np.asarray(_noise(fs // 4, rng))  # 250 ms of wideband
     for method in ("fft", "direct"):
         ch = Channelizer(fs, offsets_hz=offsets, method=method)
+        x = wide_np
+        if method == "direct":
+            n_out = (x.size - ch.num_taps) // ch.decim + 1
+            used = n_out * ch.decim
+            xd = jnp.asarray(x[: used + ch.num_taps - 1])
+            mixers = tuple(jnp.asarray(m) for m in ch._mixers)
+            ph = jnp.zeros(len(ch._mixers), jnp.int32)
+            q_list = tuple(m.size for m in ch._mixers)
 
-        def chan(_w=wide_np, _ch=ch):
-            # public streaming path; state reset so each call is identical
-            _ch._tail, _ch._consumed = None, 0
-            return jnp.asarray(_ch(_w))
+            def fn(a, _m=mixers, _p=ph, _c=ch, _q=q_list):
+                return _channelize(a, _m, _p, taps=_c._taps_key,
+                                   decim=_c.decim, q_list=_q)
+        else:
+            n, hop = ch.N_FFT, ch.hop
+            n_chunks = (x.size - n) // hop + 1
+            starts = np.arange(n_chunks, dtype=np.int64) * hop
+            phases = np.empty((len(offsets), n_chunks), np.complex64)
+            for k, f in enumerate(offsets):
+                g = math.gcd(abs(f), fs) or fs
+                p, q = f // g, fs // g
+                phases[k] = np.exp(-2j * np.pi * ((starts % q) * p % q) / q)
+            xd = jnp.asarray(x[: (n_chunks - 1) * hop + n])
+            hspec, phj = jnp.asarray(ch._hspec), jnp.asarray(phases)
 
-        t = _median_time(chan, iters=5)
+            def fn(a, _h=hspec, _p=phj, _c=ch, _n=n, _hop=hop):
+                return _channelize_fft(a, _h, _p, n_fft=_n, hop=_hop,
+                                       decim=_c.decim,
+                                       shifts=tuple(_c._bin_shift))
+
+        t = _median_time(fn, xd, iters=5)
         log(f"# [config 4] channelizer[{method}] {fs / 1e6:.1f} Msps -> "
             f"{len(offsets)} DAB blocks ({ch.num_taps} taps): "
             f"{t * 1e3:.2f} ms per 250 ms capture = "
