@@ -37,27 +37,76 @@ from dabtools_tpu.utils.jitcache import enable_persistent_cache  # noqa: E402
 enable_persistent_cache()
 
 
-def _median_time(fn, *args, iters=10, warmup=2):
+# ---------------------------------------------------------------------
+# Timing protocol (IMPORTANT — integrity of every number in this file):
+# on this machine's TPU relay, ``block_until_ready`` acknowledges
+# ENQUEUE, not execution — measured 2026-08-19: 21.5 TFLOP of serially
+# dependent 1024x1024 matmuls "completed" in 0.2 ms by
+# block_until_ready, identical for 10x more work.  The ONLY honest
+# completion signal is a device-to-host data dependency: a jit-reduced
+# SCALAR of the last queued output is fetched, which cannot arrive
+# before every queued program has executed (single in-order device
+# stream).  The relay round-trip is measured separately and subtracted;
+# the queue is grown until compute dominates the RTT.
+# ---------------------------------------------------------------------
+
+_SCALARIZE = None
+
+
+def _fetch_scalar(out) -> float:
+    """Jit-reduce the LAST leaf of ``out`` to one float and fetch it:
+    a ~4-byte transfer whose value depends on the program's output, so
+    its arrival proves the producing executable (and everything queued
+    before it on the device stream) actually ran."""
+    global _SCALARIZE
+    if _SCALARIZE is None:
+        import functools
+
+        @functools.cache
+        def make(_dtype_name):
+            return jax.jit(lambda a: jnp.sum(jnp.abs(a)
+                                             .astype(jnp.float32)))
+        _SCALARIZE = make
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    return float(np.asarray(_SCALARIZE(str(leaf.dtype))(leaf)))
+
+
+def _sustained_time(fn, *args, min_queue=16):
+    """Sustained seconds per execution of ``fn``, with execution
+    completion proven by a trailing scalar fetch (see protocol note
+    above).  The fetch round-trip is measured and subtracted; the queue
+    doubles until enqueue+compute dominates the RTT by 4x (so RTT noise
+    is a small correction, not the signal)."""
     from dabtools_tpu.utils.retry import call_with_retries
-    for _ in range(warmup):
-        jax.block_until_ready(call_with_retries(fn, *args))
-    times = []
-    for _ in range(iters):
+    out = call_with_retries(fn, *args)
+    call_with_retries(_fetch_scalar, out)    # compile scalarize + 1st fetch
+    rtts = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        _fetch_scalar(out)
+        rtts.append(time.perf_counter() - t0)
+    t_rtt = min(rtts)
+    q = min_queue
+    while True:
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(q)]
+        _fetch_scalar(outs[-1])
+        t_run = time.perf_counter() - t0
+        if t_run >= max(4 * t_rtt, 0.2) or q >= 4096:
+            return max(t_run - t_rtt, 1e-9) / q
+        q *= 4
+
+
+def _median_time(fn, *args, iters=10, warmup=2):
+    """Kept for CPU-path compatibility; measurement now delegates to the
+    fetch-forced protocol (iters/warmup subsumed by queue growth)."""
+    del iters, warmup
+    return _sustained_time(fn, *args)
 
 
 def _amortized_time(fn, *args, n_queue=20):
-    """Sustained throughput: enqueue n_queue independent executions, block
-    once.  Robust to per-call dispatch/sync overhead."""
-    from dabtools_tpu.utils.retry import call_with_retries
-    jax.block_until_ready(call_with_retries(fn, *args))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(n_queue)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / n_queue
+    return _sustained_time(fn, *args, min_queue=n_queue)
+
 
 
 def _noise(n, rng, scale=0.3):
@@ -325,7 +374,7 @@ def orchestrate():
                     f"# bench run start: argv={sys.argv[1:]}\n")
     except OSError:
         pass
-    _wait_for_relay(probe=_PROBE_SRC_EXEC)
+    _wait_for_relay()
 
     extra = [a for a in ("--profile",) if a in sys.argv]
     child_cmd = [sys.executable, __file__, str(n_frames), "--quick",
@@ -373,7 +422,7 @@ def orchestrate():
         except Exception as e:  # noqa: BLE001
             log(f"# headline attempt {attempt} (fresh process) failed "
                 f"({str(e)[:90]}); probing for the next window")
-            _wait_for_relay(300, probe=_PROBE_SRC_EXEC)
+            _wait_for_relay(300)
     if rt16 is None:
         log("# FATAL: headline unmeasurable (relay bad through "
             f"{attempt} fresh-process attempts / {budget:.0f}s); "
@@ -437,7 +486,8 @@ SECTIONS = ("closedloop", "e2e", "rs", "batched", "channelizer", "kernels")
 # compared on host, or a correctness assert on fetched bits).  "rs" and
 # "batched" time pure executions and can run in exec-OK/fetch-hanging
 # windows.
-NEEDS_FETCH = {"closedloop", "e2e"}
+NEEDS_FETCH = {"closedloop", "e2e", "rs", "batched",
+               "channelizer", "kernels"}
 
 
 # The relay's FIRST device-to-host fetch in a process can stall ~5 min
