@@ -69,6 +69,10 @@ def main(argv=None) -> int:
                    help="per-frame lines")
     p.add_argument("--mode", choices=("I", "II", "III", "IV"), default="I",
                    help="DAB transmission mode of the ETI source")
+    p.add_argument("--json", action="store_true",
+                   help="machine-readable report (one JSON object): "
+                        "transport health + full ensemble configuration "
+                        "+ per-sub-channel payload sniff")
     args = p.parse_args(argv)
 
     f = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
@@ -135,8 +139,45 @@ def main(argv=None) -> int:
             f.close()
 
     if n == 0:
-        print("no ETI frames found")
+        if args.json:
+            import json as _json
+            print(_json.dumps({"frames": 0, "error": "no ETI frames found"}))
+        else:
+            print("no ETI frames found")
         return 1
+    if args.json:
+        import json as _json
+        ens = fig.ensemble()
+        rep = {
+            "frames": n, "seconds": round(n * 0.024, 3),
+            "resyncs": parser.resyncs,
+            "err_bytes": {f"0x{e:02X}": c
+                          for e, c in sorted(err_counter.items())},
+            "header_crc_failures": hdr_bad, "mst_crc_failures": mst_bad,
+            "fct_discontinuities": fct_jumps, "bad_fibs": fib_bad,
+            "tist": ({"stamped": tist_seen, "discontinuities": tist_jumps}
+                     if tist_seen else None),
+        }
+        if ens is not None:
+            rep["ensemble"] = ens.to_dict()
+            rep["ensemble"]["eid"] = f"0x{ens.eid:04X}"
+            if fig.config_count is not None:
+                rep["config_count"] = fig.config_count
+                rep["services_signalled"] = fig.n_services_signalled
+            if fig.ecc is not None:
+                rep["ecc"] = f"0x{fig.ecc:02X}"
+                rep["lto_minutes"] = fig.lto_half_hours * 30
+            if fig.utc is not None:
+                rep["utc"] = fig.utc.isoformat(sep=" ")
+            rep["payload_sniff"] = {
+                str(s.subchid):
+                    _sniff_payload(sniff.get(s.subchid), s).lstrip(" —") or
+                    None
+                for s in ens.sorted_subchannels()}
+        else:
+            rep["ensemble"] = None
+        print(_json.dumps(rep))
+        return 0
     print(f"frames: {n} ({n * 0.024:.2f} s), resyncs: {parser.resyncs}")
     errs = ", ".join(f"0x{e:02X} x{c}" for e, c in sorted(err_counter.items()))
     print(f"ERR bytes: {errs}")

@@ -274,3 +274,40 @@ def test_verify_in_all_mode(tmp_path):
     assert all(s["mp2_health"]["resyncs"] == 0
                for s in rec["services"].values())
     assert r.stderr.count("MP2 health:") == 2
+
+
+def test_etiinfo_json(tmp_path):
+    """etiinfo --json: one machine-readable object with transport health,
+    full ensemble config, and the payload sniff."""
+    cfg = tmp_path / "mux.json"
+    cfg.write_text(json.dumps({
+        "label": "JSONI", "eid": "0x4329",
+        "services": [{"sid": "0x7009", "label": "AUD", "type": "mp2",
+                      "subch": {"id": 1, "start_cu": 0,
+                                "protection": "EEP-3A", "bitrate": 64}}],
+        "frames": 10,
+    }))
+    eti = tmp_path / "mux.eti"
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dabmux", str(cfg),
+         "-o", str(eti)], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.etiinfo", "--json",
+         str(eti)], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    rep = json.loads(r.stdout)
+    assert rep["frames"] > 0 and rep["bad_fibs"] == 0
+    assert rep["err_bytes"] == {"0xFF": rep["frames"]}
+    assert rep["ensemble"]["eid"] == "0x4329"
+    assert rep["ensemble"]["label"] == "JSONI"
+    assert rep["ensemble"]["subchannels"][0]["bitrate_kbps"] == 64
+    assert "MP2 64 kbit/s" in rep["payload_sniff"]["1"]
+    # garbage input: clean JSON error object
+    (tmp_path / "junk.eti").write_bytes(b"\x00" * 10000)
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.etiinfo", "--json",
+         str(tmp_path / "junk.eti")],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 1
+    assert json.loads(r.stdout)["error"] == "no ETI frames found"
