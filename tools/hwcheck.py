@@ -8,6 +8,9 @@ minute stalls in windows (observed: even ``jnp.zeros(8)`` fails), and a
 fresh process with a fresh backend connection is the reliable recovery.
 
 Checks:
+  weather      classify the current relay window: tunnel, fetch, fresh
+               compile, 32 MB transfer, execution, and whether
+               block_until_ready can be trusted (JSON verdict)
   probe        trivial compile+fetch round trip (relay health)
   closedloop   modulated flagship mux decodes BIT-EXACT on the chip
   channelizer  fft + direct channelizer methods execute and agree on HW
@@ -49,6 +52,74 @@ def _warmup():
 def check_probe():
     dt = _warmup()
     print(f"probe ok ({dt:.1f}s)")
+
+
+def check_weather():
+    """One JSON object describing what works in the current window.
+
+    `but_trustworthy` is the big one: this relay has been observed to
+    acknowledge block_until_ready at ENQUEUE (21.5 TFLOP "done" in
+    0.2 ms); when False, only fetch-forced timings mean anything."""
+    import socket
+
+    import jax
+    import jax.numpy as jnp
+    rep = {"platform": None, "tunnel_8083": False, "tiny_fetch_s": None,
+           "fresh_compile_s": None, "put_32mb_s": None,
+           "exec_chain_s": None, "but_chain_s": None,
+           "but_trustworthy": None}
+    try:
+        s = socket.socket()
+        s.settimeout(2)
+        s.connect(("127.0.0.1", 8083))
+        s.close()
+        rep["tunnel_8083"] = True
+    except OSError:
+        pass
+    rep["platform"] = jax.devices()[0].platform
+    try:
+        t0 = time.perf_counter()
+        np.asarray(jax.jit(lambda: jnp.zeros(8))())
+        rep["tiny_fetch_s"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        rep["tiny_fetch_s"] = f"FAIL: {str(e)[:60]}"
+    try:
+        c = float(int(time.time() * 1e3) % 100003)
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.jit(lambda v: (v * c).sum())(
+            jnp.ones(4096)))
+        rep["fresh_compile_s"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        rep["fresh_compile_s"] = f"FAIL: {str(e)[:60]}"
+    try:
+        t0 = time.perf_counter()
+        jax.device_put(np.zeros(1 << 25, np.uint8)).block_until_ready()
+        rep["put_32mb_s"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        rep["put_32mb_s"] = f"FAIL: {str(e)[:60]}"
+    try:
+        @jax.jit
+        def chain(a):
+            def body(i, x):
+                return jnp.tanh(x @ x) * 0.999
+            return jax.lax.fori_loop(0, 2000, body, a)
+        y = jnp.asarray(np.random.default_rng(0).normal(
+            size=(1024, 1024)).astype(np.float32))
+        jax.block_until_ready(chain(y))          # compile
+        t0 = time.perf_counter()
+        out = chain(y)
+        jax.block_until_ready(out)
+        rep["but_chain_s"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        float(np.asarray(jnp.sum(out)))          # fetch forces execution
+        rep["exec_chain_s"] = round(
+            rep["but_chain_s"] + time.perf_counter() - t0, 4)
+        # 2000 serial 1024^3 matmuls = 4.3 TFLOP: sub-10ms
+        # block_until_ready cannot be an execution signal
+        rep["but_trustworthy"] = rep["but_chain_s"] > 0.01
+    except Exception as e:  # noqa: BLE001
+        rep["exec_chain_s"] = f"FAIL: {str(e)[:60]}"
+    print(json.dumps(rep))
 
 
 def check_closedloop():
@@ -119,10 +190,11 @@ def check_viterbi():
     for impl in ("xla", "pallas"):
         f = jax.jit(lambda s, i=impl: viterbi_decode(s, impl=i))
         bits, metric = jax.block_until_ready(f(soft))
-        # sustained: queue 10, block once
+        # sustained: queue 10, then fetch a scalar of the LAST output
+        # (block_until_ready alone is not an execution signal here)
         t0 = time.perf_counter()
         outs = [f(soft) for _ in range(10)]
-        jax.block_until_ready(outs)
+        float(np.asarray(jnp.sum(outs[-1][1])))
         t = (time.perf_counter() - t0) / 10
         bits = np.asarray(bits)
         assert (bits == msgs).all(), f"{impl} decoded wrong bits"
@@ -163,7 +235,7 @@ def check_config1():
         t0 = time.perf_counter()
         outs = [process_block(x, rings, cif, ensemble=ens,
                               n_frames=n_frames) for _ in range(20)]
-        jax.block_until_ready(outs)
+        float(np.asarray(jnp.sum(outs[-1][0]["fic_metric"])))  # force exec
         t = (time.perf_counter() - t0) / 20
         rt = n_frames * C.MODE_I.frame_size / t / C.SAMPLE_RATE
         print(f"config1[viterbi={impl}]: {t * 1e3:.2f} ms/block sustained "
@@ -172,7 +244,7 @@ def check_config1():
     V.force_impl(None)
 
 
-CHECKS = {"probe": check_probe, "closedloop": check_closedloop,
+CHECKS = {"weather": check_weather, "probe": check_probe, "closedloop": check_closedloop,
           "channelizer": check_channelizer, "viterbi": check_viterbi,
           "config1": check_config1}
 
