@@ -89,8 +89,14 @@ def _sustained_time(fn, *args, min_queue=16):
     q = min_queue
     while True:
         t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(q)]
-        _fetch_scalar(outs[-1])
+        last = None
+        for _ in range(q):
+            # Keep ONLY the newest output reference: holding all q would
+            # pin q full output buffers in HBM (q can reach 4096; a
+            # 20 MB-output kernel would need 80 GB) — dropping the ref
+            # lets the runtime free each buffer as soon as it's consumed.
+            last = fn(*args)
+        _fetch_scalar(last)
         t_run = time.perf_counter() - t0
         if t_run >= max(4 * t_rtt, 0.2) or q >= 4096:
             return max(t_run - t_rtt, 1e-9) / q
@@ -258,13 +264,10 @@ def main():
             t0 = time.perf_counter()
             jax.block_until_ready(call_with_retries(step, x, rings, cif))
             log(f"# compile+first run: {time.perf_counter() - t0:.1f}s")
-            # NO device-to-host fetch before the measurement: the
-            # measurement is pure block_until_ready (execution
-            # completion), and half-good windows exist where execution
-            # works while the first D2H fetch hangs for minutes
-            # (observed 2026-08-19: compile+run 3.3 s, then the fetch
-            # warmup ate the whole child timeout).  The fetch-dependent
-            # inline bit-exactness check runs AFTER the JSON prints.
+            # The measurement itself fetches (the honest protocol:
+            # completion proven by a trailing scalar fetch); the heavier
+            # inline bit-exactness fetch still runs only AFTER the JSON
+            # prints, under a watchdog.
             t = _amortized_time(step, x, rings, cif)
             break
         except Exception as e:  # noqa: BLE001
@@ -337,6 +340,14 @@ def main():
     else:
         log(f"# [closedloop-inline] SKIPPED "
             f"({'fetch hung (watchdog)' if 'err' not in box else str(box['err'])[:100]})")
+        if "err" not in box:
+            # Fetch HUNG: the daemon thread is still blocked on this
+            # process's device stream — queueing more work behind it
+            # would burn the orchestrator's child timeout.  Exit now;
+            # the JSON is already printed.
+            log("# [closedloop-timing] SKIPPED (stream wedged by the "
+                "hung fetch; exiting child promptly)")
+            return
         # Fetch-free fallback: compare decoded payloads against the
         # modulator's expected bytes ON DEVICE and read the one-bit
         # verdict out through EXECUTION TIME — lax.cond picks a fast
@@ -482,13 +493,6 @@ def orchestrate():
 # configs.
 SECTIONS = ("closedloop", "e2e", "rs", "batched", "channelizer", "kernels")
 
-# Sections whose evidence requires a device-to-host fetch (decoded bytes
-# compared on host, or a correctness assert on fetched bits).  "rs" and
-# "batched" time pure executions and can run in exec-OK/fetch-hanging
-# windows.
-NEEDS_FETCH = {"closedloop", "e2e", "rs", "batched",
-               "channelizer", "kernels"}
-
 
 # The relay's FIRST device-to-host fetch in a process can stall ~5 min
 # on bad days (measured 281 s for 4 KB, instant afterwards); sections
@@ -515,21 +519,6 @@ np.asarray(jax.jit(
 d = jax.device_put(np.zeros(1 << 25, np.uint8)); d.block_until_ready()
 """
 
-# The headline measurement needs compile + H2D + EXECUTION only (its
-# timing is pure block_until_ready; the fetch-dependent inline check
-# runs after the JSON prints).  Half-good windows exist where execution
-# works while any D2H fetch hangs for minutes — the full probe above
-# rejects those, so headline gating uses this fetch-free variant.
-_PROBE_SRC_EXEC = """
-import time
-import numpy as np, jax, jax.numpy as jnp
-c = float(int(time.time() * 1e3) % 100003)
-jax.block_until_ready(jax.jit(
-    lambda v: (jnp.fft.fft(v) * c).real.sum())(jnp.ones(2048,
-                                                        jnp.complex64)))
-d = jax.device_put(np.zeros(1 << 25, np.uint8)); d.block_until_ready()
-jax.block_until_ready(jax.jit(lambda: jnp.zeros(8))())
-"""
 
 
 def _extras():
@@ -592,24 +581,15 @@ def _extras():
     pending = list(SECTIONS)
     attempts = {}
     while pending and time.time() - t0 < budget:
-        # Two weather tiers: exec-only (enough for fetch-free sections)
-        # and full fetch.  In an exec-OK/fetch-hanging window, run the
-        # fetch-free sections instead of burning their timeouts or
-        # sleeping (observed: hours-long windows where execution works
-        # but every D2H fetch hangs).
-        if not relay_ok(_PROBE_SRC_EXEC):
+        # Every section's timing now proves execution with a trailing
+        # fetch (see the protocol note at the top), so the gate is the
+        # full fetch-capable probe — there is no longer a fetch-free
+        # tier to run in exec-only windows.
+        if not relay_ok():
             log("# relay in a bad window (probe failed); waiting 60s")
             time.sleep(60)
             continue
-        fetch_ok = relay_ok()
-        name = next((n for n in pending
-                     if fetch_ok or n not in NEEDS_FETCH), None)
-        if name is None:
-            log("# only fetch-needing sections left and fetches hang; "
-                "waiting 60s")
-            time.sleep(60)
-            continue
-        pending.remove(name)
+        name = pending.pop(0)
         err = run_one(name)
         if err is None:
             continue
@@ -626,17 +606,14 @@ def _extras():
 
 def run_section(name: str) -> int:
     from __graft_entry__ import _flagship_ensemble
-    if name in NEEDS_FETCH:
-        # Pay the relay's first-fetch stall HERE, before any timed or
-        # correctness-checked work (it can take minutes on bad days).
-        # Fetch-free sections skip this: their measurements are pure
-        # block_until_ready and must run even in fetch-hanging windows.
-        t0 = time.perf_counter()
-        np.asarray(jax.jit(lambda: jnp.zeros(8))())
-        warm = time.perf_counter() - t0
-        if warm > 5:
-            log(f"# [{name}] first-fetch warmup took {warm:.0f}s "
-                f"(relay stall)")
+    # Pay the relay's first-fetch stall HERE, before any timed or
+    # correctness-checked work (it can take minutes on bad days).
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda: jnp.zeros(8))())
+    warm = time.perf_counter() - t0
+    if warm > 5:
+        log(f"# [{name}] first-fetch warmup took {warm:.0f}s "
+            f"(relay stall)")
     ens = _flagship_ensemble()
     rng = np.random.default_rng(0)
     fn = {"closedloop": _extra_closedloop, "batched": _extra_batched,
@@ -894,9 +871,9 @@ def _extra_e2e(ens, n_frames, rng):
 
 def _extra_channelizer(ens, n_frames, rng):
     """Times the jitted device kernels directly (exactly what
-    Channelizer.__call__ dispatches, same shapes and real mixer phases)
-    with block_until_ready — NO host materialization, so this section is
-    fetch-free and runs in exec-OK/fetch-hanging relay windows."""
+    Channelizer.__call__ dispatches, same shapes and real mixer phases);
+    completion is proven by _sustained_time's trailing scalar fetch
+    rather than materializing the full multi-MB output per iteration."""
     import math
 
     from dabtools_tpu.ops.fir import Channelizer, _channelize, _channelize_fft

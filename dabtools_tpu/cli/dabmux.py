@@ -118,6 +118,12 @@ class _Mp2Source:
         self.pos = 0
         # Half-rate (24 kHz MPEG-2 LSF) audio frames span TWO 24 ms
         # logical frames: stamp a header on even rows only.
+        if sample_rate not in (48000, 24000):
+            # DAB audio is 48 kHz MPEG-1 or 24 kHz MPEG-2 LSF Layer II
+            # (EN 300 401 s7); any other rate would stamp headers that
+            # contradict the 24 ms row cadence.
+            raise SystemExit(f"sample_rate {sample_rate} not valid for "
+                             f"DAB audio (use 48000 or 24000)")
         self._lsf = sample_rate == 24000
         self._row = 0
         self.groups = _label_groups(dls, dlplus)

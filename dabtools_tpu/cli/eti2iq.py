@@ -210,8 +210,13 @@ def main(argv=None) -> int:
 
     n_in = 0
     from dabtools_tpu.eti.edi import iter_eti_chunks
-    for data in iter_eti_chunks(f, mode):   # ETI, or EDI transcoded
-        if st["n_tx"] == args.frames:
+    chunks = iter_eti_chunks(f, mode)       # ETI, or EDI transcoded
+    # Check the frame target BEFORE pulling the next chunk: the
+    # generator blocks in read(), so checking after would hang a live
+    # stdin pipe once --frames is already satisfied (review r3b).
+    while st["n_tx"] != args.frames:
+        data = next(chunks, None)
+        if data is None:
             break
         for frame in parser.feed(data):
             n_in += 1

@@ -54,6 +54,26 @@ def check_probe():
     print(f"probe ok ({dt:.1f}s)")
 
 
+def _step_with_watchdog(fn, seconds=90.0):
+    """Run a relay-touching step in a daemon thread: fetch-hanging
+    windows block forever without raising, and a weather classifier
+    that hangs in the weather it classifies is useless.  Returns the
+    step's value, or 'HANG (>Ns)'."""
+    import threading
+    box = {}
+
+    def _run():
+        try:
+            box["v"] = fn()
+        except Exception as e:  # noqa: BLE001
+            box["v"] = f"FAIL: {str(e)[:60]}"
+
+    th = threading.Thread(target=_run, daemon=True)
+    th.start()
+    th.join(seconds)
+    return box.get("v", f"HANG (>{seconds:.0f}s)")
+
+
 def check_weather():
     """One JSON object describing what works in the current window.
 
@@ -77,27 +97,23 @@ def check_weather():
     except OSError:
         pass
     rep["platform"] = jax.devices()[0].platform
-    try:
+
+    def timed(fn):
         t0 = time.perf_counter()
-        np.asarray(jax.jit(lambda: jnp.zeros(8))())
-        rep["tiny_fetch_s"] = round(time.perf_counter() - t0, 3)
-    except Exception as e:  # noqa: BLE001
-        rep["tiny_fetch_s"] = f"FAIL: {str(e)[:60]}"
-    try:
-        c = float(int(time.time() * 1e3) % 100003)
-        t0 = time.perf_counter()
-        jax.block_until_ready(jax.jit(lambda v: (v * c).sum())(
-            jnp.ones(4096)))
-        rep["fresh_compile_s"] = round(time.perf_counter() - t0, 3)
-    except Exception as e:  # noqa: BLE001
-        rep["fresh_compile_s"] = f"FAIL: {str(e)[:60]}"
-    try:
-        t0 = time.perf_counter()
-        jax.device_put(np.zeros(1 << 25, np.uint8)).block_until_ready()
-        rep["put_32mb_s"] = round(time.perf_counter() - t0, 3)
-    except Exception as e:  # noqa: BLE001
-        rep["put_32mb_s"] = f"FAIL: {str(e)[:60]}"
-    try:
+        fn()
+        return round(time.perf_counter() - t0, 3)
+
+    rep["tiny_fetch_s"] = _step_with_watchdog(
+        lambda: timed(lambda: np.asarray(jax.jit(lambda: jnp.zeros(8))())))
+    c = float(int(time.time() * 1e3) % 100003)
+    rep["fresh_compile_s"] = _step_with_watchdog(
+        lambda: timed(lambda: jax.block_until_ready(
+            jax.jit(lambda v: (v * c).sum())(jnp.ones(4096)))))
+    rep["put_32mb_s"] = _step_with_watchdog(
+        lambda: timed(lambda: jax.device_put(
+            np.zeros(1 << 25, np.uint8)).block_until_ready()))
+
+    def chain_step():
         @jax.jit
         def chain(a):
             def body(i, x):
@@ -109,16 +125,19 @@ def check_weather():
         t0 = time.perf_counter()
         out = chain(y)
         jax.block_until_ready(out)
-        rep["but_chain_s"] = round(time.perf_counter() - t0, 4)
+        but_s = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
         float(np.asarray(jnp.sum(out)))          # fetch forces execution
-        rep["exec_chain_s"] = round(
-            rep["but_chain_s"] + time.perf_counter() - t0, 4)
+        return but_s, round(but_s + time.perf_counter() - t0, 4)
+
+    r = _step_with_watchdog(chain_step, seconds=150)
+    if isinstance(r, tuple):
+        rep["but_chain_s"], rep["exec_chain_s"] = r
         # 2000 serial 1024^3 matmuls = 4.3 TFLOP: sub-10ms
         # block_until_ready cannot be an execution signal
         rep["but_trustworthy"] = rep["but_chain_s"] > 0.01
-    except Exception as e:  # noqa: BLE001
-        rep["exec_chain_s"] = f"FAIL: {str(e)[:60]}"
+    else:
+        rep["exec_chain_s"] = r
     print(json.dumps(rep))
 
 
