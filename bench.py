@@ -125,8 +125,12 @@ def _noise(n, rng, scale=0.3):
 # (rc=124) mid-run still leaves a partial artifact on disk.  The file is
 # truncated at the start of each top-level run (not by --section/--once
 # subprocesses, which share the parent's run).
-_PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_PARTIAL.log")
+_PARTIAL_PATH = (
+    "/tmp/BENCH_PARTIAL_cpu.log"
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+    # CPU smoke runs must not truncate/pollute the accelerator artifact
+    else os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BENCH_PARTIAL.log"))
 
 
 def _persist(msg):
