@@ -71,6 +71,44 @@ def _fetch_scalar(out) -> float:
     return float(np.asarray(_SCALARIZE(str(leaf.dtype))(leaf)))
 
 
+@jax.jit
+def _u8_to_c64(u8):
+    f32 = jax.lax.bitcast_convert_type(u8.reshape(-1, 4),
+                                       jnp.float32).reshape(-1)
+    return jax.lax.complex(f32[0::2], f32[1::2])
+
+
+def _device_put_chunked(arr, chunk_bytes=2_000_000):
+    """Relay-safe device_put: ~2 MB pieces, complex shipped as raw bytes.
+
+    Two measured relay pathologies (2026-08-19): (a) one large
+    INCOMPRESSIBLE transfer clogs/poisons the client's fetch path for
+    10+ minutes (26 MB of zeros recovers in ~2 s — the tunnel evidently
+    compresses); (b) complex64 transfers poison the client even when
+    chunked, while the SAME BYTES as uint8 go through clean.  So:
+    reinterpret complex input as uint8, put in 2 MB chunks, concatenate
+    and bitcast back to complex64 on device."""
+    from dabtools_tpu.utils.retry import call_with_retries
+    complex_in = arr.dtype == np.complex64
+    raw = arr.view(np.uint8) if complex_in else arr
+    n = max(1, chunk_bytes // max(1, raw.dtype.itemsize))
+    if raw.size <= n:
+        parts = [call_with_retries(jax.device_put, raw)]
+        parts[0].block_until_ready()
+        whole = parts[0]
+    else:
+        parts = []
+        for i in range(0, raw.size, n):
+            d = call_with_retries(jax.device_put, raw[i:i + n])
+            d.block_until_ready()
+            parts.append(d)
+        whole = jnp.concatenate(parts)
+    if complex_in:
+        whole = _u8_to_c64(whole)
+    whole.block_until_ready()
+    return whole
+
+
 def _sustained_time(fn, *args, min_queue=16):
     """Sustained seconds per execution of ``fn``, with execution
     completion proven by a trailing scalar fetch (see protocol note
@@ -78,13 +116,24 @@ def _sustained_time(fn, *args, min_queue=16):
     doubles until enqueue+compute dominates the RTT by 4x (so RTT noise
     is a small correction, not the signal)."""
     from dabtools_tpu.utils.retry import call_with_retries
-    out = call_with_retries(fn, *args)
-    call_with_retries(_fetch_scalar, out)    # compile scalarize + 1st fetch
+
+    def fetch_fresh():
+        # Execute-then-fetch as ONE retryable unit: a failed fetch can
+        # invalidate the output buffer ("Array has been deleted"), so
+        # retrying the fetch alone can never succeed.  This also rides
+        # out the relay clog that follows a large incompressible H2D
+        # transfer (measured: ~96 s after 26 MB of random bytes, ~2 s
+        # after 26 MB of zeros) before any timed work.
+        return _fetch_scalar(fn(*args))
+
+    call_with_retries(fetch_fresh)     # compile + absorb the post-put clog
     rtts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        _fetch_scalar(out)
+        fetch_fresh()
         rtts.append(time.perf_counter() - t0)
+    # one execution rides inside each RTT sample; it is orders of
+    # magnitude smaller than the relay round-trip this subtracts
     t_rtt = min(rtts)
     q = min_queue
     while True:
@@ -230,7 +279,9 @@ def main():
     from dabtools_tpu.utils.retry import call_with_retries
     from tests.test_closed_loop import modulate
     xm, payload = modulate(ens, n_frames + 4, seed=0)
-    x = call_with_retries(jnp.asarray, xm[:n])   # the one big H2D transfer
+    # modulated IQ is incompressible: MUST go up in chunks (see
+    # _device_put_chunked — a one-shot 26 MB put poisons the client)
+    x = _device_put_chunked(xm[:n].astype(np.complex64))
     # device_put ONCE: init_deinterleave_ring returns host numpy (receiver
     # construction must not touch the device), but re-uploading ~3.5 MB of
     # rings through the relay tunnel on every timed call costs ~2 ms/block
@@ -257,6 +308,32 @@ def main():
         return process_block(x, rings, cif, ensemble=dc, mode=C.MODE_I,
                              n_frames=n_frames)
 
+    # Sustained throughput is measured with the decode CHAINED on device
+    # (lax.scan over L blocks, deinterleaver rings + CIF counter carried
+    # block-to-block exactly as in streaming; an output checksum keeps
+    # every block's decode live against DCE).  ONE dispatch + ONE scalar
+    # fetch covers L blocks, so per-call relay overhead — ~100 ms here,
+    # which made the per-dispatch number 14x instead of ~37x — cancels
+    # in the (t_L - t_ref)/(L - L_ref) difference.  On a healthy PCIe
+    # host this is still the right production shape: device-side block
+    # chaining amortizes dispatch for free.
+    import functools as _ft
+    raw = process_block.__wrapped__
+
+    @_ft.partial(jax.jit, static_argnames=("length",))
+    def step_scan(x, rings, cif, length):
+        def body(carry, _):
+            rings, cif, acc = carry
+            out, rings, cif = raw(x, rings, cif, ensemble=dc,
+                                  mode=C.MODE_I, n_frames=n_frames)
+            acc = (acc + jnp.sum(out["fic_metric"])
+                   + sum(jnp.sum(v.astype(jnp.float32))
+                         for v in out["subch"].values()))
+            return (rings, cif, acc), None
+        (rings, cif, acc), _ = jax.lax.scan(
+            body, (rings, cif, jnp.float32(0)), None, length=length)
+        return acc
+
     # The headline measurement must survive a bad window OPENING mid-run
     # (observed: pre-flight probe passes, then the very next fetch fails
     # for 12+ min): on any failure, wait for a probe-verified good window
@@ -268,11 +345,27 @@ def main():
             t0 = time.perf_counter()
             jax.block_until_ready(call_with_retries(step, x, rings, cif))
             log(f"# compile+first run: {time.perf_counter() - t0:.1f}s")
-            # The measurement itself fetches (the honest protocol:
-            # completion proven by a trailing scalar fetch); the heavier
-            # inline bit-exactness fetch still runs only AFTER the JSON
-            # prints, under a watchdog.
-            t = _amortized_time(step, x, rings, cif)
+            # Per-dispatch rate first (fetch-forced): what one
+            # host-crossing per block achieves THROUGH THIS RELAY.
+            t_disp = _amortized_time(step, x, rings, cif)
+            log(f"# [config 1-dispatch] one host crossing per block: "
+                f"{t_disp * 1e3:.2f} ms/block "
+                f"({n_frames * C.MODE_I.frame_size / t_disp / C.SAMPLE_RATE:.0f}x; relay per-call overhead included)")
+            # Headline: device-chained sustained throughput (see
+            # step_scan note above) — fixed call+fetch overhead cancels
+            # in the (L=64) - (L=4) difference.
+            L0, L1 = 4, 64
+            for L in (L0, L1):
+                call_with_retries(
+                    lambda L=L: float(np.asarray(
+                        step_scan(x, rings, cif, L))))   # compile both
+            def timed(L):
+                t0 = time.perf_counter()
+                float(np.asarray(step_scan(x, rings, cif, L)))
+                return time.perf_counter() - t0
+            t_l0 = min(timed(L0) for _ in range(2))
+            t_l1 = min(timed(L1) for _ in range(2))
+            t = max(t_l1 - t_l0, 1e-9) / (L1 - L0)
             break
         except Exception as e:  # noqa: BLE001
             log(f"# headline attempt {attempt + 1} failed "

@@ -38,7 +38,18 @@ def call_with_retries(fn, *args, retries: int | None = None,
     for attempt in range(retries + 1):
         try:
             return fn(*args, **kwargs)
-        except JaxRuntimeError as e:           # pragma: no cover - TPU infra
+        except (JaxRuntimeError, ValueError, RuntimeError) as e:
+            # pragma: no cover - TPU infra.  jax re-raises relay runtime
+            # errors as ValueError from np.asarray paths ("UNIMPLEMENTED:
+            # TPU backend error", or "Array has been deleted" after a
+            # poisoned fetch) — those are the SAME transient relay
+            # failures and must retry; any other ValueError is a real
+            # bug and re-raises immediately.
+            transient = isinstance(e, JaxRuntimeError) or any(
+                k in str(e) for k in ("UNIMPLEMENTED", "TPU backend error",
+                                      "DEADLINE", "has been deleted"))
+            if not transient:
+                raise
             last = e
             log.warning("device step failed (attempt %d/%d): %s",
                         attempt + 1, retries + 1, str(e)[:200])
