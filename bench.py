@@ -152,15 +152,65 @@ def _sustained_time(fn, *args, min_queue=16):
         q *= 4
 
 
+def _checksum(tree):
+    return sum(jnp.sum(jnp.abs(leaf).astype(jnp.float32))
+               for leaf in jax.tree_util.tree_leaves(tree))
+
+
+def _chained_time(fn, *args, L0=4, L1=64):
+    """Per-execution seconds of ``fn(*args)`` chained L times ON DEVICE
+    in one lax.scan dispatch, reported as (t_L1 - t_L0)/(L1 - L0) so the
+    fixed dispatch+fetch overhead — ~100 ms per call through this relay,
+    which swamps millisecond kernels measured per-dispatch — cancels
+    exactly.  A loop-carried checksum is folded into the first argument
+    through a runtime-zero (but symbolically unknown) term, so the
+    compiler can neither hoist the loop-invariant computation out of the
+    scan nor dead-code-eliminate any iteration."""
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("length",))
+    def scan_fn(args, length):
+        def body(acc, _):
+            a0 = args[0]
+            dep = (acc == jnp.float32(-1e30)).astype(jnp.float32)
+            if jnp.issubdtype(a0.dtype, jnp.complexfloating):
+                a0 = a0 * (1.0 + dep).astype(a0.dtype)
+            elif jnp.issubdtype(a0.dtype, jnp.floating):
+                a0 = a0 * (1.0 + dep).astype(a0.dtype)
+            else:
+                a0 = a0 + dep.astype(a0.dtype)
+            out = fn(a0, *args[1:])
+            return acc + _checksum(out), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
+        return acc
+
+    from dabtools_tpu.utils.retry import call_with_retries
+    for L in (L0, L1):
+        call_with_retries(
+            lambda L=L: float(np.asarray(scan_fn(tuple(args), L))))
+
+    def timed(L):
+        t0 = time.perf_counter()
+        float(np.asarray(scan_fn(tuple(args), L)))
+        return time.perf_counter() - t0
+
+    t0_ = min(timed(L0) for _ in range(2))
+    t1_ = min(timed(L1) for _ in range(2))
+    return max(t1_ - t0_, 1e-9) / (L1 - L0)
+
+
 def _median_time(fn, *args, iters=10, warmup=2):
-    """Kept for CPU-path compatibility; measurement now delegates to the
-    fetch-forced protocol (iters/warmup subsumed by queue growth)."""
+    """Historical name; measurement now device-chains (see above)."""
     del iters, warmup
-    return _sustained_time(fn, *args)
+    return _chained_time(fn, *args)
 
 
 def _amortized_time(fn, *args, n_queue=20):
-    return _sustained_time(fn, *args, min_queue=n_queue)
+    """Per-dispatch sustained rate (fetch-forced).  Includes this relay's
+    per-call overhead — honest for 'one host crossing per block', but
+    use _chained_time for kernel/compute throughput."""
+    del n_queue
+    return _sustained_time(fn, *args)
 
 
 
@@ -1099,7 +1149,7 @@ def _extra_kernels(ens, n_frames, rng):
     # wrong output even in fetch-hanging relay windows.
     for impl in ("pallas", "xla"):
         f = jax.jit(lambda s, i=impl: viterbi_decode(s, impl=i))
-        t = _amortized_time(f, soft, n_queue=10)
+        t = _chained_time(f, soft)
 
         def ok_fn(_f=f):
             bits, _ = _f(soft)
