@@ -79,34 +79,36 @@ def _u8_to_c64(u8):
 
 
 def _device_put_chunked(arr, chunk_bytes=2_000_000):
-    """Relay-safe device_put: ~2 MB pieces, complex shipped as raw bytes.
+    """Relay-safe device_put: ship RAW BYTES in ~2 MB pieces, then
+    bitcast to the target dtype on device.
 
     Two measured relay pathologies (2026-08-19): (a) one large
     INCOMPRESSIBLE transfer clogs/poisons the client's fetch path for
     10+ minutes (26 MB of zeros recovers in ~2 s — the tunnel evidently
-    compresses); (b) complex64 transfers poison the client even when
-    chunked, while the SAME BYTES as uint8 go through clean.  So:
-    reinterpret complex input as uint8, put in 2 MB chunks, concatenate
-    and bitcast back to complex64 on device."""
+    compresses); (b) non-uint8 transfers (complex64 measured) poison the
+    client even when chunked, while the SAME BYTES as uint8 go through
+    clean.  So: everything goes up as uint8 chunks and is reconstructed
+    on device."""
     from dabtools_tpu.utils.retry import call_with_retries
-    complex_in = arr.dtype == np.complex64
-    raw = arr.view(np.uint8) if complex_in else arr
-    n = max(1, chunk_bytes // max(1, raw.dtype.itemsize))
-    if raw.size <= n:
-        parts = [call_with_retries(jax.device_put, raw)]
-        parts[0].block_until_ready()
-        whole = parts[0]
+    arr = np.ascontiguousarray(arr)
+    dtype, shape = arr.dtype, arr.shape
+    raw = arr.view(np.uint8).reshape(-1)
+    parts = []
+    for i in range(0, raw.size, chunk_bytes):
+        d = call_with_retries(jax.device_put, raw[i:i + chunk_bytes])
+        d.block_until_ready()
+        parts.append(d)
+    whole = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    if dtype == np.uint8:
+        out = whole.reshape(shape)
+    elif dtype == np.complex64:
+        out = _u8_to_c64(whole).reshape(shape)
     else:
-        parts = []
-        for i in range(0, raw.size, n):
-            d = call_with_retries(jax.device_put, raw[i:i + n])
-            d.block_until_ready()
-            parts.append(d)
-        whole = jnp.concatenate(parts)
-    if complex_in:
-        whole = _u8_to_c64(whole)
-    whole.block_until_ready()
-    return whole
+        out = jax.lax.bitcast_convert_type(
+            whole.reshape(-1, dtype.itemsize),
+            jnp.dtype(dtype)).reshape(shape)
+    out.block_until_ready()
+    return out
 
 
 def _sustained_time(fn, *args, min_queue=16):
@@ -216,7 +218,8 @@ def _amortized_time(fn, *args, n_queue=20):
 
 def _noise(n, rng, scale=0.3):
     z = rng.normal(size=(n, 2)).astype(np.float32) * scale
-    return jnp.asarray(z[:, 0] + 1j * z[:, 1], dtype=jnp.complex64)
+    return _device_put_chunked((z[:, 0] + 1j * z[:, 1])
+                               .astype(np.complex64))
 
 
 # Incremental persistence (VERDICT r2 item 1a): every result line is
@@ -1027,14 +1030,16 @@ def _extra_channelizer(ens, n_frames, rng):
 
     fs = 16_384_000
     offsets = [(-3 + k) * 1_712_000 for k in range(7)]
-    wide_np = np.asarray(_noise(fs // 4, rng))  # 250 ms of wideband
+    z = rng.normal(size=(fs // 4, 2)).astype(np.float32) * 0.3
+    wide_np = (z[:, 0] + 1j * z[:, 1]).astype(np.complex64)  # 250 ms
     for method in ("fft", "direct"):
         ch = Channelizer(fs, offsets_hz=offsets, method=method)
         x = wide_np
         if method == "direct":
             n_out = (x.size - ch.num_taps) // ch.decim + 1
             used = n_out * ch.decim
-            xd = jnp.asarray(x[: used + ch.num_taps - 1])
+            xd = _device_put_chunked(np.asarray(
+                x[: used + ch.num_taps - 1]))
             mixers = tuple(jnp.asarray(m) for m in ch._mixers)
             ph = jnp.zeros(len(ch._mixers), jnp.int32)
             q_list = tuple(m.size for m in ch._mixers)
@@ -1051,7 +1056,8 @@ def _extra_channelizer(ens, n_frames, rng):
                 g = math.gcd(abs(f), fs) or fs
                 p, q = f // g, fs // g
                 phases[k] = np.exp(-2j * np.pi * ((starts % q) * p % q) / q)
-            xd = jnp.asarray(x[: (n_chunks - 1) * hop + n])
+            xd = _device_put_chunked(np.asarray(
+                x[: (n_chunks - 1) * hop + n]))
             hspec, phj = jnp.asarray(ch._hspec), jnp.asarray(phases)
 
             def fn(a, _h=hspec, _p=phj, _c=ch, _n=n, _hop=hop):
@@ -1138,8 +1144,8 @@ def _extra_kernels(ens, n_frames, rng):
     from dabtools_tpu.ops.viterbi import viterbi_decode
     msgs = rng.integers(0, 2, size=(576, 3072), dtype=np.uint8)
     soft = np.stack([1.0 - 2.0 * conv_encode(m) for m in msgs])
-    soft = jnp.asarray(soft + rng.normal(scale=0.5, size=soft.shape),
-                       dtype=jnp.float32)
+    soft = _device_put_chunked(
+        (soft + rng.normal(scale=0.5, size=soft.shape)).astype(np.float32))
     msgs_d = jax.device_put(msgs)
     steps = 576 * 3078
     # Sustained (amortized over a queued batch), production default
