@@ -28,6 +28,10 @@ import numpy as np
 # section; explicit env wins (utils/retry.py reads these).
 os.environ.setdefault("DABTOOLS_RETRIES", "6")
 os.environ.setdefault("DABTOOLS_RETRY_BACKOFF", "25")
+# Relay-facing process: retry the relay's ValueError/RuntimeError
+# disguises too (opt-in — the library default only retries
+# JaxRuntimeError so a genuine use-after-free isn't masked).
+os.environ.setdefault("DABTOOLS_RELAY_ERRORS", "1")
 
 # On-disk compilation cache: any program compiled once in a good relay
 # window never depends on the compile helper again, and the executable
@@ -111,6 +115,41 @@ def _device_put_chunked(arr, chunk_bytes=2_000_000):
     return out
 
 
+# ---------------------------------------------------------------------
+# Weather stamping (VERDICT r3 item 3): every result line carries the
+# relay-window quality it was measured in, so a reader (or a script) can
+# filter degraded-window numbers.  The snapshot is cheap — the fetch RTT
+# is measured as a byproduct of the protocols below — and each
+# measurement additionally self-grades via a chained-length consistency
+# check (two different chain lengths must agree on the per-execution
+# time, else the window was shifting under the measurement).
+# ---------------------------------------------------------------------
+_WEATHER: dict = {}
+
+
+def _note_rtt(seconds: float):
+    prev = _WEATHER.get("rtt_ms")
+    ms = round(seconds * 1e3)
+    _WEATHER["rtt_ms"] = ms if prev is None else min(prev, ms)
+
+
+def _weather_stamp(consistency_pct: float | None = None,
+                   degraded: bool = False) -> str:
+    rtt = _WEATHER.get("rtt_ms")
+    parts = [f"rtt={rtt}ms" if rtt is not None else "rtt=?"]
+    if consistency_pct is not None:
+        parts.append(f"chain-agree={100 - consistency_pct:.0f}%")
+    parts.append("DEGRADED" if degraded else
+                 ("fetch-ok" if rtt is not None else "unprobed"))
+    return "[weather " + " ".join(parts) + "]"
+
+
+class Inconclusive(RuntimeError):
+    """A timing protocol could not separate compute from relay noise.
+    Raised INSTEAD of clamping (ADVICE r3: a clamped ~0 difference once
+    printed an absurd headline as an 'honest protocol' artifact)."""
+
+
 def _sustained_time(fn, *args, min_queue=16):
     """Sustained seconds per execution of ``fn``, with execution
     completion proven by a trailing scalar fetch (see protocol note
@@ -137,6 +176,7 @@ def _sustained_time(fn, *args, min_queue=16):
     # one execution rides inside each RTT sample; it is orders of
     # magnitude smaller than the relay round-trip this subtracts
     t_rtt = min(rtts)
+    _note_rtt(t_rtt)
     q = min_queue
     while True:
         t0 = time.perf_counter()
@@ -150,7 +190,12 @@ def _sustained_time(fn, *args, min_queue=16):
         _fetch_scalar(last)
         t_run = time.perf_counter() - t0
         if t_run >= max(4 * t_rtt, 0.2) or q >= 4096:
-            return max(t_run - t_rtt, 1e-9) / q
+            if t_run <= t_rtt:
+                raise Inconclusive(
+                    f"queued work ({t_run:.3f}s for q={q}) did not exceed "
+                    f"the fetch RTT ({t_rtt:.3f}s); relay noise is the "
+                    f"signal here, not compute")
+            return (t_run - t_rtt) / q
         q *= 4
 
 
@@ -159,7 +204,8 @@ def _checksum(tree):
                for leaf in jax.tree_util.tree_leaves(tree))
 
 
-def _chained_time(fn, *args, L0=4, L1=64):
+def _chained_time_ex(fn, *args, L0=4, L1=64, L_max=4096,
+                     tol=0.35) -> tuple[float, str]:
     """Per-execution seconds of ``fn(*args)`` chained L times ON DEVICE
     in one lax.scan dispatch, reported as (t_L1 - t_L0)/(L1 - L0) so the
     fixed dispatch+fetch overhead — ~100 ms per call through this relay,
@@ -167,7 +213,18 @@ def _chained_time(fn, *args, L0=4, L1=64):
     exactly.  A loop-carried checksum is folded into the first argument
     through a runtime-zero (but symbolically unknown) term, so the
     compiler can neither hoist the loop-invariant computation out of the
-    scan nor dead-code-eliminate any iteration."""
+    scan nor dead-code-eliminate any iteration.
+
+    Guards (ADVICE r3 / VERDICT r3 item 3):
+    - the chain grows until t_L1 - t_L0 clears a noise floor; if even
+      L_max can't separate compute from relay jitter, raises
+      ``Inconclusive`` instead of clamping to an absurd number;
+    - two independent chain-length pairs must agree on the per-execution
+      time within ``tol`` (the window was shifting otherwise); the
+      returned weather stamp records the agreement and flags DEGRADED.
+
+    Returns ``(seconds_per_execution, weather_stamp)``.
+    """
     import functools as _ft
 
     @_ft.partial(jax.jit, static_argnames=("length",))
@@ -187,18 +244,56 @@ def _chained_time(fn, *args, L0=4, L1=64):
         return acc
 
     from dabtools_tpu.utils.retry import call_with_retries
-    for L in (L0, L1):
-        call_with_retries(
-            lambda L=L: float(np.asarray(scan_fn(tuple(args), L))))
 
     def timed(L):
         t0 = time.perf_counter()
         float(np.asarray(scan_fn(tuple(args), L)))
         return time.perf_counter() - t0
 
-    t0_ = min(timed(L0) for _ in range(2))
-    t1_ = min(timed(L1) for _ in range(2))
-    return max(t1_ - t0_, 1e-9) / (L1 - L0)
+    # Separation floor: the difference must dominate relay jitter.  The
+    # base-length time is pure overhead+L0 executions; require the
+    # added chain to contribute >= 0.15 s or 1.5x the base, whichever
+    # is larger.  Grow L1 geometrically until it does (a 180 us kernel
+    # needs L1 ~ 1024; a 4 ms block needs only 64).
+    while True:
+        for L in (L0, L1):
+            call_with_retries(
+                lambda L=L: float(np.asarray(scan_fn(tuple(args), L))))
+        t0_ = min(timed(L0) for _ in range(2))
+        _note_rtt(t0_)               # upper bound on dispatch+fetch RTT
+        t1_ = min(timed(L1) for _ in range(2))
+        sep = t1_ - t0_
+        if sep >= max(0.15, 0.5 * t0_):
+            break
+        if L1 >= L_max:
+            raise Inconclusive(
+                f"no chained-length separation at L={L1} "
+                f"(t_L{L0}={t0_:.3f}s, t_L{L1}={t1_:.3f}s): per-exec "
+                f"compute is below relay noise")
+        L1 = min(L1 * 4, L_max)
+
+    # Self-consistency: an independent intermediate length must predict
+    # the same per-execution time.
+    Lm = max(L0 + 1, L0 + (L1 - L0) // 2)
+    call_with_retries(lambda: float(np.asarray(scan_fn(tuple(args), Lm))))
+    tm_ = min(timed(Lm) for _ in range(2))
+    b1 = sep / (L1 - L0)
+    bm = (tm_ - t0_) / (Lm - L0)
+    rel = abs(b1 - bm) / max(b1, 1e-12)
+    stamp = _weather_stamp(consistency_pct=min(rel * 100, 100),
+                           degraded=rel > tol or bm <= 0)
+    return b1, stamp
+
+
+def _chained_time(fn, *args, L0=4, L1=64):
+    """Back-compat scalar variant of ``_chained_time_ex`` (stage_profile
+    imports this); degraded windows still raise via the separation
+    guard, but the consistency stamp is logged here rather than
+    returned."""
+    t, stamp = _chained_time_ex(fn, *args, L0=L0, L1=L1)
+    if "DEGRADED" in stamp:
+        log(f"# chained measurement self-inconsistent {stamp}")
+    return t
 
 
 def _median_time(fn, *args, iters=10, warmup=2):
@@ -406,19 +501,38 @@ def main():
                 f"({n_frames * C.MODE_I.frame_size / t_disp / C.SAMPLE_RATE:.0f}x; relay per-call overhead included)")
             # Headline: device-chained sustained throughput (see
             # step_scan note above) — fixed call+fetch overhead cancels
-            # in the (L=64) - (L=4) difference.
-            L0, L1 = 4, 64
-            for L in (L0, L1):
+            # in the (L1 - L0) difference.  Chain lengths scale with the
+            # block size so a 64-frame child chains 16 blocks, not 64
+            # (it must fit a relay window; VERDICT r3 item 7), and three
+            # lengths are measured so the result self-checks: L_mid and
+            # L1 must agree on the per-block time (VERDICT r3 item 3),
+            # and a non-positive separation raises instead of clamping
+            # (ADVICE r3) so the attempt loop retries in a better
+            # window.
+            L0, L1 = (4, 64) if n_frames <= 24 else (2, 16)
+            Lm = L0 + (L1 - L0) // 2
+            for L in (L0, Lm, L1):
                 call_with_retries(
                     lambda L=L: float(np.asarray(
-                        step_scan(x, rings, cif, L))))   # compile both
+                        step_scan(x, rings, cif, L))))   # compile all
             def timed(L):
                 t0 = time.perf_counter()
                 float(np.asarray(step_scan(x, rings, cif, L)))
                 return time.perf_counter() - t0
             t_l0 = min(timed(L0) for _ in range(2))
+            _note_rtt(t_l0)
+            t_lm = min(timed(Lm) for _ in range(2))
             t_l1 = min(timed(L1) for _ in range(2))
-            t = max(t_l1 - t_l0, 1e-9) / (L1 - L0)
+            sep = t_l1 - t_l0
+            if sep < max(0.05, 0.25 * t_l0):
+                raise Inconclusive(
+                    f"headline chain lengths did not separate "
+                    f"(t_L{L0}={t_l0:.3f}s, t_L{L1}={t_l1:.3f}s)")
+            t = sep / (L1 - L0)
+            b_mid = (t_lm - t_l0) / (Lm - L0)
+            rel = abs(t - b_mid) / t
+            stamp = _weather_stamp(consistency_pct=min(rel * 100, 100),
+                                   degraded=rel > 0.35 or b_mid <= 0)
             break
         except Exception as e:  # noqa: BLE001
             log(f"# headline attempt {attempt + 1} failed "
@@ -447,7 +561,7 @@ def main():
     rt = samples / t / C.SAMPLE_RATE
     log(f"# [config 1] full-ensemble decode: {t * 1e3:.2f} ms/block "
         f"(sustained), {samples / t / 1e6:.0f} Msamples/s, "
-        f"{rt:.0f}x real-time")
+        f"{rt:.0f}x real-time {stamp}")
 
     # Print the headline NOW — before the inline bit-exactness fetch: if
     # anything later fails, the JSON line is already on stdout for the
@@ -457,6 +571,7 @@ def main():
         "value": round(rt, 2),
         "unit": "x_realtime_2.048Msps",
         "vs_baseline": round(rt, 2),
+        "weather": stamp,
     }), flush=True)
 
     # Hardware bit-exactness riding the ALREADY-COMPILED, already-
@@ -524,7 +639,18 @@ def orchestrate():
     — even cached programs — while fresh processes work fine).  The
     orchestrator itself never touches the device, so it can never wedge,
     and each headline attempt gets a brand-new relay client.  The
-    on-disk compile cache makes every attempt after the first cheap."""
+    on-disk compile cache makes every attempt after the first cheap.
+
+    Order (VERDICT r3 item 1 — the first good window must yield a
+    FULL-BREADTH artifact, not three copies of config 1):
+      1. one headline child; its JSON prints IMMEDIATELY (a mid-run
+         driver kill then still has the number);
+      2. one pass of EVERY extras section (kernels, rs, batched,
+         channelizer, e2e, mixedmux);
+      3. two more headline children -> spread/median recorded;
+      4. config 1b (64-frame operating point, short-chained child);
+      5. failed sections re-queued until the wall-clock budget.
+    """
     import subprocess
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     quick = "--quick" in sys.argv
@@ -543,7 +669,8 @@ def orchestrate():
 
     def run_child(cmd, timeout):
         """Run one measurement child; relay its '# ' stderr lines (it
-        already persisted them itself) and return its parsed headline.
+        already persisted them itself) and return its parsed headline
+        as ``(value, weather_stamp)``.
 
         A child that MEASURED but then hung in a fetch-dependent
         post-print step (inline closedloop in a fetch-hanging window)
@@ -570,85 +697,116 @@ def orchestrate():
             # accelerator backend unavailable: retrying cannot help
             log("# FATAL: child reports no accelerator; giving up")
             sys.exit(3)
-        return float(json.loads(stdout.strip().splitlines()[-1])["value"])
+        parsed = json.loads(stdout.strip().splitlines()[-1])
+        return float(parsed["value"]), parsed.get("weather", "")
 
-    rt16 = None
+    # ---- Phase 1: one good-window headline child -----------------------
+    rt16 = stamp16 = None
+    degraded_fallback = None
     t_start = time.time()
     budget = float(os.environ.get("DABTOOLS_HEADLINE_BUDGET", "2400"))
     attempt = 0
     while rt16 is None and time.time() - t_start < budget:
         attempt += 1
         try:
-            rt16 = run_child(child_cmd, timeout=420)
+            v, w = run_child(child_cmd, timeout=420)
+            if "DEGRADED" in w and attempt < 3:
+                # self-inconsistent chain timing: the window shifted
+                # under the measurement — keep as fallback, try again
+                log(f"# headline child self-graded DEGRADED ({v:.0f}x "
+                    f"{w}); retrying in a fresh window")
+                degraded_fallback = (v, w)
+                _wait_for_relay(300)
+                continue
+            rt16, stamp16 = v, w
         except Exception as e:  # noqa: BLE001
             log(f"# headline attempt {attempt} (fresh process) failed "
                 f"({str(e)[:90]}); probing for the next window")
             _wait_for_relay(300)
+    if rt16 is None and degraded_fallback is not None:
+        rt16, stamp16 = degraded_fallback
+        log(f"# headline: only a DEGRADED-window measurement available "
+            f"({rt16:.0f}x {stamp16})")
     if rt16 is None:
         log("# FATAL: headline unmeasurable (relay bad through "
             f"{attempt} fresh-process attempts / {budget:.0f}s); "
             "no number to report")
         sys.exit(2)
 
-    # The compile relay serves differently-optimized executables per
-    # process (observed 4x spread, e.g. [1867, 7781, 7508]): one child's
-    # number may badly under-report the chip.  Take the MEDIAN of up to
-    # three successful children before printing; extra children are
-    # cheap in the window that just produced a success, and any failure
-    # just shrinks the sample (the first success is already persisted).
-    rts = [rt16]
-    if not quick:
-        for _ in range(2):
-            try:
-                rts.append(run_child(child_cmd, timeout=300))
-            except Exception:  # noqa: BLE001
-                break
-        log(f"# [config 1] per-process spread (16-frame): "
-            f"{[round(v) for v in rts]} (median {np.median(rts):.0f}x)")
-    rt = float(np.median(rts))
-
-    if not quick:
-        # Throughput-optimal operating point: 64-frame blocks amortize
-        # dispatch/sync overhead ~3x over the 16-frame low-latency
-        # point; the headline reports the BEST sustained operating
-        # point.  One hard-timeout attempt — the headline JSON must
-        # land within minutes of the first success (VERDICT r2 1b).
-        try:
-            rt2 = run_child([sys.executable, __file__, "64", "--quick",
-                             "--once"], timeout=420)
-            log(f"# [config 1b] 64-frame blocks: {rt2:.0f}x real-time "
-                f"(6.1 s latency operating point)")
-            if rt2 > rt:
-                log(f"# headline = 64-frame throughput-optimal point "
-                    f"(16-frame low-latency point: {rt:.0f}x)")
-                rt = rt2
-        except Exception as e:  # noqa: BLE001
-            log(f"# [config 1b] 64-frame SKIPPED: {str(e)[:120]}")
-
+    # Headline JSON prints NOW (VERDICT r2 1b): sections and repeats are
+    # breadth, not prerequisites, and a mid-run driver kill must not
+    # cost the number.  Prewarmed executables are pinned by .jax_cache,
+    # so per-child spread is provenance, not a correction (r3 measured
+    # [392, 382, 392] across children of one window).
     print(json.dumps({
         "metric": "realtime_multiple_full_ensemble_per_chip",
-        "value": round(rt, 2),
+        "value": round(rt16, 2),
         "unit": "x_realtime_2.048Msps",
-        "vs_baseline": round(rt, 2),
+        "vs_baseline": round(rt16, 2),
+        "weather": stamp16,
     }), flush=True)
     _persist(json.dumps({"metric": "realtime_multiple_full_ensemble_"
-                                   "per_chip", "value": round(rt, 2)}))
+                                   "per_chip", "value": round(rt16, 2),
+                         "weather": stamp16}))
+    if quick:
+        return
 
-    if not quick:
-        _extras()
+    budget_all = float(os.environ.get("DABTOOLS_BENCH_BUDGET", 2400))
+    t0_all = time.time()
+
+    # ---- Phase 2: one pass of EVERY section in this window -------------
+    failed = _run_sections(list(SECTIONS),
+                           budget=lambda: budget_all - (time.time()
+                                                        - t0_all),
+                           max_attempts=1)
+
+    # ---- Phase 3: headline repeats -> spread/median ---------------------
+    rts = [rt16]
+    for _ in range(2):
+        try:
+            v, w = run_child(child_cmd, timeout=300)
+            rts.append(v)
+        except Exception:  # noqa: BLE001
+            break
+    med = float(np.median(rts))
+    log(f"# [config 1] per-process spread (16-frame): "
+        f"{[round(v) for v in rts]} (median {med:.0f}x; headline JSON = "
+        f"first good-window child {rt16:.0f}x)")
+    if len(rts) >= 2 and abs(med - rt16) / max(rt16, 1e-9) > 0.15:
+        log(f"# WARNING: median deviates >15% from the printed headline "
+            f"— window shifted between children; prefer the stamp-"
+            f"filtered lines above")
+
+    # ---- Phase 4: config 1b (64-frame throughput point) ----------------
+    try:
+        v, w = run_child([sys.executable, __file__, "64", "--quick",
+                          "--once"], timeout=300)
+        log(f"# [config 1b] 64-frame blocks: {v:.0f}x real-time "
+            f"(6.1 s latency operating point) {w}")
+    except Exception as e:  # noqa: BLE001
+        log(f"# [config 1b] 64-frame SKIPPED: {str(e)[:120]}")
+
+    # ---- Phase 5: re-queue failed sections until the budget -------------
+    if failed:
+        _run_sections(failed,
+                      budget=lambda: budget_all - (time.time() - t0_all),
+                      max_attempts=3)
 
 
-# Priority order under the wall-clock budget: hardware bit-exactness
-# first (the round's key evidence), then true e2e, then throughput
-# configs.
-SECTIONS = ("closedloop", "e2e", "rs", "batched", "channelizer", "kernels")
+# One pass of every section runs right after the first headline child
+# (VERDICT r3 item 1: three rounds of artifacts contained config 1 and
+# nothing else).  Order: cheapest/most-cached first so a short window
+# still yields kernel + RS + batched lines; mixedmux (UEP + DAB+ on
+# real silicon, VERDICT r3 item 5) before e2e since it is new evidence.
+SECTIONS = ("kernels", "rs", "batched", "channelizer", "mixedmux", "e2e")
 
 
 # The relay's FIRST device-to-host fetch in a process can stall ~5 min
 # on bad days (measured 281 s for 4 KB, instant afterwards); sections
 # that fetch decoded data get a budget covering one such stall — but a
-# single section may not eat half the whole bench budget.
-_SECTION_TIMEOUT = {"closedloop": 600, "e2e": 600, "channelizer": 600,
+# single section may not eat half the whole bench budget.  With a
+# prewarmed .jax_cache each section is <120 s of device time.
+_SECTION_TIMEOUT = {"mixedmux": 600, "e2e": 600, "channelizer": 600,
                     "kernels": 600}
 
 
@@ -671,8 +829,8 @@ d = jax.device_put(np.zeros(1 << 25, np.uint8)); d.block_until_ready()
 
 
 
-def _extras():
-    """Each section runs in its OWN subprocess: this machine's TPU relay
+def _run_sections(pending: list, budget, max_attempts: int = 3) -> list:
+    """Run sections, each in its OWN subprocess: this machine's TPU relay
     wedges a process after a handful of fresh compiles, and a fresh
     process gets a fresh budget.  A section failure can never cost the
     driver's headline line (already printed).
@@ -683,9 +841,11 @@ def _extras():
     'UNIMPLEMENTED' was this, not a lowering bug).  So: (a) a cheap
     weather PROBE gates each section — while the probe fails, sleep
     instead of burning a section's timeout inside a window; (b) failed
-    sections re-queue until a wall-clock budget (DABTOOLS_BENCH_BUDGET,
-    default 40 min) runs out, not a fixed two passes."""
-    import os
+    sections re-queue up to ``max_attempts`` while ``budget()`` (seconds
+    remaining) is positive.  Returns the list of sections that never
+    succeeded, so the caller can re-queue them later (VERDICT r3 item 1:
+    the FIRST pass runs each section exactly once to spend the first
+    good window on breadth, retries come after the headline repeats)."""
     import subprocess
 
     def run_one(name):
@@ -721,20 +881,12 @@ def _extras():
         except subprocess.TimeoutExpired:
             return False
 
-    # r01's driver run was killed at its own (unknown) timeout with
-    # rc=124 — but the headline JSON now prints before the extras and
-    # every section line prints as it completes, so a mid-extras kill
-    # costs nothing.  40 min of weather-gated retries rides out the
-    # relay's longer bad windows (observed: hours-long on 2026-08-18).
-    budget = float(os.environ.get("DABTOOLS_BENCH_BUDGET", 2400))
-    t0 = time.time()
-    pending = list(SECTIONS)
-    attempts = {}
-    while pending and time.time() - t0 < budget:
-        # Every section's timing now proves execution with a trailing
-        # fetch (see the protocol note at the top), so the gate is the
-        # full fetch-capable probe — there is no longer a fetch-free
-        # tier to run in exec-only windows.
+    attempts: dict = {}
+    never_succeeded = list(pending)
+    while pending and budget() > 0:
+        # Every section's timing proves execution with a trailing fetch
+        # (see the protocol note at the top), so the gate is the full
+        # fetch-capable probe.
         if not relay_ok():
             log("# relay in a bad window (probe failed); waiting 60s")
             time.sleep(60)
@@ -742,16 +894,19 @@ def _extras():
         name = pending.pop(0)
         err = run_one(name)
         if err is None:
+            never_succeeded.remove(name)
             continue
         attempts[name] = attempts.get(name, 0) + 1
-        if attempts[name] < 4 and time.time() - t0 < budget:
+        if attempts[name] < max_attempts and budget() > 0:
             log(f"# [{name}] failed attempt {attempts[name]} ({err}); "
                 f"re-queued")
             pending.append(name)
         else:
-            log(f"# [{name}] SKIPPED ({err})")
+            log(f"# [{name}] {'DEFERRED' if max_attempts == 1 else 'SKIPPED'}"
+                f" ({err})")
     for name in pending:
-        log(f"# [{name}] SKIPPED (bench budget {budget:.0f}s exhausted)")
+        log(f"# [{name}] SKIPPED (bench budget exhausted)")
+    return never_succeeded
 
 
 def run_section(name: str) -> int:
@@ -768,7 +923,8 @@ def run_section(name: str) -> int:
     rng = np.random.default_rng(0)
     fn = {"closedloop": _extra_closedloop, "batched": _extra_batched,
           "e2e": _extra_e2e, "channelizer": _extra_channelizer,
-          "rs": _extra_rs, "kernels": _extra_kernels}[name]
+          "rs": _extra_rs, "kernels": _extra_kernels,
+          "mixedmux": _extra_mixedmux}[name]
     fn(ens, 16, rng)
     return 0
 
@@ -792,12 +948,12 @@ def _extra_batched(ens, n_frames, rng):
             xb, rings8, jnp.asarray(0, jnp.int32), ensemble=ens,
             n_frames=nf, mesh=None)
 
-    t = _median_time(step8, xb, rings8, iters=5)
+    t, stamp = _chained_time_ex(step8, xb, rings8, L0=2, L1=16)
     sps = n_ch * nf * C.MODE_I.frame_size / t
     log(f"# [config 3] {n_ch} ensembles batched: {t * 1e3:.2f} ms/block, "
         f"{sps / 1e6:.0f} Msamples/s aggregate, "
         f"{sps / C.SAMPLE_RATE:.0f}x real-time "
-        f"({sps / C.SAMPLE_RATE / n_ch:.0f}x per stream)")
+        f"({sps / C.SAMPLE_RATE / n_ch:.0f}x per stream) {stamp}")
 
 
 def _check_closedloop_inline(out, payload, n_frames):
@@ -937,6 +1093,78 @@ def _extra_closedloop(ens, n_frames, rng):
         raise AssertionError("hardware closed loop mismatch")
 
 
+def _extra_mixedmux(ens, n_frames, rng):
+    """Hardware bit-exactness for EVERY protection family (VERDICT r3
+    item 5): the dryrun mix — 6 x EEP-3A + UEP (Table 31 idx 16) + DAB+
+    (EEP-3A 72 kbit/s with real RS-protected superframes) — decodes on
+    the REAL chip, and the DAB+ stream RS-decodes back to the original
+    access units.  Before this section, UEP and DAB+ were proven only on
+    CPU/virtual meshes; the flagship headline mux is all-EEP."""
+    del ens, n_frames
+    import sys as _sys
+    import pathlib
+    _sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from __graft_entry__ import _dryrun_ensemble
+    from dabtools_tpu import constants as C
+    from dabtools_tpu.eti.dabplus import SuperframeBuilder, SuperframeDecoder
+    from dabtools_tpu.eti.parse import EtiParser
+    from dabtools_tpu.fic.fig import build_fibs_for_ensemble
+    from dabtools_tpu.mod.modulator import Modulator, SubchannelSource
+    from dabtools_tpu.models.receiver import DabReceiver
+
+    mix = _dryrun_ensemble()
+    n_mod = 20
+    n_cifs = n_mod * C.MODE_I.n_cifs
+    rng2 = np.random.default_rng(7)
+    order = [s.subchid for s in mix.sorted_subchannels()]
+    payloads = {sc: np.unpackbits(
+        rng2.integers(0, 256, (n_cifs, mix.subchannel(sc).data_bytes),
+                      dtype=np.uint8), axis=-1) for sc in order}
+    # Sub-channel 7 carries REAL DAB+ superframes (firecode + RS(120,110)
+    # + AU CRCs), so the chip path is proven through the RS decode too.
+    sfb = SuperframeBuilder(72)
+    aus_flat: list[bytes] = []
+    sf_rows = []
+    for _ in range(n_cifs // C.SUPERFRAME_FRAMES + 1):
+        aus = [rng2.integers(0, 256, sz, dtype=np.uint8).tobytes()
+               for sz in sfb.au_sizes()]
+        aus_flat += aus
+        sf_rows.append(sfb.build(aus))
+    payloads[7] = np.unpackbits(np.concatenate(sf_rows)[:n_cifs], axis=-1)
+    mod = Modulator([SubchannelSource(s.start_cu, s.profile)
+                     for s in mix.sorted_subchannels()])
+    x = mod.frames(n_mod, lambda f: build_fibs_for_ensemble(mix, f),
+                   lambda f, i: payloads[order[i]][f * 4:(f + 1) * 4])
+    pb = {sc: np.packbits(payloads[sc], axis=-1) for sc in order}
+
+    rx = DabReceiver(n_frames=16, ensemble=mix)
+    eti = rx.feed(x)
+    frames = list(EtiParser().feed(b"".join(eti)))
+    a = rx._activation_cif
+    good = sum(
+        all(f.subchannel_data(sc) == pb[sc][a + k].tobytes()
+            for sc in order)
+        for k, f in enumerate(frames))
+    sfd = SuperframeDecoder(72)
+    aus_out = []
+    for f in frames:
+        aus_out += sfd.feed(f.subchannel_data(7))
+    aus_ok = bool(aus_out) and all(au.crc_ok for au in aus_out)
+    datas = [au.data for au in aus_out]
+    stream_ok = False
+    if aus_ok and datas[0] in aus_flat:
+        k0 = aus_flat.index(datas[0])
+        stream_ok = datas == aus_flat[k0: k0 + len(datas)]
+    status = ("BIT-EXACT" if good == len(frames) and frames and stream_ok
+              else "MISMATCH")
+    log(f"# [mixedmux] TPU decode of 6xEEP + UEP(idx16) + DAB+ mux: "
+        f"{status} ({good}/{len(frames)} ETI frames x {len(order)} "
+        f"subchannels incl. UEP; {len(aus_out)} DAB+ access units "
+        f"RS-decode with good CRCs on-chip output) {_weather_stamp()}")
+    if status != "BIT-EXACT":
+        raise AssertionError("mixed-mux hardware closed loop mismatch")
+
+
 def _extra_e2e(ens, n_frames, rng):
     """End-to-end including ALL host work: modulated signal -> DabReceiver
     -> ETI bytes (acquisition, FIG parse, CRCs, pairing, assembly)."""
@@ -1065,11 +1293,11 @@ def _extra_channelizer(ens, n_frames, rng):
                                        decim=_c.decim,
                                        shifts=tuple(_c._bin_shift))
 
-        t = _median_time(fn, xd, iters=5)
+        t, stamp = _chained_time_ex(fn, xd, L0=2, L1=16)
         log(f"# [config 4] channelizer[{method}] {fs / 1e6:.1f} Msps -> "
             f"{len(offsets)} DAB blocks ({ch.num_taps} taps): "
             f"{t * 1e3:.2f} ms per 250 ms capture = "
-            f"{0.25 / t:.0f}x real-time")
+            f"{0.25 / t:.0f}x real-time {stamp}")
 
 
 def _extra_rs(ens, n_frames, rng):
@@ -1078,12 +1306,12 @@ def _extra_rs(ens, n_frames, rng):
     from dabtools_tpu.utils.gf256 import rs_encode
     data = rng.integers(0, 256, size=(2048, C.RS_K), dtype=np.uint8)
     cw = jnp.asarray(rs_encode(data))
-    t = _median_time(rs_decode_batch, cw, iters=5)
+    t, stamp = _chained_time_ex(rs_decode_batch, cw)
     # one 128 kbit/s DAB+ service = 16 columns / 120 ms
     sf_rate = 2048 / 16 / t
     log(f"# [config 2] device RS(120,110): {2048 / t:.0f} codewords/s = "
         f"{sf_rate:.0f} x128kbps-superframes/s ({sf_rate * 0.12:.0f}x "
-        f"real-time per service-equivalent)")
+        f"real-time per service-equivalent) {stamp}")
 
 
 def _verdict_by_timing(compute_ok) -> str:
@@ -1136,9 +1364,9 @@ def _verdict_by_timing(compute_ok) -> str:
 def _extra_kernels(ens, n_frames, rng):
     spec = _noise(16 * 76 * 2048, rng).reshape(16 * 76, 2048)
     f_fft = jax.jit(lambda a: jnp.fft.fft(a, axis=-1))
-    t = _median_time(f_fft, spec)
+    t, stamp = _chained_time_ex(f_fft, spec)
     log(f"# [kernel] batched FFT-2048 x{16 * 76}: {t * 1e6:.0f} us "
-        f"({16 * 76 * 2048 / t / 1e9:.1f} Gsamples/s)")
+        f"({16 * 76 * 2048 / t / 1e9:.1f} Gsamples/s) {stamp}")
 
     from dabtools_tpu.mod.convcode import conv_encode
     from dabtools_tpu.ops.viterbi import viterbi_decode
@@ -1155,7 +1383,7 @@ def _extra_kernels(ens, n_frames, rng):
     # wrong output even in fetch-hanging relay windows.
     for impl in ("pallas", "xla"):
         f = jax.jit(lambda s, i=impl: viterbi_decode(s, impl=i))
-        t = _chained_time(f, soft)
+        t, stamp = _chained_time_ex(f, soft)
 
         def ok_fn(_f=f):
             bits, _ = _f(soft)
@@ -1164,7 +1392,7 @@ def _extra_kernels(ens, n_frames, rng):
         verdict = _verdict_by_timing(ok_fn)
         log(f"# [kernel] Viterbi[{impl}] (576x3078) sustained: "
             f"{t * 1e3:.2f} ms ({steps / t / 1e6:.0f} Msteps/s); "
-            f"decoded bits {verdict}")
+            f"decoded bits {verdict} {stamp}")
         if verdict.startswith("MISMATCH"):
             raise AssertionError(f"{impl} wrong bits on HW")
 

@@ -242,6 +242,9 @@ def main(argv=None) -> int:
     if args.wideband is not None:
         return _wideband(args, mode, n_frames)
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    if sum((args.tist, args.tist_utc, args.tist_epoch is not None)) > 1:
+        p.error("--tist, --tist-utc and --tist-epoch are mutually "
+                "exclusive (each picks a different timestamp anchor)")
     tist = (args.tist_epoch if args.tist_epoch is not None
             else "utc" if args.tist_utc else args.tist)
     rx = DabReceiver(n_frames=n_frames, mode=mode,

@@ -587,19 +587,53 @@ class EdiToEti:
         return b"".join(out)
 
 
+def _sniff_edi(first: bytes) -> bool:
+    """True iff ``first`` really starts an EDI stream — the two sync
+    bytes alone are not enough: a live ETI pipe tapped mid-frame whose
+    first two bytes happen to be ``AF``/``PF`` must NOT be routed through
+    the EDI transcoder (which would silently consume the whole stream as
+    unsynced garbage instead of letting the ETI parser resync).  So the
+    header behind the sync is validated the same way the de-framers do."""
+    if first[:2] == AF_SYNC:
+        if len(first) < 10:
+            return False
+        ln = int.from_bytes(first[2:6], "big")
+        if ln > (1 << 20) or not first[8] & 0x80 or first[9] != _PT_TAG:
+            return False
+        total = 10 + ln + 2
+        if len(first) >= total:       # whole packet present: CRC decides
+            return crc16_ccitt(first[:total - 2]) == int.from_bytes(
+                first[total - 2:total], "big")
+        return True
+    if first[:2] == PFT_SYNC:
+        # PFT header: "PF" Pseq(2) Findex(3) Fcount(3) flags|plen(2)
+        # [+RS(2)] [+Addr(4)] HCRC(2) — the header CRC decides.
+        if len(first) < 14:
+            return False
+        flags = int.from_bytes(first[10:12], "big")
+        hlen = 12 + (2 if flags & 0x8000 else 0) + (4 if flags & 0x4000
+                                                    else 0)
+        if len(first) < hlen + 2:
+            return False
+        return crc16_ccitt(first[:hlen]) == int.from_bytes(
+            first[hlen:hlen + 2], "big")
+    return False
+
+
 def iter_eti_chunks(f, mode=None):
     """Yield ETI byte chunks from file-like ``f``, transparently
-    transcoding EDI captures: the first two bytes identify plain AF
-    framing (``AF``) or PFT fragmentation (``PF``); anything else
-    streams through untouched and lands in the caller's normal ETI
-    resync path.  Shared by eti2audio/etiinfo so every ETI consumer
-    accepts EDI files for free."""
+    transcoding EDI captures: the stream is identified as plain AF
+    framing (``AF``) or PFT fragmentation (``PF``) by sync bytes PLUS a
+    validated header (see ``_sniff_edi``); anything else streams through
+    untouched and lands in the caller's normal ETI resync path.  Shared
+    by eti2audio/etiinfo so every ETI consumer accepts EDI files for
+    free."""
     import logging
     log = logging.getLogger("dabtools_tpu.edi")
     first = f.read(1 << 20)
     if not first:
         return
-    if first[:2] in (b"AF", PFT_SYNC):
+    if _sniff_edi(first):
         conv = EdiToEti(mode=mode)
         log.info("EDI input detected (%s); transcoding to ETI",
                  "PFT-fragmented" if first[:2] == PFT_SYNC else "AF")

@@ -30,6 +30,24 @@ def _interleave_idx(mode: Mode) -> np.ndarray:
     return freq_interleave_map(mode)
 
 
+# Static clip margin for per-symbol drift window shifts: keeps the
+# per-frame slice length static under jit.  50 ppm over one Mode I frame
+# is ~10 samples; 64 is 6x headroom.
+_DRIFT_MARGIN = 64
+
+
+def _drift_adjustment(drift, sym_pos: jnp.ndarray, mode: Mode) -> jnp.ndarray:
+    """Per-symbol integer window shift for sample-clock drift, CLIPPED to
+    the static slice margin.  Shared by ``gather_symbol_windows`` (which
+    shifts the windows) and ``demod_frames`` (which undoes the shifts in
+    phase): both sides MUST see the identical clipped value, or a drift
+    estimate beyond the margin silently corrupts the DQPSK differential
+    instead of degrading gracefully."""
+    return jnp.clip(jnp.round(
+        jnp.asarray(drift, jnp.float32) * sym_pos / mode.frame_size
+    ), -_DRIFT_MARGIN, _DRIFT_MARGIN)
+
+
 def gather_symbol_windows(x: jnp.ndarray, frame_starts: jnp.ndarray,
                           mode: Mode = MODE_I,
                           cfo_norm: jnp.ndarray | float = 0.0,
@@ -51,13 +69,8 @@ def gather_symbol_windows(x: jnp.ndarray, frame_starts: jnp.ndarray,
     """
     sym_idx = jnp.arange(mode.n_symbols, dtype=jnp.int32)
     sym_pos = (mode.null_size + sym_idx * mode.symbol_size).astype(jnp.float32)
-    # Drift adjustment is clipped to a static margin so the per-frame
-    # slice length stays static (50 ppm over one Mode I frame is ~10
-    # samples; 64 is 6x headroom).
-    MARGIN = 64
-    drift_adj = jnp.clip(jnp.round(
-        jnp.asarray(drift, jnp.float32) * sym_pos / mode.frame_size
-    ), -MARGIN, MARGIN).astype(jnp.int32)
+    MARGIN = _DRIFT_MARGIN
+    drift_adj = _drift_adjustment(drift, sym_pos, mode).astype(jnp.int32)
     # NB: a window shifted by `a` samples multiplies FFT bin b by
     # exp(j*2*pi*a*b/N); demod_frames undoes this so the per-symbol integer
     # steps don't corrupt the DQPSK differential (a 1-sample step is
@@ -120,8 +133,7 @@ def demod_frames(x: jnp.ndarray, frame_starts: jnp.ndarray,
     # symbol is referenced to one timebase (see gather_symbol_windows).
     sym_idx = jnp.arange(mode.n_symbols, dtype=jnp.int32)
     sym_pos = (mode.null_size + sym_idx * mode.symbol_size).astype(jnp.float32)
-    adj = jnp.round(jnp.asarray(drift, jnp.float32) * sym_pos
-                    / mode.frame_size)
+    adj = _drift_adjustment(drift, sym_pos, mode)
     bins = jnp.arange(mode.fft_size, dtype=jnp.float32)
     ph = -2.0 * jnp.pi * jnp.mod(
         adj[:, None] * bins[None, :] / mode.fft_size, 1.0)

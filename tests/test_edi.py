@@ -365,7 +365,16 @@ def test_cli_udp_transport_roundtrip(tmp_path):
          f"udp://127.0.0.1:{port}", "--udp-idle", "3", "-o", str(back)],
         stderr=subprocess.PIPE, text=True)
     try:
-        time.sleep(1.0)                 # let it bind
+        # Wait until the listener has actually bound the port (a fixed
+        # sleep flakes under load: the child's imports can take >1 s).
+        # /proc/net/udp lists bound sockets as :PORT_HEX.
+        needle = f":{port:04X}"
+        for _ in range(300):
+            if needle in open("/proc/net/udp").read():
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError("listener never bound the UDP port")
         r1 = subprocess.run(
             [sys.executable, "-m", "dabtools_tpu.cli.eti2edi", "--pft-fec",
              "--pft-mtu", "500", str(eti_in), "-o",
@@ -525,3 +534,31 @@ def test_eti2audio_accepts_edi_input(tmp_path, pft):
     assert "EDI input detected" in err
     ref = (tmp_path / "ref.mp2").read_bytes()
     assert ref and (tmp_path / "edi.mp2").read_bytes() == ref
+
+
+def test_sniff_rejects_eti_tapped_midframe():
+    """A live ETI pipe tapped mid-frame whose first two bytes happen to
+    be 'AF' or 'PF' must NOT be routed through the EDI transcoder
+    (ADVICE r3): the validated-header sniff falls back to the raw path
+    and the ETI parser resyncs normally."""
+    import io
+
+    from dabtools_tpu.eti.edi import _sniff_edi, iter_eti_chunks
+    from dabtools_tpu.eti.parse import EtiParser
+
+    raw = _eti_stream(4)
+    # find a frame byte position where inserting a fake prefix yields
+    # 'AF'/'PF' leading bytes: just prepend them to a mid-frame tap
+    for prefix in (b"AF", b"PF"):
+        tapped = prefix + raw[100:]      # mid-frame tap, bogus sync bytes
+        assert not _sniff_edi(tapped[: 1 << 20])
+        chunks = list(iter_eti_chunks(io.BytesIO(tapped)))
+        assert b"".join(chunks) == tapped          # passed through raw
+        frames = list(EtiParser().feed(b"".join(chunks)))
+        assert len(frames) == 3                     # parser resynced
+
+    # and a REAL EDI stream still sniffs as EDI
+    edi = b"".join(EdiWriter().from_eti_bytes(raw))
+    assert _sniff_edi(edi[: 1 << 20])
+    out = b"".join(iter_eti_chunks(io.BytesIO(edi)))
+    assert len(out) % 6144 == 0 and out            # transcoded back to ETI

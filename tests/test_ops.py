@@ -190,3 +190,35 @@ class TestSyncDemod:
         got = (np.asarray(soft[0, 0, :]) < 0).astype(np.uint8)
         bit_errors = int(np.sum(got[:expect.size] != expect[:3072]))
         assert bit_errors < 20  # pre-Viterbi raw BER well under 1%
+
+    def test_drift_phase_undo_matches_clipped_window_shift(self):
+        """A drift estimate BEYOND the static clip margin must degrade
+        gracefully: demod's phase undo must use the same CLIPPED
+        per-symbol window shift that the gather applied (ADVICE r3 —
+        an unclipped undo silently corrupted the DQPSK differential).
+
+        Probe: a pure tone at FFT bin 512.  512*symbol_size is a
+        multiple of fft_size, so the true symbol-to-symbol differential
+        at that bin is exactly 0 phase; any gather/undo mismatch shows
+        up as a rotated (sign-flipped) soft bit at the tone's
+        deinterleaved position."""
+        from dabtools_tpu.ops.ofdm import _DRIFT_MARGIN
+        from dabtools_tpu.tables.freq_interleave import freq_interleave_map
+
+        mode = C.MODE_I
+        b0 = 512
+        n = mode.frame_size + 4 * _DRIFT_MARGIN + mode.fft_size
+        t = np.arange(n, dtype=np.float64)
+        x = np.exp(2j * np.pi * b0 * t / mode.fft_size).astype(np.complex64)
+        # drift far beyond the margin: unclipped adj reaches ~550 while
+        # the gather clips at _DRIFT_MARGIN=64
+        soft, _ = demod_frames(jnp.asarray(x),
+                               jnp.asarray([0], dtype=jnp.int32),
+                               drift=600.0)
+        p0 = int(np.where(freq_interleave_map(mode) == b0)[0][0])
+        tone_soft = np.asarray(soft[0, :, p0])
+        # zero differential phase => strongly positive real part at p0
+        # for EVERY symbol pair (pre-fix: sign flips once the clip and
+        # the undo diverge, a few symbols into the frame)
+        assert (tone_soft > 0).all(), \
+            f"{(tone_soft <= 0).sum()} symbols sign-flipped"

@@ -120,3 +120,20 @@ def test_tist_epoch_zero_is_a_valid_anchor():
     rx = DabReceiver(n_frames=4, tist=0.0)
     frames = list(EtiParser().feed(b"".join(rx.feed(x))))
     assert frames and all(f.tist is not None for f in frames)
+
+
+def test_dab2eti_tist_flags_mutually_exclusive(tmp_path):
+    """--tist/--tist-utc/--tist-epoch pick different timestamp anchors;
+    combining them must be a hard argparse error, not silent precedence
+    (ADVICE r3)."""
+    import subprocess
+    import sys
+
+    cap = tmp_path / "cap.cf32"
+    cap.write_bytes(b"\x00" * 64)
+    r = subprocess.run(
+        [sys.executable, "-m", "dabtools_tpu.cli.dab2eti", "--cpu",
+         "--format", "cf32", "--tist", "--tist-epoch", "123.0", str(cap)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 2
+    assert "mutually exclusive" in r.stderr

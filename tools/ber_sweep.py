@@ -84,6 +84,10 @@ def main():
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
     else:
+        # Relay-facing: opt in to retrying relay error disguises
+        # (dabtools_tpu/utils/retry.py).
+        import os
+        os.environ.setdefault("DABTOOLS_RELAY_ERRORS", "1")
         from dabtools_tpu.utils.jitcache import enable_persistent_cache
         enable_persistent_cache()
         dev = jax.devices()[0]

@@ -21,11 +21,16 @@ Checks:
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
 
 import numpy as np
+
+# Relay-facing process: opt in to retrying the relay's ValueError/
+# RuntimeError disguises (see dabtools_tpu/utils/retry.py).
+os.environ.setdefault("DABTOOLS_RELAY_ERRORS", "1")
 
 
 def error_line(lines: list[str]) -> str:

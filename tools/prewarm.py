@@ -81,8 +81,10 @@ def lottery(rounds: int, target: float) -> None:
 
 
 def sweep_sections() -> None:
-    for sec in ("closedloop", "e2e", "rs", "batched", "channelizer",
-                "kernels"):
+    # import bench's section list so prewarm can't drift from it
+    sys.path.insert(0, str(REPO))
+    from bench import SECTIONS
+    for sec in SECTIONS:
         t0 = time.time()
         try:
             r = subprocess.run(
