@@ -1381,8 +1381,16 @@ def _extra_kernels(ens, n_frames, rng):
     # timing readout (fetch-free — see _verdict_by_timing) so a
     # degraded executable can't silently report a good number for
     # wrong output even in fetch-hanging relay windows.
-    for impl in ("pallas", "xla"):
-        f = jax.jit(lambda s, i=impl: viterbi_decode(s, impl=i))
+    # "pallas" resolves to the RADIX-4 kernel for DAB's always-even
+    # codeword lengths (the production default since r2); radix-2 is
+    # timed explicitly so the artifact records the radix decision data
+    # (VERDICT r3 item 8).
+    from dabtools_tpu.ops.viterbi_pallas import viterbi_decode_pallas
+    impls = {"pallas-radix4": jax.jit(lambda s: viterbi_decode(
+                 s, impl="pallas")),
+             "pallas-radix2": jax.jit(lambda s: viterbi_decode_pallas(s)),
+             "xla": jax.jit(lambda s: viterbi_decode(s, impl="xla"))}
+    for impl, f in impls.items():
         t, stamp = _chained_time_ex(f, soft)
 
         def ok_fn(_f=f):
