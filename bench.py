@@ -490,15 +490,25 @@ def main():
     for attempt in range(int(os.environ.get("DABTOOLS_HEADLINE_ATTEMPTS",
                                             "5"))):
         try:
-            t0 = time.perf_counter()
-            jax.block_until_ready(call_with_retries(step, x, rings, cif))
-            log(f"# compile+first run: {time.perf_counter() - t0:.1f}s")
-            # Per-dispatch rate first (fetch-forced): what one
-            # host-crossing per block achieves THROUGH THIS RELAY.
-            t_disp = _amortized_time(step, x, rings, cif)
-            log(f"# [config 1-dispatch] one host crossing per block: "
-                f"{t_disp * 1e3:.2f} ms/block "
-                f"({n_frames * C.MODE_I.frame_size / t_disp / C.SAMPLE_RATE:.0f}x; relay per-call overhead included)")
+            # Large-block children (config 1b) skip the per-dispatch rate
+            # and the fetch-based closedloop below: each costs a separate
+            # BIG compile of the un-scanned block program, and r3's
+            # 64-frame child burned its whole 420 s window in compiles.
+            # The 16-frame child carries that evidence; the 1b child's
+            # job is ONLY the throughput-optimal sustained point.
+            slim = n_frames > 24
+            if not slim:
+                t0 = time.perf_counter()
+                jax.block_until_ready(
+                    call_with_retries(step, x, rings, cif))
+                log(f"# compile+first run: "
+                    f"{time.perf_counter() - t0:.1f}s")
+                # Per-dispatch rate first (fetch-forced): what one
+                # host-crossing per block achieves THROUGH THIS RELAY.
+                t_disp = _amortized_time(step, x, rings, cif)
+                log(f"# [config 1-dispatch] one host crossing per block: "
+                    f"{t_disp * 1e3:.2f} ms/block "
+                    f"({n_frames * C.MODE_I.frame_size / t_disp / C.SAMPLE_RATE:.0f}x; relay per-call overhead included)")
             # Headline: device-chained sustained throughput (see
             # step_scan note above) — fixed call+fetch overhead cancels
             # in the (L1 - L0) difference.  Chain lengths scale with the
@@ -573,6 +583,16 @@ def main():
         "vs_baseline": round(rt, 2),
         "weather": stamp,
     }), flush=True)
+
+    if slim:
+        # Large-block child: the un-scanned block program was never
+        # compiled (see `slim` above), so no fetch-based closedloop —
+        # the 16-frame child and the mixedmux section carry the
+        # hardware bit-exactness evidence.
+        if profile_dir:
+            jax.profiler.stop_trace()
+            log(f"# profiler trace written to {profile_dir}")
+        return
 
     # Hardware bit-exactness riding the ALREADY-COMPILED, already-
     # measured headline program on the already-transferred input
@@ -780,9 +800,13 @@ def orchestrate():
     # ---- Phase 4: config 1b (64-frame throughput point) ----------------
     try:
         v, w = run_child([sys.executable, __file__, "64", "--quick",
-                          "--once"], timeout=300)
+                          "--once"], timeout=420)
         log(f"# [config 1b] 64-frame blocks: {v:.0f}x real-time "
             f"(6.1 s latency operating point) {w}")
+        if v > max(rts) * 1.05:
+            log(f"# NOTE: 64-frame sustained point beats the 16-frame "
+                f"headline ({v:.0f}x vs {rt16:.0f}x); the printed JSON "
+                f"is the 16-frame low-latency point")
     except Exception as e:  # noqa: BLE001
         log(f"# [config 1b] 64-frame SKIPPED: {str(e)[:120]}")
 

@@ -125,3 +125,44 @@ class TestProductionDefault:
         finally:
             V.force_impl(None)
             process_block.clear_cache()
+
+    def test_batch_chunking_matches_unchunked(self, monkeypatch):
+        """Batches beyond the VMEM ceiling decode in B_CHUNK chunks;
+        results must equal the single-call decode row for row."""
+        from dabtools_tpu.ops import viterbi_pallas4 as vp4
+        rng = np.random.default_rng(5)
+        msgs, soft = _noisy_batch(rng, 7, 192)
+        ref, refm = vp4.viterbi_decode_pallas4(jnp.asarray(soft),
+                                               interpret=True)
+        monkeypatch.setattr(vp4, "B_CHUNK", 3)
+        vp4._decode4_vmappable.cache_clear()
+        try:
+            pb, pm = vp4.viterbi_decode_pallas4(jnp.asarray(soft),
+                                                interpret=True)
+        finally:
+            vp4._decode4_vmappable.cache_clear()
+        assert (np.asarray(pb) == np.asarray(ref)).all()
+        np.testing.assert_allclose(np.asarray(pm), np.asarray(refm),
+                                   rtol=1e-5)
+        assert (np.asarray(pb) == msgs).all()
+
+    def test_vmap_collapses_into_lane_batch(self):
+        """vmap over the kernel must produce the same bits as decoding
+        each slice separately (the custom_vmap rule reshapes the mapped
+        axis into the lane batch instead of a serial grid loop)."""
+        import jax
+
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        rng = np.random.default_rng(6)
+        msgs, soft = _noisy_batch(rng, 6, 192)
+        s3 = jnp.asarray(soft).reshape(3, 2, -1)
+        bits, metric = jax.vmap(
+            lambda a: viterbi_decode_pallas4(a, interpret=True))(s3)
+        assert bits.shape[:2] == (3, 2)
+        flat = np.asarray(bits).reshape(6, -1)
+        assert (flat == msgs).all()
+        ref, refm = viterbi_decode_pallas4(jnp.asarray(soft),
+                                           interpret=True)
+        assert (flat == np.asarray(ref)).all()
+        np.testing.assert_allclose(np.asarray(metric).reshape(6),
+                                   np.asarray(refm), rtol=1e-5)

@@ -111,7 +111,9 @@ def main() -> int:
     # config 1b's big-block programs: the relay's compile helper rejects
     # them flat on bad days (7/7 in r01) — cache them while the sun shines.
     for nf in (64, 32):
-        rt = measure_headline(n_frames=nf)
+        # big-block programs compile for minutes through the relay's
+        # compile helper even in good windows; give them room
+        rt = measure_headline(timeout=1500, n_frames=nf)
         print(f"{nf}-frame program: {rt and round(rt)}x", flush=True)
     if not args.skip_sections:
         sweep_sections()
