@@ -1,40 +1,80 @@
 #!/bin/bash
-# Round-4 opportunistic TPU evidence grinder: waits for good relay
-# windows and captures, in priority order, everything VERDICT r3 asked
-# for: prewarmed caches, a full-breadth bench artifact, the TPU BER
-# waterfall, and the committed stage profile.  Each stage is
-# weather-gated and individually time-boxed; partial progress is
-# preserved (bench tees to BENCH_PARTIAL.log, this script tees
-# everything to $LOG).
+# Round-4 opportunistic TPU evidence grinder: loops until every stage
+# has succeeded once or the deadline passes, sleeping through dead
+# tunnels (no listener on 8082-8117 — restarting is infra's job, ours is
+# to be ready when it returns) and bad windows.  Stages, in priority
+# order: prewarm caches, full-breadth bench artifact, TPU BER waterfall,
+# stage profile.  Everything tees to $LOG; bench additionally tees to
+# BENCH_PARTIAL.log.
 set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 LOG="${GRIND_LOG:-/tmp/grind_r4.log}"
+DEADLINE_S="${GRIND_DEADLINE_S:-32400}"   # 9 h
 cd "$REPO"
 exec >> "$LOG" 2>&1
 
 stamp() { date "+%Y-%m-%dT%H:%M:%S"; }
 
-echo "$(stamp) === grind start ==="
+tunnel_alive() {
+    python3 - << 'EOF'
+import socket, sys
+for port in (8082, 8083, 8087):
+    try:
+        s = socket.socket(); s.settimeout(2)
+        s.connect(("127.0.0.1", port)); s.close()
+        sys.exit(0)
+    except OSError:
+        pass
+sys.exit(1)
+EOF
+}
 
-echo "$(stamp) --- stage 1: prewarm (lottery + section sweep) ---"
-timeout 7200 python tools/weatherwait.py --max-wait 5400 -- \
-    python tools/prewarm.py --rounds 3 --target 380
-echo "$(stamp) prewarm rc=$?"
+run_stage() {  # $1 = name, rest = command
+    local name="$1"; shift
+    echo "$(stamp) --- stage $name: start ---"
+    "$@"
+    local rc=$?
+    echo "$(stamp) stage $name rc=$rc"
+    return $rc
+}
 
-echo "$(stamp) --- stage 2: full bench (all sections) ---"
-DABTOOLS_HEADLINE_BUDGET=5400 DABTOOLS_BENCH_BUDGET=3600 \
-    timeout 12000 python bench.py
-echo "$(stamp) bench rc=$?"
+START=$(date +%s)
+declare -A done=( [prewarm]=0 [bench]=0 [ber]=0 [profile]=0 )
+echo "$(stamp) === grind loop start (deadline ${DEADLINE_S}s) ==="
 
-echo "$(stamp) --- stage 3: BER sweep on TPU ---"
-timeout 5400 python tools/weatherwait.py --max-wait 3600 -- \
-    python tools/ber_sweep.py --tpu --snrs 4 5 6 7 8 10 12 \
-    --frames 12 --seeds 2 -o /tmp/ber_tpu_r4.jsonl
-echo "$(stamp) ber_sweep rc=$?"
-
-echo "$(stamp) --- stage 4: stage profile ---"
-timeout 3600 python tools/weatherwait.py --max-wait 2400 -- \
-    python tools/stage_profile.py 16
-echo "$(stamp) stage_profile rc=$?"
-
-echo "$(stamp) === grind done ==="
+while (( $(date +%s) - START < DEADLINE_S )); do
+    if (( done[prewarm] & done[bench] & done[ber] & done[profile] )); then
+        break
+    fi
+    if ! tunnel_alive; then
+        echo "$(stamp) tunnel dead; sleeping 300s"
+        sleep 300
+        continue
+    fi
+    if (( ! done[prewarm] )); then
+        run_stage prewarm timeout 7200 python tools/weatherwait.py \
+            --max-wait 3600 -- python tools/prewarm.py --rounds 2 \
+            --target 380 && done[prewarm]=1 || true
+        continue
+    fi
+    if (( ! done[bench] )); then
+        DABTOOLS_HEADLINE_BUDGET=3600 DABTOOLS_BENCH_BUDGET=3600 \
+            run_stage bench timeout 10000 python bench.py \
+            && done[bench]=1 || true
+        continue
+    fi
+    if (( ! done[ber] )); then
+        run_stage ber timeout 5400 python tools/weatherwait.py \
+            --max-wait 2400 -- python tools/ber_sweep.py --tpu \
+            --snrs 4 5 6 7 8 10 12 --frames 12 --seeds 2 \
+            -o /tmp/ber_tpu_r4.jsonl && done[ber]=1 || true
+        continue
+    fi
+    if (( ! done[profile] )); then
+        run_stage profile timeout 3600 python tools/weatherwait.py \
+            --max-wait 1800 -- python tools/stage_profile.py 16 \
+            && done[profile]=1 || true
+        continue
+    fi
+done
+echo "$(stamp) === grind loop done: prewarm=${done[prewarm]} bench=${done[bench]} ber=${done[ber]} profile=${done[profile]} ==="
