@@ -52,29 +52,58 @@ _MODE_I_POS = (  # k in [1, 768]
     (641, 0, 3), (673, 3, 0), (705, 2, 1), (737, 1, 1),
 )
 
+# Modes II-IV (k', i, n) tables (EN 300 401 Tables 45-47), reconstructed
+# from knowledge of the public standard at the same [K-med] tier as the
+# Mode I table above.  Structural cross-checks they all satisfy (and the
+# Mode I table shares): the i column cycles 0,1,2,3 ascending across the
+# negative-k groups and descends ...,3,2,1,0 across the positive-k groups;
+# n is in 0..3; groups tile [-K/2, -1] and [1, K/2] in 32-carrier blocks.
+# Verify over-the-air via docs/INTEROP.md row 18 when a capture exists.
+_MODE_II_NEG = (  # k in [-192, -1]
+    (-192, 0, 2), (-160, 1, 3), (-128, 2, 2), (-96, 3, 2),
+    (-64, 0, 1), (-32, 1, 2),
+)
+_MODE_II_POS = (  # k in [1, 192]
+    (1, 2, 0), (33, 1, 2), (65, 0, 2), (97, 3, 1),
+    (129, 2, 0), (161, 1, 3),
+)
+_MODE_III_NEG = (  # k in [-96, -1]
+    (-96, 0, 2), (-64, 1, 3), (-32, 2, 0),
+)
+_MODE_III_POS = (  # k in [1, 96]
+    (1, 3, 2), (33, 2, 2), (65, 1, 2),
+)
+_MODE_IV_NEG = (  # k in [-384, -1]
+    (-384, 0, 0), (-352, 1, 1), (-320, 2, 1), (-288, 3, 2),
+    (-256, 0, 2), (-224, 1, 2), (-192, 2, 0), (-160, 3, 3),
+    (-128, 0, 3), (-96, 1, 1), (-64, 2, 3), (-32, 3, 2),
+)
+_MODE_IV_POS = (  # k in [1, 384]
+    (1, 0, 0), (33, 3, 1), (65, 2, 0), (97, 1, 2),
+    (129, 0, 0), (161, 3, 1), (193, 2, 2), (225, 1, 2),
+    (257, 0, 2), (289, 3, 1), (321, 2, 3), (353, 1, 0),
+)
+
+
+_TABLES: dict[str, tuple[tuple[int, int, int], ...]] = {
+    "I": _MODE_I_NEG + _MODE_I_POS,
+    "II": _MODE_II_NEG + _MODE_II_POS,
+    "III": _MODE_III_NEG + _MODE_III_POS,
+    "IV": _MODE_IV_NEG + _MODE_IV_POS,
+}
+
 
 def _mode_groups(mode: Mode) -> tuple[tuple[int, int, int], ...]:
     """(k', i, n) 32-carrier groups for the mode.
 
-    Mode I values are the reconstructed standard table above.  Modes
-    II/III/IV use the same group *structure* (32-carrier blocks, k' =
-    -K/2 + 32j and 1 + 32j) with PLACEHOLDER (i, n) assignments
-    [K-low — docs/INTEROP.md row 18]: i cycles 0..3 and n follows a fixed
-    deterministic pattern.  The modulator and receiver share this table,
-    so the closed loop is exact; substitute EN 300 401 Tables 45-47
-    verbatim for over-the-air interop.
+    All four modes carry the reconstructed standard tables above
+    [K-med — docs/INTEROP.md row 18].  The modulator and receiver share
+    this table, so the closed loop is exact regardless; over-the-air
+    interop for Modes II-IV should be spot-checked against EN 300 401
+    Tables 45-47 / a real capture when available (Mode I is the
+    reference's actual scope).
     """
-    if mode.name == "I":
-        return _MODE_I_NEG + _MODE_I_POS
-    half = mode.n_carriers // 2
-    n_side = half // 32
-    groups = []
-    for j in range(n_side):
-        groups.append((-half + 32 * j, j % 4, (5 * j + 3) % 4))
-    for j in range(n_side):
-        g = n_side + j
-        groups.append((1 + 32 * j, g % 4, (5 * g + 3) % 4))
-    return tuple(groups)
+    return _TABLES[mode.name]
 
 
 @functools.cache

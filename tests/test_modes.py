@@ -3,9 +3,9 @@
 The upstream reference handles Mode I only (SURVEY.md s5.6); the other
 modes share this framework's mode-generic pipeline with their own
 numerology (constants.MODES), frequency interleaver (full-period LCG per
-T_u) and PRS tables (placeholder (i, n) values for II-IV —
+T_u) and PRS tables (reconstructed EN 300 401 Tables 45-47, [K-med] —
 docs/INTEROP.md row 18; the modulator and receiver share them so the
-loop is exact).
+loop is exact either way).
 
 Mode III exercises the frame-spanning FIC codewords (4 FIBs/frame,
 3 FIBs/codeword) — both directions must slice the same codeword stream.

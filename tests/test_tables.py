@@ -120,6 +120,35 @@ class TestPRS:
         np.testing.assert_allclose(
             np.sum(np.abs(t) ** 2), 1536 / 2048, rtol=1e-5)
 
+    @pytest.mark.parametrize(
+        "mode", [C.MODE_I, C.MODE_II, C.MODE_III, C.MODE_IV],
+        ids=["I", "II", "III", "IV"])
+    def test_group_table_structure(self, mode):
+        """EN 300 401 Tables 44-47 structural invariants shared by all
+        four modes: 32-carrier groups tile [-K/2,-1] and [1,K/2]; the i
+        column cycles 0,1,2,3 ascending over negative k and descends
+        3,2,1,0 (mod 4) over positive k; n in 0..3."""
+        from dabtools_tpu.tables.prs import _mode_groups
+        groups = _mode_groups(mode)
+        half = mode.n_carriers // 2
+        neg = [g for g in groups if g[0] < 0]
+        pos = [g for g in groups if g[0] > 0]
+        assert [g[0] for g in neg] == list(range(-half, 0, 32))
+        assert [g[0] for g in pos] == list(range(1, half, 32))
+        assert [g[1] for g in neg] == [j % 4 for j in range(len(neg))]
+        i0 = pos[0][1]
+        assert [g[1] for g in pos] == [(i0 - j) % 4 for j in range(len(pos))]
+        assert all(0 <= g[2] <= 3 for g in groups)
+
+    @pytest.mark.parametrize(
+        "mode", [C.MODE_II, C.MODE_III, C.MODE_IV], ids=["II", "III", "IV"])
+    def test_modes_234_full_occupancy(self, mode):
+        z = prs_carriers(mode)
+        assert z.shape == (mode.n_carriers,)
+        np.testing.assert_allclose(np.abs(z), 1.0, atol=1e-6)
+        phases = np.angle(z) / (np.pi / 2)
+        np.testing.assert_allclose(phases, np.round(phases), atol=1e-5)
+
 
 class TestTimeInterleave:
     def test_delays_are_bitrev(self):
