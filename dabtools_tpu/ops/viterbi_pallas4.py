@@ -12,6 +12,7 @@ which radix-4 requires.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +26,7 @@ TC2 = 8  # double-steps (= 16 trellis steps) per grid iteration
 
 
 def _acs4_kernel(pu_ref, ws_ref, soft_ref, dec_ref, metric_ref, pm_ref,
-                 bm_ref, *, t2_real):
+                 bm_ref, *, t2_real, select="matmul"):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -46,10 +47,30 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, dec_ref, metric_ref, pm_ref,
 
     def step(j, pm):
         g2 = i * TC2 + j
-        pred = jax.lax.dot_general(
-            pu, pm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)   # (256, B)
+        # pred[p*64+t] = pm[4*(t&15)+p]: a pure one-hot selection.  Three
+        # interchangeable realizations (DABTOOLS_VITERBI4_SELECT):
+        #   matmul  — PU4 @ pm at HIGHEST (6-pass f32) MXU precision; the
+        #             historical default, exact by construction.
+        #   matmul-high — same at HIGH (3-pass): each f32 metric splits
+        #             into 2 bf16 terms and the one-hot side is exact in
+        #             one, so selection stays exact to ~2^-16 relative —
+        #             half the MXU passes of HIGHEST on the chain's
+        #             dominant op.
+        #   shuffle — no MXU at all: reshape pm (64,B)->(16,4,B) [a=s>>2,
+        #             p=s&3], swap to (4,16,B), broadcast over the free
+        #             t_hi axis; row p*64 + t_hi*16 + a == pred row.
+        #             Bit-exact data movement on the VPU.
+        if select == "shuffle":
+            gt = pm.reshape(16, 4, b).transpose(1, 0, 2)   # (4, 16, B)
+            pred = jnp.broadcast_to(
+                gt[:, None, :, :], (4, 4, 16, b)).reshape(256, b)
+        else:
+            prec = (jax.lax.Precision.HIGH if select == "matmul-high"
+                    else jax.lax.Precision.HIGHEST)
+            pred = jax.lax.dot_general(
+                pu, pm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                    # (256, B)
         cand = (pred + bm_ref[j]).reshape(4, 64, b)
         m01 = jnp.maximum(cand[0], cand[1])
         d01 = (cand[1] > cand[0]).astype(jnp.int32)
@@ -129,8 +150,9 @@ def _round_up(x: int, m: int) -> int:
 B_CHUNK = 1152
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _decode4_call(soft: jnp.ndarray, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "select"))
+def _decode4_call(soft: jnp.ndarray, interpret: bool = False,
+                  select: str = "matmul"):
     """One kernel invocation (batch must respect the VMEM ceiling)."""
     b0, n4 = soft.shape
     t_real = n4 // 4
@@ -148,7 +170,7 @@ def _decode4_call(soft: jnp.ndarray, interpret: bool = False):
 
     pu4, ws4 = acs_radix4_matrices()
     dec, metric = pl.pallas_call(
-        functools.partial(_acs4_kernel, t2_real=t2_real),
+        functools.partial(_acs4_kernel, t2_real=t2_real, select=select),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((256, 64), lambda i: (0, 0),
@@ -193,7 +215,7 @@ def _decode4_call(soft: jnp.ndarray, interpret: bool = False):
 
 
 @functools.cache
-def _decode4_vmappable(interpret: bool):
+def _decode4_vmappable(interpret: bool, select: str = "matmul"):
     """Batch-aware entry point (cached per ``interpret`` value).
 
     Two TPU-first behaviors the plain kernel lacks:
@@ -213,8 +235,8 @@ def _decode4_vmappable(interpret: bool):
     def decode(soft):
         b0 = soft.shape[0]
         if b0 <= B_CHUNK:
-            return _decode4_call(soft, interpret)
-        outs = [_decode4_call(soft[i: i + B_CHUNK], interpret)
+            return _decode4_call(soft, interpret, select)
+        outs = [_decode4_call(soft[i: i + B_CHUNK], interpret, select)
                 for i in range(0, b0, B_CHUNK)]
         return (jnp.concatenate([o[0] for o in outs], axis=0),
                 jnp.concatenate([o[1] for o in outs], axis=0))
@@ -233,11 +255,25 @@ def _decode4_vmappable(interpret: bool):
     return decode
 
 
-def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False):
+_SELECTS = ("matmul", "matmul-high", "shuffle")
+
+
+def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
+                           select: str | None = None):
     """Radix-4 drop-in for ``viterbi_decode_pallas`` (same contract);
-    vmap-collapsing and VMEM-chunked (see ``_decode4_vmappable``)."""
+    vmap-collapsing and VMEM-chunked (see ``_decode4_vmappable``).
+
+    ``select`` (or ``DABTOOLS_VITERBI4_SELECT``) picks the ACS
+    predecessor-selection realization — see ``_acs4_kernel``.  The
+    default stays ``matmul`` (HIGHEST) until the alternatives carry an
+    on-chip bit-exactness + timing datum.
+    """
     if soft.ndim != 2:
         raise ValueError("expected (batch, 4*T) soft bits")
     if (soft.shape[-1] // 4) % 2:
         raise ValueError("radix-4 kernel requires an even codeword length")
-    return _decode4_vmappable(bool(interpret))(soft)
+    if select is None:
+        select = os.environ.get("DABTOOLS_VITERBI4_SELECT", "matmul")
+    if select not in _SELECTS:
+        raise ValueError(f"select must be one of {_SELECTS}")
+    return _decode4_vmappable(bool(interpret), select)(soft)

@@ -76,6 +76,28 @@ class TestRadix4:
         with pytest.raises(ValueError):
             viterbi_decode_pallas4(jnp.zeros((1, 4 * 9)), interpret=True)
 
+    @pytest.mark.parametrize("select", ["matmul-high", "shuffle"])
+    def test_select_variants_bit_identical(self, select):
+        """The ACS predecessor-selection realizations (MXU matmul at two
+        precisions, VPU shuffle) are interchangeable: noisy codewords
+        decode bit-identically with matching metrics."""
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        rng = np.random.default_rng(99)
+        msgs, soft = _noisy_batch(rng, 3, 1536)
+        rb, rm = viterbi_decode_pallas4(jnp.asarray(soft), interpret=True)
+        vb, vm = viterbi_decode_pallas4(jnp.asarray(soft), interpret=True,
+                                        select=select)
+        assert (np.asarray(rb) == np.asarray(vb)).all()
+        np.testing.assert_allclose(np.asarray(rm), np.asarray(vm),
+                                   rtol=1e-5)
+        assert (np.asarray(vb) == msgs).all()
+
+    def test_select_env_rejects_unknown(self, monkeypatch):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        monkeypatch.setenv("DABTOOLS_VITERBI4_SELECT", "bogus")
+        with pytest.raises(ValueError):
+            viterbi_decode_pallas4(jnp.zeros((1, 4 * 10)), interpret=True)
+
     def test_dispatch_prefers_radix4(self):
         rng = np.random.default_rng(3)
         msgs, soft = _noisy_batch(rng, 2, 768)
