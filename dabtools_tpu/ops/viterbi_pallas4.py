@@ -47,15 +47,13 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, dec_ref, metric_ref, pm_ref,
 
     def step(j, pm):
         g2 = i * TC2 + j
-        # pred[p*64+t] = pm[4*(t&15)+p]: a pure one-hot selection.  Three
+        # pred[p*64+t] = pm[4*(t&15)+p]: a pure one-hot selection.  Two
         # interchangeable realizations (DABTOOLS_VITERBI4_SELECT):
         #   matmul  — PU4 @ pm at HIGHEST (6-pass f32) MXU precision; the
-        #             historical default, exact by construction.
-        #   matmul-high — same at HIGH (3-pass): each f32 metric splits
-        #             into 2 bf16 terms and the one-hot side is exact in
-        #             one, so selection stays exact to ~2^-16 relative —
-        #             half the MXU passes of HIGHEST on the chain's
-        #             dominant op.
+        #             historical default, exact by construction.  (A HIGH
+        #             3-pass variant was tried and removed: Mosaic rejects
+        #             non-HIGHEST f32 dot precision on this target —
+        #             "Unsupported dot precision: HIGH", v5e AOT compile.)
         #   shuffle — no MXU at all: reshape pm (64,B)->(16,4,B) [a=s>>2,
         #             p=s&3], swap to (4,16,B), broadcast over the free
         #             t_hi axis; row p*64 + t_hi*16 + a == pred row.
@@ -65,12 +63,10 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, dec_ref, metric_ref, pm_ref,
             pred = jnp.broadcast_to(
                 gt[:, None, :, :], (4, 4, 16, b)).reshape(256, b)
         else:
-            prec = (jax.lax.Precision.HIGH if select == "matmul-high"
-                    else jax.lax.Precision.HIGHEST)
             pred = jax.lax.dot_general(
                 pu, pm, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=prec)                    # (256, B)
+                precision=jax.lax.Precision.HIGHEST)   # (256, B)
         cand = (pred + bm_ref[j]).reshape(4, 64, b)
         m01 = jnp.maximum(cand[0], cand[1])
         d01 = (cand[1] > cand[0]).astype(jnp.int32)
@@ -141,13 +137,16 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-# Lane-batch ceiling per kernel call: the branch-metric scratch
-# (TC2, 256, B) float32 is the VMEM hog (9.4 MB at B=1152); together
-# with the pm/soft/dec blocks that is the most that reliably fits the
-# ~16 MiB VMEM.  Bigger batches are decoded in sequential chunks — the
-# same serialization a vmap-over-pallas grid would impose, but each
-# chunk at FULL lane occupancy instead of the vmap's per-slice width.
-B_CHUNK = 1152
+# Lane-batch ceiling per kernel call.  Scoped VMEM is the binding
+# constraint: the branch-metric scratch (TC2, 256, B) f32 plus the
+# TC2-unrolled step temporaries total ~1.94 MB per 128 lanes (measured:
+# Mosaic wants 17.45 MB at B=1152 and the AOT compiler HARD-FAILS over
+# its 16 MiB scoped limit; B=1024 fits at ~15.5 MB, too close).  896
+# compiles with ~2.4 MB margin for every DAB codeword length.  Bigger
+# batches are decoded in sequential chunks — the same serialization a
+# vmap-over-pallas grid would impose, but each chunk at FULL lane
+# occupancy instead of the vmap's per-slice width.
+B_CHUNK = 896
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "select"))
@@ -255,7 +254,7 @@ def _decode4_vmappable(interpret: bool, select: str = "matmul"):
     return decode
 
 
-_SELECTS = ("matmul", "matmul-high", "shuffle")
+_SELECTS = ("matmul", "shuffle")
 
 
 def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,

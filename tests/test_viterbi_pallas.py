@@ -76,11 +76,11 @@ class TestRadix4:
         with pytest.raises(ValueError):
             viterbi_decode_pallas4(jnp.zeros((1, 4 * 9)), interpret=True)
 
-    @pytest.mark.parametrize("select", ["matmul-high", "shuffle"])
+    @pytest.mark.parametrize("select", ["shuffle"])
     def test_select_variants_bit_identical(self, select):
-        """The ACS predecessor-selection realizations (MXU matmul at two
-        precisions, VPU shuffle) are interchangeable: noisy codewords
-        decode bit-identically with matching metrics."""
+        """The ACS predecessor-selection realizations (MXU matmul, VPU
+        shuffle) are interchangeable: noisy codewords decode
+        bit-identically with matching metrics."""
         from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
         rng = np.random.default_rng(99)
         msgs, soft = _noisy_batch(rng, 3, 1536)
