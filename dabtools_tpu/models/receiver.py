@@ -59,7 +59,8 @@ def block_samples(n_frames: int, mode=C.MODE_I, margin: int = 4096) -> int:
 def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
                   ensemble: Ensemble | None, mode=C.MODE_I,
                   search: int = 192, max_int_cfo: int = 8,
-                  sync_diag: dict | None = None):
+                  sync_diag: dict | None = None,
+                  probe_subs: tuple = ()):
     """The shared demod+decode chain, from per-frame start *guesses*.
 
     Pure traced function (no jit here) so it can be reused under vmap
@@ -134,6 +135,7 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
         "delay_spread": delay_spread,          # (n_frames,) samples RMS
         "subch": {},
         "subch_metric": {},
+        "probe_soft": {},
     }
     if sync_diag:
         out.update(sync_diag)
@@ -143,9 +145,22 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
     # batch (bigger lane occupancy on TPU; a real mux often has many
     # same-rate services).  Deinterleaver rings stay per-sub-channel.
     new_rings = {}
-    if ensemble is not None:
+    if ensemble is not None or probe_subs:
         n_cifs = n_frames * mode.n_cifs
         msc = soft[:, mode.n_fic_syms:, :].reshape(n_cifs, C.CIF_BITS)
+    # Sub-channels with an unidentified UEP puncturing row can't be
+    # decoded yet, but their PI-independent half CAN run on device: the
+    # CU slice and 16-CIF time deinterleave need only the Table 31 size.
+    # The aligned soft rows feed ops.uep_probe's signal-driven row
+    # identification on the host (N7 gap; see enumerate_uep_candidates).
+    for s in probe_subs:
+        key = str(s.subchid)
+        lo = s.start_cu * C.CU_BITS
+        sub_soft = msc[:, lo: lo + s.size_cus * C.CU_BITS]
+        ring, aligned = time_deinterleave(rings[key], cif_count, sub_soft)
+        new_rings[key] = ring
+        out["probe_soft"][key] = aligned
+    if ensemble is not None:
         groups: dict = {}
         for s in ensemble.subchannels:
             groups.setdefault(s.profile, []).append(s)
@@ -172,10 +187,11 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ensemble", "mode", "n_frames", "search", "max_int_cfo"))
+    static_argnames=("ensemble", "mode", "n_frames", "search",
+                     "max_int_cfo", "probe_subs"))
 def process_block(x, rings, cif_count, *, ensemble: Ensemble | None,
                   mode=C.MODE_I, n_frames: int = 8, search: int = 192,
-                  max_int_cfo: int = 8):
+                  max_int_cfo: int = 8, probe_subs: tuple = ()):
     """Decode ``n_frames`` transmission frames from sample block ``x``.
 
     Coarse-syncs on the null symbol, then runs :func:`pipeline_core`.
@@ -197,7 +213,8 @@ def process_block(x, rings, cif_count, *, ensemble: Ensemble | None,
     return pipeline_core(
         x, ns + frame_off, rings, cif_count, ensemble=ensemble, mode=mode,
         search=search, max_int_cfo=max_int_cfo,
-        sync_diag={"null_start": ns, "null_ratio": sync["null_ratio"]})
+        sync_diag={"null_start": ns, "null_ratio": sync["null_ratio"]},
+        probe_subs=probe_subs)
 
 
 @dataclasses.dataclass
@@ -237,9 +254,18 @@ class DabReceiver:
 
     def __init__(self, n_frames: int = 8, mode=C.MODE_I,
                  ensemble: Ensemble | None = None, emit_eti: bool = True,
-                 stats_jsonl=None, tii: bool = False, tist: bool = False):
+                 stats_jsonl=None, tii: bool = False, tist: bool = False,
+                 uep_autoprobe: bool = True):
         self.mode = mode
         self.n_frames = n_frames
+        # Signal-driven identification of non-bundled UEP Table 33 rows
+        # (ops/uep_probe.py): instead of permanently skipping such a
+        # sub-channel, collect its deinterleaved soft rows and find the
+        # one constraint-satisfying PI layout the broadcast decodes
+        # under, then re-specialize with it registered.
+        self._uep_autoprobe = uep_autoprobe
+        self._probe: dict[str, dict] = {}
+        self._probe_subs: tuple = ()
         # TIST source (ETS 300 799): False = no TIST; True = stream-
         # relative phase (sample 0 of the stream defines second 0);
         # "utc" = anchor to this host's wall clock at activation
@@ -402,6 +428,30 @@ class DabReceiver:
         self._rings = {
             str(s.subchid): init_deinterleave_ring(s.profile.tx_bits)
             for s in self._decode.subchannels}
+        # Skipped UEP sub-channels become probe targets: their CU slice
+        # deinterleaves on device (PI-independent), and ops/uep_probe
+        # identifies the puncturing row from the signal itself.
+        self._probe = {}
+        probe_subs = []
+        if self._uep_autoprobe:
+            from dabtools_tpu.tables.puncturing import (
+                enumerate_uep_candidates)
+            for s in dropped:
+                if s.protection_type != "UEP":
+                    continue
+                try:
+                    cands = enumerate_uep_candidates(
+                        s.bitrate_kbps, s.protection_level)
+                except ValueError:
+                    continue
+                if cands:
+                    probe_subs.append(s)
+                    self._probe[str(s.subchid)] = {
+                        "sub": s, "cands": cands, "rows": [],
+                        "attempts": 0}
+                    self._rings[str(s.subchid)] = init_deinterleave_ring(
+                        s.size_cus * C.CU_BITS)
+        self._probe_subs = tuple(probe_subs)
         # TIST phase continues across (re)activations: frame N of the ETI
         # output corresponds to received CIF N, 24 ms apart.  The epoch
         # depends on the configured time source (see __init__).
@@ -433,14 +483,69 @@ class DabReceiver:
                  ensemble.eid,
                  [(s.subchid, s.size_cus) for s in ensemble.subchannels])
 
+    _PROBE_ROWS_PER_ATTEMPT = 4
+    _PROBE_MAX_ATTEMPTS = 2
+
+    def _identify_uep_rows(self, out: dict, cif0: int) -> bool:
+        """Feed this block's probe rows to ops/uep_probe; True iff a row
+        was identified and registered (caller then re-specializes)."""
+        from dabtools_tpu.ops.uep_probe import identify_uep_profile
+        from dabtools_tpu.tables.puncturing import register_uep_profile
+        identified = False
+        n_rows_blk = self.n_frames * self.mode.n_cifs
+        # Row j (output CIF cif0+j) is fully primed iff its oldest
+        # contribution, received CIF cif0+j-15, post-dates activation.
+        j0 = max(0, self._activation_cif + 15 - cif0)
+        for key, st in list(self._probe.items()):
+            aligned = np.asarray(out["probe_soft"][key])
+            want = self._PROBE_ROWS_PER_ATTEMPT * (st["attempts"] + 1)
+            for j in range(j0, n_rows_blk):
+                if len(st["rows"]) < want:
+                    st["rows"].append(np.array(aligned[j]))
+            if len(st["rows"]) < want:
+                continue
+            st["attempts"] += 1
+            idx, diag = identify_uep_profile(
+                np.stack(st["rows"]), st["cands"])
+            s = st["sub"]
+            if idx is not None:
+                p = st["cands"][idx]
+                register_uep_profile(s.bitrate_kbps, s.protection_level,
+                                     p.regions, p.padding_bits)
+                log.info(
+                    "UEP (%d kbit/s, P%d) puncturing row identified from "
+                    "signal for subch %s: regions=%s pad=%d (metric %.3f, "
+                    "gap %.4f over %d rows); re-specializing",
+                    s.bitrate_kbps, s.protection_level, key, p.regions,
+                    p.padding_bits, diag["best_metric"], diag["gap"],
+                    diag["n_rows"])
+                del self._probe[key]
+                identified = True
+            elif st["attempts"] >= self._PROBE_MAX_ATTEMPTS:
+                log.warning(
+                    "UEP autoprobe inconclusive for subch %s after %d "
+                    "rows (best %.3f, gap %.4f, per_row_win=%s); leaving "
+                    "the sub-channel skipped", key, len(st["rows"]),
+                    diag["best_metric"], diag["gap"], diag["per_row_win"])
+                del self._probe[key]
+        if not self._probe:
+            # All probes resolved or abandoned: drop the probe slices
+            # from the jitted step (one recompile, then steady state).
+            self._probe_subs = ()
+        return identified
+
     def _process_one_block(self, x: np.ndarray) -> list[bytes]:
         cif0 = int(self._cif_count)
+        # Pre-block deinterleaver state, kept for the autoprobe replay
+        # path (which re-runs this block under a re-specialized config).
+        pre_rings = dict(self._rings) if self._rings else {}
         from dabtools_tpu.utils.retry import call_with_retries
         step_args = (jnp.asarray(x), self._rings or {}, self._cif_count)
         step_kw = dict(
             ensemble=(self._decode.decode_config()
                       if self.ensemble is not None else None),
-            mode=self.mode, n_frames=self.n_frames)
+            mode=self.mode, n_frames=self.n_frames,
+            probe_subs=self._probe_subs)
         try:
             out, rings, self._cif_count = call_with_retries(
                 process_block, *step_args, **step_kw)
@@ -557,6 +662,34 @@ class DabReceiver:
                 return pending + self._process_one_block(x)
             else:
                 self._reconfig_candidate = new_ens.subchannels
+
+        # UEP row autoprobe: collect fully-primed deinterleaved rows for
+        # skipped sub-channels; once identified, register the row and
+        # re-specialize.  Unlike a reconfiguration this is NOT a stream
+        # discontinuity — the mux never changed, we only LEARNED a Table
+        # 33 row — so the replay preserves full continuity: the already-
+        # decodable sub-channels replay on their pre-block rings (bit-
+        # identical), the probe ring IS the new sub-channel's
+        # deinterleaver (its history since activation carries over, so
+        # its payload is exact immediately), and the ETI fifos, CIF
+        # numbering, and FCT/TIST counters all continue.
+        if self._probe and self._identify_uep_rows(out, cif0):
+            keep = (self._activation_cif, dict(self._fib_fifo),
+                    dict(self._err_level), self._next_eti_cif,
+                    self._assembler.frame_count if self._assembler
+                    else 0,
+                    self._assembler._tist0 if self._assembler else None)
+            self._cif_count = jnp.asarray(cif0, dtype=jnp.int32)
+            self._activate(self.ensemble)
+            (self._activation_cif, self._fib_fifo, self._err_level,
+             self._next_eti_cif, fc, tist0) = keep
+            if self._assembler is not None:
+                self._assembler.frame_count = fc
+                self._assembler._tist0 = tist0
+            for k, v in pre_rings.items():
+                if k in self._rings:
+                    self._rings[k] = v
+            return self._process_one_block(x)
 
         # Sub-channel rows j correspond to logical frames cif0 + j - 15.
         if self.ensemble is not None:

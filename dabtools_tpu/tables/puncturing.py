@@ -306,6 +306,86 @@ for (_kb, _lv), (_l1, _l2, _l3, _l4, _p1, _p2, _p3, _p4,
         padding_bits=_pad)
 
 
+@functools.cache
+def enumerate_uep_candidates(bitrate_kbps: int, level: int
+                             ) -> tuple[PuncturingProfile, ...]:
+    """All Table-33-shaped rows for a NON-bundled (bitrate, level) pair
+    that satisfy the two hard constraints (see ``_UEP_TABLE_33`` header)
+    within the structural template every bundled level-1..3 row obeys:
+
+    * four regions with L4 = 3 tail blocks;
+    * PI1 > PI2 > PI3 < PI4 <= min(24, PI1);
+    * padding in {0, 4, 8};
+    * L1/L2 bracketed by the bitrate family's bundled rows, PI1..3 by
+      the protection level's bundled rows across bitrates, each with an
+      envelope margin CALIBRATED BY LEAVE-ONE-OUT: de-bundling any of
+      the 59 template-conforming Table 33 rows, the enumeration with
+      these margins always contains it (tests/test_uep_autoprobe.py
+      pins this).  (The 4 non-conforming rows are low-protection P4/P5
+      rows with L4 != 3 — a different template than the missing
+      (192 kbit/s, P2), whose 16 family/level neighbors ALL conform.)
+
+    Which member the standard's row is can be *identified from a real
+    signal*: the correct PI layout is the only one whose depuncture
+    keeps the Viterbi decode aligned (``ops.uep_probe``).  For
+    (192 kbit/s, P2) this yields ~2.4k candidates — one batched
+    chunked Viterbi call on TPU.
+    """
+    if (bitrate_kbps, level) in UEP_PROFILES:
+        raise ValueError(f"({bitrate_kbps}, P{level}) is bundled; "
+                         "candidates are for missing rows only")
+    size = next((sz for sz, lv, kb in UEP_TABLE_31
+                 if lv == level and kb == bitrate_kbps), None)
+    if size is None:
+        raise ValueError(f"no Table 31 entry for {bitrate_kbps} kbit/s "
+                         f"P{level}")
+    fam = [row for (kb, _lv), row in _UEP_TABLE_33.items()
+           if kb == bitrate_kbps]
+    if not fam:
+        raise ValueError(f"no bundled rows in the {bitrate_kbps} kbit/s "
+                         "family to bound the search")
+    n_blocks = bitrate_kbps * 24 // 32
+    lv_rows = [row for (_kb, lv), row in _UEP_TABLE_33.items()
+               if lv == level]
+    l1s = [r[0] for r in fam]
+    l2s = [r[1] for r in fam]
+    p1s = [r[4] for r in lv_rows]
+    p2s = [r[5] for r in lv_rows]
+    p3s = [r[6] for r in lv_rows]
+    out = []
+    for pad in (0, 4, 8):
+        if (size * 64 - 12 - pad) % 4:
+            continue
+        target = (size * 64 - 12 - pad) // 4 - 8 * n_blocks
+        # Envelope margins: the smallest per-bound widening under which
+        # leave-one-out never misses (observed worst cases: L1 +3 at
+        # (112,5), L2 -4 at (384,3), PI1 -4 at (224,1)).
+        for l1 in range(max(1, min(l1s) - 1), max(l1s) + 4):
+            for l2 in range(max(1, min(l2s) - 4), max(l2s) + 5):
+                l3 = n_blocks - l1 - l2 - 3
+                if l3 <= 0:
+                    continue
+                for p1 in range(max(1, min(p1s) - 4),
+                                min(24, max(p1s) + 2) + 1):
+                    for p2 in range(max(1, min(p2s) - 2),
+                                    min(max(p2s) + 2, p1 - 1) + 1):
+                        for p3 in range(max(1, min(p3s) - 2),
+                                        min(max(p3s) + 2, p2 - 1) + 1):
+                            rem = target - l1 * p1 - l2 * p2 - l3 * p3
+                            if rem % 3:
+                                continue
+                            p4 = rem // 3
+                            if not (p3 < p4 <= min(24, p1)):
+                                continue
+                            out.append(PuncturingProfile(
+                                f"UEP-{bitrate_kbps}k-P{level}-cand"
+                                f"{len(out)}",
+                                regions=((l1, p1), (l2, p2), (l3, p3),
+                                         (3, p4)),
+                                padding_bits=pad))
+    return tuple(out)
+
+
 def uep_profile(bitrate_kbps: int, level: int) -> PuncturingProfile:
     try:
         return UEP_PROFILES[(bitrate_kbps, level)]
