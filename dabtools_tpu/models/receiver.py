@@ -761,7 +761,21 @@ class DabReceiver:
             # own continuity check flags a restart at 0).
             "frame_count": (self._assembler.frame_count
                             if self._assembler is not None else 0),
+            # UEP rows beyond the bundled table (user-registered or
+            # autoprobe-identified) live in process-global state; a
+            # resume in a fresh process must not silently lose them and
+            # re-probe (or re-skip) the sub-channel.
+            "uep_rows": self._extra_uep_rows(),
         }
+
+    @staticmethod
+    def _extra_uep_rows() -> dict:
+        from dabtools_tpu.tables.puncturing import (_UEP_TABLE_33,
+                                                    UEP_PROFILES)
+        return {f"{kb}:{lv}": {"regions": [list(r) for r in p.regions],
+                               "padding_bits": p.padding_bits}
+                for (kb, lv), p in UEP_PROFILES.items()
+                if (kb, lv) not in _UEP_TABLE_33}
 
     def save_checkpoint(self, path: str) -> None:
         """Serialize the resumable state to ``path`` as a PICKLE-FREE
@@ -787,6 +801,7 @@ class DabReceiver:
             "subch_fifo": {str(sc): {str(n): b.hex()
                                      for n, b in fifo.items()}
                            for sc, fifo in ckpt["subch_fifo"].items()},
+            "uep_rows": ckpt["uep_rows"],
         }
         with open(path, "wb") as fh:    # exact path (np would append .npz)
             np.savez_compressed(
@@ -817,12 +832,25 @@ class DabReceiver:
             "subch_fifo": {int(sc): {int(n): bytes.fromhex(h)
                                      for n, h in fifo.items()}
                            for sc, fifo in meta["subch_fifo"].items()},
+            "uep_rows": meta.get("uep_rows", {}),
         }
         rx = cls(**kwargs)
         rx.restore(ckpt)
         return rx
 
     def restore(self, ckpt: dict) -> None:
+        # Re-register extra UEP rows BEFORE activation so the sub-channel
+        # is decodable immediately (no re-probe).  A row already present
+        # in this process wins over the checkpoint's (the user may have
+        # registered the official text's values).
+        from dabtools_tpu.tables.puncturing import (UEP_PROFILES,
+                                                    register_uep_profile)
+        for key, d in ckpt.get("uep_rows", {}).items():
+            kb, lv = (int(v) for v in key.split(":"))
+            if (kb, lv) not in UEP_PROFILES:
+                register_uep_profile(
+                    kb, lv, tuple(tuple(r) for r in d["regions"]),
+                    d["padding_bits"])
         self._cif_count = jnp.asarray(ckpt["cif_count"], dtype=jnp.int32)
         if ckpt["ensemble"] is not None:
             self._activate(ckpt["ensemble"])

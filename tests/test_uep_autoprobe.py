@@ -198,3 +198,54 @@ class TestReceiverAutoprobe:
             if k >= k0:
                 assert f.subchannel_data(9) == \
                     payload[9][a + k].tobytes(), k
+
+
+class TestCheckpointPersistence:
+    def test_extra_uep_row_survives_checkpoint(self, tmp_path,
+                                               debundled_32_3):
+        """An autoprobe-identified (or user-registered) UEP row lives in
+        process-global state; a checkpoint resumed in a FRESH process
+        must carry it, or the sub-channel silently re-probes/skips."""
+        from tests.test_closed_loop import modulate
+
+        # The fixture removed (32,3) from UEP_PROFILES; also remove its
+        # _UEP_TABLE_33 entry so the row counts as EXTRA (the save path
+        # persists only rows the bundled table cannot re-derive).
+        saved33 = P._UEP_TABLE_33.pop((32, 3))
+        try:
+            self._run(tmp_path, debundled_32_3, modulate)
+        finally:
+            P._UEP_TABLE_33[(32, 3)] = saved33
+
+    @staticmethod
+    def _run(tmp_path, debundled_32_3, modulate):
+        P.register_uep_profile(32, 3, debundled_32_3.regions,
+                               debundled_32_3.padding_bits)
+        ens = Ensemble(
+            eid=0x4EA8, label="CKPT UEP",
+            subchannels=(Subchannel.eep(1, 0, 3, "A", 64),
+                         Subchannel.uep(9, 48, table_index=2)))  # 32k P3
+        x, payload = modulate(ens, 16, seed=11)
+        rx1 = DabReceiver(n_frames=4)
+        half = 9 * C.MODE_I.frame_size + 77
+        eti = rx1.feed(x[:half])
+        path = str(tmp_path / "uep.ckpt.npz")
+        rx1.save_checkpoint(path)
+        leftover = rx1.pending_samples()
+
+        # Fresh process: the extra (non-bundled) row is gone.
+        del P.UEP_PROFILES[(32, 3)]
+        rx2 = DabReceiver.load_checkpoint(path, n_frames=4)
+        assert (32, 3) in P.UEP_PROFILES     # re-registered from the ckpt
+        got = P.UEP_PROFILES[(32, 3)]
+        assert got.regions == debundled_32_3.regions
+        assert got.padding_bits == debundled_32_3.padding_bits
+
+        eti += rx2.feed(np.concatenate([leftover, x[half:]]))
+        frames = list(EtiParser().feed(b"".join(eti)))
+        assert len(frames) >= 10
+        a = rx1._activation_cif
+        for k, f in enumerate(frames):
+            assert f.fct == (a + k) % 250, k
+            assert f.subchannel_data(1) == payload[1][a + k].tobytes(), k
+            assert f.subchannel_data(9) == payload[9][a + k].tobytes(), k
