@@ -665,11 +665,13 @@ def orchestrate():
     FULL-BREADTH artifact, not three copies of config 1):
       1. one headline child; its JSON prints IMMEDIATELY (a mid-run
          driver kill then still has the number);
-      2. one pass of EVERY extras section (kernels, rs, batched,
-         channelizer, e2e, mixedmux);
-      3. two more headline children -> spread/median recorded;
-      4. config 1b (64-frame operating point, short-chained child);
-      5. failed sections re-queued until the wall-clock budget.
+      2. ONE priority queue, probe-gated per item: every extras section
+         (kernels, rs, batched, channelizer, mixedmux, e2e) first, then
+         two headline repeats (spread/median), then config 1b (64-frame
+         operating point), then section retries.  Bad-window waiting
+         costs only the wall deadline, never the active budget, so an
+         hour of bad weather between good windows cannot starve the
+         sections (which is exactly what happened 2026-08-20).
     """
     import subprocess
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
@@ -771,34 +773,40 @@ def orchestrate():
     if quick:
         return
 
-    budget_all = float(os.environ.get("DABTOOLS_BENCH_BUDGET", 2400))
-    t0_all = time.time()
-
-    # ---- Phase 2: one pass of EVERY section in this window -------------
-    failed = _run_sections(list(SECTIONS),
-                           budget=lambda: budget_all - (time.time()
-                                                        - t0_all),
-                           max_attempts=1)
-
-    # ---- Phase 3: headline repeats -> spread/median ---------------------
+    # ---- Phases 2-5: ONE opportunistic priority queue -------------------
+    # Round-4 lesson (2026-08-20 driver-shaped run): Phase 2's wall-clock
+    # section budget burned ENTIRELY inside a 60-min bad window — zero
+    # attempts — and when the good window returned, Phases 3/4 (headline
+    # repeats, config 1b) ran unconditionally and took it, so the
+    # artifact again held config 1 and nothing else.  Two fixes:
+    #   (a) bad-window waiting costs only the WALL deadline, never the
+    #       ACTIVE budget (time actually spent inside children/probes);
+    #   (b) everything after the headline JSON is one priority queue —
+    #       sections first, then headline repeats, then config 1b, then
+    #       section retries — so whichever good window appears next is
+    #       always spent on the highest-value missing evidence.
+    active_budget = float(os.environ.get("DABTOOLS_BENCH_BUDGET", 2400))
+    wall_deadline = time.time() + float(
+        os.environ.get("DABTOOLS_BENCH_WALL", 7200))
+    active_spent = 0.0
     rts = [rt16]
-    for _ in range(2):
-        try:
-            v, w = run_child(child_cmd, timeout=300)
-            rts.append(v)
-        except Exception:  # noqa: BLE001
-            break
-    med = float(np.median(rts))
-    log(f"# [config 1] per-process spread (16-frame): "
-        f"{[round(v) for v in rts]} (median {med:.0f}x; headline JSON = "
-        f"first good-window child {rt16:.0f}x)")
-    if len(rts) >= 2 and abs(med - rt16) / max(rt16, 1e-9) > 0.15:
-        log(f"# WARNING: median deviates >15% from the printed headline "
-            f"— window shifted between children; prefer the stamp-"
-            f"filtered lines above")
 
-    # ---- Phase 4: config 1b (64-frame throughput point) ----------------
-    try:
+    def spread_line():
+        med = float(np.median(rts))
+        log(f"# [config 1] per-process spread (16-frame): "
+            f"{[round(v) for v in rts]} (median {med:.0f}x; headline "
+            f"JSON = first good-window child {rt16:.0f}x)")
+        if len(rts) >= 2 and abs(med - rt16) / max(rt16, 1e-9) > 0.15:
+            log("# WARNING: median deviates >15% from the printed "
+                "headline — window shifted between children; prefer the "
+                "stamp-filtered lines above")
+
+    def do_repeat(k):
+        del k
+        v, w = run_child(child_cmd, timeout=300)
+        rts.append(v)
+
+    def do_1b():
         v, w = run_child([sys.executable, __file__, "64", "--quick",
                           "--once"], timeout=420)
         log(f"# [config 1b] 64-frame blocks: {v:.0f}x real-time "
@@ -807,14 +815,48 @@ def orchestrate():
             log(f"# NOTE: 64-frame sustained point beats the 16-frame "
                 f"headline ({v:.0f}x vs {rt16:.0f}x); the printed JSON "
                 f"is the 16-frame low-latency point")
-    except Exception as e:  # noqa: BLE001
-        log(f"# [config 1b] 64-frame SKIPPED: {str(e)[:120]}")
 
-    # ---- Phase 5: re-queue failed sections until the budget -------------
-    if failed:
-        _run_sections(failed,
-                      budget=lambda: budget_all - (time.time() - t0_all),
-                      max_attempts=3)
+    # (kind, name, attempts_left); sections retry, repeats/1b are
+    # best-effort one-shots queued AFTER every section's first attempt.
+    queue: list = ([("section", s, 3) for s in SECTIONS]
+                   + [("repeat", 0, 1), ("repeat", 1, 1), ("1b", "", 1)])
+    while queue:
+        if active_spent >= active_budget or time.time() >= wall_deadline:
+            for kind, name, _ in queue:
+                label = {"section": name, "repeat": "config 1 repeat",
+                         "1b": "config 1b"}[kind]
+                log(f"# [{label}] SKIPPED (bench budget exhausted: "
+                    f"active {active_spent:.0f}s/{active_budget:.0f}s)")
+            break
+        t_probe = time.time()
+        if not _probe_ok():
+            active_spent += time.time() - t_probe   # probes are active
+            log("# relay in a bad window (probe failed); waiting 60s")
+            time.sleep(60)                          # waiting is NOT
+            continue
+        active_spent += time.time() - t_probe
+        kind, name, tries = queue.pop(0)
+        t_item = time.time()
+        try:
+            if kind == "section":
+                err = _run_one_section(name)
+                if err is not None:
+                    raise RuntimeError(err)
+            elif kind == "repeat":
+                do_repeat(name)
+            else:
+                do_1b()
+        except Exception as e:  # noqa: BLE001
+            label = {"section": name, "repeat": "config 1 repeat",
+                     "1b": "config 1b"}[kind]
+            if kind == "section" and tries > 1:
+                log(f"# [{name}] failed ({str(e)[:140]}); re-queued "
+                    f"({tries - 1} tries left)")
+                queue.append((kind, name, tries - 1))
+            else:
+                log(f"# [{label}] SKIPPED ({str(e)[:140]})")
+        active_spent += time.time() - t_item
+    spread_line()
 
 
 # One pass of every section runs right after the first headline child
@@ -831,7 +873,7 @@ SECTIONS = ("kernels", "rs", "batched", "channelizer", "mixedmux", "e2e")
 # single section may not eat half the whole bench budget.  With a
 # prewarmed .jax_cache each section is <120 s of device time.
 _SECTION_TIMEOUT = {"mixedmux": 600, "e2e": 600, "channelizer": 600,
-                    "kernels": 600}
+                    "kernels": 600, "batched": 600}
 
 
 # The probe must exercise everything a bad window breaks, else it
@@ -853,84 +895,50 @@ d = jax.device_put(np.zeros(1 << 25, np.uint8)); d.block_until_ready()
 
 
 
-def _run_sections(pending: list, budget, max_attempts: int = 3) -> list:
-    """Run sections, each in its OWN subprocess: this machine's TPU relay
-    wedges a process after a handful of fresh compiles, and a fresh
-    process gets a fresh budget.  A section failure can never cost the
-    driver's headline line (already printed).
-
-    The relay's bad windows last minutes to tens of minutes (inside one,
-    even ``jnp.zeros`` or a 4 MB device_put returns UNIMPLEMENTED
-    process-wide — root-caused 2026-08-17: the round-1 channelizer
-    'UNIMPLEMENTED' was this, not a lowering bug).  So: (a) a cheap
-    weather PROBE gates each section — while the probe fails, sleep
-    instead of burning a section's timeout inside a window; (b) failed
-    sections re-queue up to ``max_attempts`` while ``budget()`` (seconds
-    remaining) is positive.  Returns the list of sections that never
-    succeeded, so the caller can re-queue them later (VERDICT r3 item 1:
-    the FIRST pass runs each section exactly once to spend the first
-    good window on breadth, retries come after the headline repeats)."""
+def _run_one_section(name: str) -> str | None:
+    """Run one section in its OWN subprocess (this machine's TPU relay
+    wedges CLIENTS after a handful of fresh compiles; a fresh process
+    gets a fresh client).  Returns None on success, else a short error
+    string (the last Error/assert line of the child's stderr — JAX
+    appends its traceback-filtering notice AFTER the real error)."""
     import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "--section", name],
+            capture_output=True, text=True,
+            timeout=_SECTION_TIMEOUT.get(name, 420))
+        for line in r.stderr.splitlines():
+            if line.startswith("# ["):
+                # child already persisted its lines; stderr-only here
+                print(line, file=sys.stderr, flush=True)
+        if r.returncode != 0:
+            tail = [l for l in r.stderr.strip().splitlines()
+                    if l and not l.startswith("WARNING")]
+            best = next(
+                (l for l in reversed(tail)
+                 if ("Error" in l or "assert" in l)
+                 and "JAX_TRACEBACK" not in l),
+                tail[-1] if tail else "")
+            return f"rc={r.returncode}: {best.strip()[:140]}"
+        return None
+    except subprocess.TimeoutExpired:
+        return "timeout"
 
-    def run_one(name):
-        try:
-            r = subprocess.run(
-                [sys.executable, __file__, "--section", name],
-                capture_output=True, text=True,
-                timeout=_SECTION_TIMEOUT.get(name, 420))
-            for line in r.stderr.splitlines():
-                if line.startswith("# ["):
-                    # child already persisted its lines; stderr-only here
-                    print(line, file=sys.stderr, flush=True)
-            if r.returncode != 0:
-                tail = [l for l in r.stderr.strip().splitlines()
-                        if l and not l.startswith("WARNING")]
-                # JAX appends its traceback-filtering notice AFTER the
-                # real error; report the last Error/assert line instead.
-                best = next(
-                    (l for l in reversed(tail)
-                     if ("Error" in l or "assert" in l)
-                     and "JAX_TRACEBACK" not in l),
-                    tail[-1] if tail else "")
-                return f"rc={r.returncode}: {best.strip()[:140]}"
-            return None
-        except subprocess.TimeoutExpired:
-            return "timeout"
 
-    def relay_ok(probe=_PROBE_SRC):
-        try:
-            return subprocess.run(
-                [sys.executable, "-c", probe], capture_output=True,
-                timeout=150).returncode == 0
-        except subprocess.TimeoutExpired:
-            return False
-
-    attempts: dict = {}
-    never_succeeded = list(pending)
-    while pending and budget() > 0:
-        # Every section's timing proves execution with a trailing fetch
-        # (see the protocol note at the top), so the gate is the full
-        # fetch-capable probe.
-        if not relay_ok():
-            log("# relay in a bad window (probe failed); waiting 60s")
-            time.sleep(60)
-            continue
-        name = pending.pop(0)
-        err = run_one(name)
-        if err is None:
-            never_succeeded.remove(name)
-            continue
-        attempts[name] = attempts.get(name, 0) + 1
-        if attempts[name] < max_attempts and budget() > 0:
-            log(f"# [{name}] failed attempt {attempts[name]} ({err}); "
-                f"re-queued")
-            pending.append(name)
-        else:
-            log(f"# [{name}] {'DEFERRED' if max_attempts == 1 else 'SKIPPED'}"
-                f" ({err})")
-    for name in pending:
-        log(f"# [{name}] SKIPPED (bench budget exhausted)")
-    return never_succeeded
+def _probe_ok(probe: str | None = None) -> bool:
+    """One fresh-subprocess weather probe: fresh compile (unique constant
+    defeats the persistent cache) + headline-scale 32 MB H2D + fetch —
+    everything a bad window breaks (a cheaper probe green-lights
+    sections into guaranteed failure; measured 2026-08-18)."""
+    import subprocess
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return True                    # CPU run: no relay in the path
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", probe or _PROBE_SRC],
+            capture_output=True, timeout=150).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def run_section(name: str) -> int:
