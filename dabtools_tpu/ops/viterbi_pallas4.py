@@ -263,16 +263,20 @@ def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
     vmap-collapsing and VMEM-chunked (see ``_decode4_vmappable``).
 
     ``select`` (or ``DABTOOLS_VITERBI4_SELECT``) picks the ACS
-    predecessor-selection realization — see ``_acs4_kernel``.  The
-    default stays ``matmul`` (HIGHEST) until the alternatives carry an
-    on-chip bit-exactness + timing datum.
+    predecessor-selection realization — see ``_acs4_kernel``.  Default
+    ``shuffle``: on-chip datum 2026-08-20 (viterbi_select_probe, good
+    window) measured shuffle 2.70 ms vs matmul 3.48 ms at (576, 3078)
+    with decoded bits verified OK via device compare + timing readout —
+    the VPU reshape beats the 256x64 HIGHEST-precision MXU pass, and
+    both realizations are bit-exact data movement by construction
+    (test_select_variants_bit_identical).
     """
     if soft.ndim != 2:
         raise ValueError("expected (batch, 4*T) soft bits")
     if (soft.shape[-1] // 4) % 2:
         raise ValueError("radix-4 kernel requires an even codeword length")
     if select is None:
-        select = os.environ.get("DABTOOLS_VITERBI4_SELECT", "matmul")
+        select = os.environ.get("DABTOOLS_VITERBI4_SELECT", "shuffle")
     if select not in _SELECTS:
         raise ValueError(f"select must be one of {_SELECTS}")
     return _decode4_vmappable(bool(interpret), select)(soft)
