@@ -39,11 +39,15 @@ run_stage() {  # $1 = name, rest = command
 }
 
 START=$(date +%s)
-declare -A done=( [prewarm]=0 [bench]=0 [vselect]=0 [ber]=0 [profile]=0 )
+# vselect retired 2026-08-20: the probe's datum (shuffle 2.70 ms vs
+# matmul 3.48 ms, bits OK) flipped the production default; re-probing
+# would waste good-window minutes.  prewarm re-runs because the select
+# flip changed every Viterbi-bearing program's cache key.
+declare -A done=( [prewarm]=0 [bench]=0 [ber]=0 [profile]=0 )
 echo "$(stamp) === grind loop start (deadline ${DEADLINE_S}s) ==="
 
 while (( $(date +%s) - START < DEADLINE_S )); do
-    if (( done[prewarm] & done[bench] & done[vselect] & done[ber] & done[profile] )); then
+    if (( done[prewarm] & done[bench] & done[ber] & done[profile] )); then
         break
     fi
     if ! tunnel_alive; then
@@ -54,19 +58,14 @@ while (( $(date +%s) - START < DEADLINE_S )); do
     if (( ! done[prewarm] )); then
         run_stage prewarm timeout 7200 python tools/weatherwait.py \
             --max-wait 3600 -- python tools/prewarm.py --rounds 2 \
-            --target 380 && done[prewarm]=1 || true
+            --target 450 && done[prewarm]=1 || true
         continue
     fi
     if (( ! done[bench] )); then
         DABTOOLS_HEADLINE_BUDGET=3600 DABTOOLS_BENCH_BUDGET=3600 \
-            run_stage bench timeout 10000 python bench.py \
+            DABTOOLS_BENCH_WALL=7200 \
+            run_stage bench timeout 12000 python bench.py \
             && done[bench]=1 || true
-        continue
-    fi
-    if (( ! done[vselect] )); then
-        run_stage vselect timeout 3600 python tools/weatherwait.py \
-            --max-wait 1800 -- python tools/viterbi_select_probe.py \
-            && done[vselect]=1 || true
         continue
     fi
     if (( ! done[ber] )); then
@@ -83,4 +82,4 @@ while (( $(date +%s) - START < DEADLINE_S )); do
         continue
     fi
 done
-echo "$(stamp) === grind loop done: prewarm=${done[prewarm]} bench=${done[bench]} vselect=${done[vselect]} ber=${done[ber]} profile=${done[profile]} ==="
+echo "$(stamp) === grind loop done: prewarm=${done[prewarm]} bench=${done[bench]} ber=${done[ber]} profile=${done[profile]} ==="
