@@ -43,7 +43,7 @@ from dabtools_tpu.ops.sync import (
     fine_sync_prs,
     fractional_cfo,
 )
-from dabtools_tpu.ops.viterbi import viterbi_decode
+from dabtools_tpu.ops.viterbi import viterbi_decode_ragged
 from dabtools_tpu.tables.puncturing import FIC_PROFILE
 from dabtools_tpu.utils.crc import crc16_ok, crc16_ok_batch
 
@@ -118,15 +118,9 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
     n_cw_total = total_fic // C.FIC_PUNCTURED_BITS
     fic_soft = soft[:, : mode.n_fic_syms, :].reshape(
         n_cw_total, C.FIC_PUNCTURED_BITS)
-    fic_bits, fic_metric = viterbi_decode(depuncture(fic_soft, FIC_PROFILE))
     from dabtools_tpu.ops.bits import pack_bits
-    fib_bytes = pack_bits(descramble(fic_bits)).reshape(
-        n_frames, mode.n_fibs, C.FIB_BYTES)
 
     out = {
-        "fib_bytes": fib_bytes,
-        "fic_metric": (fic_metric.reshape(n_frames, -1)
-                       if n_cw_total % n_frames == 0 else fic_metric),
         "cfo_carriers": cfo,
         "prs_peak": fine["peak"],
         "prs_offset": fine["offset"],
@@ -141,9 +135,12 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
         out.update(sync_diag)
 
     # ---- MSC ----------------------------------------------------------
-    # Sub-channels sharing a puncturing profile are decoded as ONE Viterbi
-    # batch (bigger lane occupancy on TPU; a real mux often has many
-    # same-rate services).  Deinterleaver rings stay per-sub-channel.
+    # Sub-channels sharing a puncturing profile are deinterleaved/
+    # depunctured as ONE batch, and then FIC + EVERY profile group decode
+    # in a SINGLE ragged Viterbi dispatch (per-lane lengths; see
+    # ops.viterbi.viterbi_decode_ragged) — one ACS chain per block no
+    # matter how heterogeneous the mux.  Deinterleaver rings stay
+    # per-sub-channel.
     new_rings = {}
     if ensemble is not None or probe_subs:
         n_cifs = n_frames * mode.n_cifs
@@ -160,8 +157,9 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
         ring, aligned = time_deinterleave(rings[key], cif_count, sub_soft)
         new_rings[key] = ring
         out["probe_soft"][key] = aligned
+    jobs = [depuncture(fic_soft, FIC_PROFILE)]
+    groups: dict = {}
     if ensemble is not None:
-        groups: dict = {}
         for s in ensemble.subchannels:
             groups.setdefault(s.profile, []).append(s)
         for profile, subs in groups.items():
@@ -174,14 +172,23 @@ def pipeline_core(x, frame_start_guesses, rings, cif_count, *,
                     rings[key], cif_count, sub_soft)
                 new_rings[key] = ring
                 aligned_all.append(aligned)
-            stacked = jnp.concatenate(aligned_all, axis=0)
-            bits, metric = viterbi_decode(depuncture(stacked, profile))
-            data = pack_bits(descramble(bits))   # (batch, data_bytes)
-            for k, s in enumerate(subs):
-                key = str(s.subchid)
-                sl = slice(k * n_cifs, (k + 1) * n_cifs)
-                out["subch"][key] = data[sl]
-                out["subch_metric"][key] = metric[sl]
+            jobs.append(depuncture(jnp.concatenate(aligned_all, axis=0),
+                                   profile))
+    decoded = viterbi_decode_ragged(jobs)
+
+    fic_bits, fic_metric = decoded[0]
+    out["fib_bytes"] = pack_bits(descramble(fic_bits)).reshape(
+        n_frames, mode.n_fibs, C.FIB_BYTES)
+    out["fic_metric"] = (fic_metric.reshape(n_frames, -1)
+                         if n_cw_total % n_frames == 0 else fic_metric)
+    for (profile, subs), (bits, metric) in zip(groups.items(),
+                                               decoded[1:]):
+        data = pack_bits(descramble(bits))   # (batch, data_bytes)
+        for k, s in enumerate(subs):
+            key = str(s.subchid)
+            sl = slice(k * n_cifs, (k + 1) * n_cifs)
+            out["subch"][key] = data[sl]
+            out["subch_metric"][key] = metric[sl]
     return out, new_rings, cif_count + n_frames * mode.n_cifs
 
 

@@ -221,3 +221,55 @@ def viterbi_decode(soft: jnp.ndarray, impl: str = "auto"):
     if squeeze:
         return info[0], metric[0]
     return info, metric
+
+
+def viterbi_decode_ragged(softs, impl: str = "auto"):
+    """Decode several codeword batches of (possibly) DIFFERENT lengths as
+    ONE kernel dispatch where the backend supports it.
+
+    ``softs``: sequence of (batch_i, 4*T_i) soft-bit arrays (same
+    conventions as :func:`viterbi_decode`).  Returns a list of
+    ``(bits_i, metric_i)`` in the same order, each bit-identical to
+    ``viterbi_decode(softs[i], impl)``.
+
+    On the radix-4 Pallas path the batches are right-padded to the
+    longest T, concatenated along lanes, and decoded with a per-lane
+    length vector — so a heterogeneous mux (FIC + several UEP/EEP
+    profile groups) costs ONE ACS chain instead of one per group.  The
+    TPU win is structural: lane batches round up to 128, so e.g. the
+    flagship's 9x64-CIF MSC batch (576 lanes -> padded 640) absorbs the
+    64 FIC codewords literally for free.  Reference counterpart: none —
+    upstream (R9/R15) decodes each codeword in a scalar C loop.
+
+    Falls back to per-batch calls on the XLA/radix-2 paths (an odd T in
+    the mix forces radix-2) — semantically identical, just N dispatches.
+    """
+    softs = [jnp.asarray(s, jnp.float32) for s in softs]
+    if not softs:
+        return []
+    if any(s.ndim != 2 for s in softs):
+        raise ValueError("each batch must be (batch_i, 4*T_i) soft bits")
+    if impl == "auto":
+        impl = resolved_impl()
+    ts = [s.shape[-1] // 4 for s in softs]
+    if (impl == "pallas" and len(softs) > 1
+            and all(t % 2 == 0 for t in ts)):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        n4_max = max(s.shape[-1] for s in softs)
+        soft = jnp.concatenate(
+            [jnp.pad(s, ((0, 0), (0, n4_max - s.shape[-1])))
+             for s in softs], axis=0)
+        lengths = np.concatenate(
+            [np.full(s.shape[0], t, np.int32)
+             for s, t in zip(softs, ts)])
+        interp = jax.default_backend() != "tpu"
+        bits, metric = viterbi_decode_pallas4(soft, interpret=interp,
+                                              lengths=lengths)
+        out, o = [], 0
+        for s, t in zip(softs, ts):
+            b = s.shape[0]
+            out.append((bits[o: o + b, : t - C.TAIL_BITS],
+                        metric[o: o + b]))
+            o += b
+        return out
+    return [viterbi_decode(s, impl=impl) for s in softs]

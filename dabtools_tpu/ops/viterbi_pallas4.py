@@ -16,6 +16,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -25,8 +26,8 @@ from dabtools_tpu.ops.viterbi import NEG_INF, acs_radix4_matrices
 TC2 = 8  # double-steps (= 16 trellis steps) per grid iteration
 
 
-def _acs4_kernel(pu_ref, ws_ref, soft_ref, dec_ref, metric_ref, pm_ref,
-                 bm_ref, *, t2_real, select="matmul"):
+def _acs4_kernel(pu_ref, ws_ref, soft_ref, t2_ref, dec_ref, metric_ref,
+                 pm_ref, bm_ref, *, select="matmul"):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -75,7 +76,14 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, dec_ref, metric_ref, pm_ref,
         hi = (m23 > m01).astype(jnp.int32)
         new = jnp.maximum(m01, m23)
         d = hi * (2 + d23) + (1 - hi) * d01
-        live = (g2 < t2_real).astype(jnp.int32)
+        # Per-LANE liveness: lanes may carry codewords of different
+        # lengths (FIC + several MSC profile groups decode as ONE
+        # dispatch — see ``viterbi_decode_ragged``).  A dead step
+        # freezes the lane's path metrics and records decision 0, under
+        # which traceback's state 0 maps to predecessor 0 — so the
+        # padded tail is a fixed point at the tail-terminated state and
+        # the short lane's traceback is untouched.
+        live = (g2 < t2_ref[...]).astype(jnp.int32)        # (1, B)
         # Pack the 64 two-bit decisions into four int32 words (16 states
         # per word; disjoint bit positions make the sublane sum an OR).
         val = jax.lax.shift_left(d * live, shift)  # (64, B)
@@ -150,9 +158,16 @@ B_CHUNK = 896
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "select"))
-def _decode4_call(soft: jnp.ndarray, interpret: bool = False,
-                  select: str = "matmul"):
-    """One kernel invocation (batch must respect the VMEM ceiling)."""
+def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
+                  interpret: bool = False, select: str = "matmul"):
+    """One kernel invocation (batch must respect the VMEM ceiling).
+
+    ``t2``: (batch,) int32 — per-lane codeword length in DOUBLE trellis
+    steps (= T_lane // 2).  Lanes shorter than the tensor's padded
+    length freeze after their own tail (see the liveness note in
+    ``_acs4_kernel``); the zero-filled soft positions beyond a lane's
+    length never reach the path metrics.
+    """
     b0, n4 = soft.shape
     t_real = n4 // 4
     if t_real % 2:
@@ -166,10 +181,12 @@ def _decode4_call(soft: jnp.ndarray, interpret: bool = False,
     softp = softp.at[:b0, :t2_real, :].set(
         soft.reshape(b0, t2_real, 8).astype(jnp.float32))
     soft_t = softp.transpose(1, 2, 0)              # (T2, 8, B)
+    t2p = jnp.zeros((1, b), jnp.int32).at[0, :b0].set(
+        t2.astype(jnp.int32))                      # pad lanes: length 0
 
     pu4, ws4 = acs_radix4_matrices()
     dec, metric = pl.pallas_call(
-        functools.partial(_acs4_kernel, t2_real=t2_real, select=select),
+        functools.partial(_acs4_kernel, select=select),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((256, 64), lambda i: (0, 0),
@@ -177,6 +194,8 @@ def _decode4_call(soft: jnp.ndarray, interpret: bool = False,
             pl.BlockSpec((256, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TC2, 8, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -192,7 +211,7 @@ def _decode4_call(soft: jnp.ndarray, interpret: bool = False,
         scratch_shapes=[pltpu.VMEM((64, b), jnp.float32),
                         pltpu.VMEM((TC2, 256, b), jnp.float32)],
         interpret=interpret,
-    )(jnp.asarray(pu4), jnp.asarray(ws4), soft_t)
+    )(jnp.asarray(pu4), jnp.asarray(ws4), soft_t, t2p)
 
     bits_t = pl.pallas_call(
         _traceback4_kernel,
@@ -231,23 +250,28 @@ def _decode4_vmappable(interpret: bool, select: str = "matmul"):
     from jax import custom_batching
 
     @custom_batching.custom_vmap
-    def decode(soft):
+    def decode(soft, t2):
         b0 = soft.shape[0]
         if b0 <= B_CHUNK:
-            return _decode4_call(soft, interpret, select)
-        outs = [_decode4_call(soft[i: i + B_CHUNK], interpret, select)
+            return _decode4_call(soft, t2, interpret, select)
+        outs = [_decode4_call(soft[i: i + B_CHUNK], t2[i: i + B_CHUNK],
+                              interpret, select)
                 for i in range(0, b0, B_CHUNK)]
         return (jnp.concatenate([o[0] for o in outs], axis=0),
                 jnp.concatenate([o[1] for o in outs], axis=0))
 
     @decode.def_vmap
-    def _rule(axis_size, in_batched, soft):  # noqa: ANN001
-        del axis_size
-        (batched,) = in_batched
-        if not batched:
-            return decode(soft), (False, False)
+    def _rule(axis_size, in_batched, soft, t2):  # noqa: ANN001
+        soft_b, t2_b = in_batched
+        if not soft_b and not t2_b:
+            return decode(soft, t2), (False, False)
+        if not soft_b:
+            soft = jnp.broadcast_to(soft[None], (axis_size, *soft.shape))
+        if not t2_b:
+            t2 = jnp.broadcast_to(t2[None], (axis_size, *t2.shape))
         lead, rows, n4 = soft.shape
-        bits, metric = decode(soft.reshape(lead * rows, n4))
+        bits, metric = decode(soft.reshape(lead * rows, n4),
+                              t2.reshape(lead * rows))
         return ((bits.reshape(lead, rows, bits.shape[-1]),
                  metric.reshape(lead, rows)), (True, True))
 
@@ -258,9 +282,18 @@ _SELECTS = ("matmul", "shuffle")
 
 
 def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
-                           select: str | None = None):
+                           select: str | None = None,
+                           lengths=None):
     """Radix-4 drop-in for ``viterbi_decode_pallas`` (same contract);
     vmap-collapsing and VMEM-chunked (see ``_decode4_vmappable``).
+
+    ``lengths`` (optional): (batch,) int — per-lane mother-codeword
+    trellis length (incl. tail) for RAGGED batches, each even and
+    <= ``soft.shape[-1] // 4``; short lanes are zero-padded on the
+    right.  Lane ``k``'s information bits are ``bits[k, :lengths[k] -
+    TAIL_BITS]``; positions beyond are zeros.  This is what lets FIC
+    and every MSC profile group share ONE kernel dispatch
+    (``ops.viterbi.viterbi_decode_ragged``).
 
     ``select`` (or ``DABTOOLS_VITERBI4_SELECT``) picks the ACS
     predecessor-selection realization — see ``_acs4_kernel``.  Default
@@ -273,10 +306,23 @@ def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
     """
     if soft.ndim != 2:
         raise ValueError("expected (batch, 4*T) soft bits")
-    if (soft.shape[-1] // 4) % 2:
+    t_max = soft.shape[-1] // 4
+    if t_max % 2:
         raise ValueError("radix-4 kernel requires an even codeword length")
     if select is None:
         select = os.environ.get("DABTOOLS_VITERBI4_SELECT", "shuffle")
     if select not in _SELECTS:
         raise ValueError(f"select must be one of {_SELECTS}")
-    return _decode4_vmappable(bool(interpret), select)(soft)
+    if lengths is None:
+        t2 = jnp.full((soft.shape[0],), t_max // 2, jnp.int32)
+    else:
+        ln = np.asarray(lengths) if not isinstance(
+            lengths, jnp.ndarray) else lengths
+        if isinstance(ln, np.ndarray):      # concrete: validate now
+            if ln.shape != (soft.shape[0],):
+                raise ValueError("lengths must be (batch,)")
+            if (ln % 2).any() or (ln > t_max).any() or (ln <= 0).any():
+                raise ValueError("each lane length must be even, positive "
+                                 "and <= the padded codeword length")
+        t2 = jnp.asarray(ln, jnp.int32) // 2
+    return _decode4_vmappable(bool(interpret), select)(soft, t2)

@@ -189,3 +189,95 @@ class TestProductionDefault:
         assert (flat == np.asarray(ref)).all()
         np.testing.assert_allclose(np.asarray(metric).reshape(6),
                                    np.asarray(refm), rtol=1e-5)
+
+
+class TestRagged:
+    """Per-lane-length (ragged) decode: FIC + MSC profile groups share
+    ONE kernel dispatch (ops.viterbi.viterbi_decode_ragged)."""
+
+    def test_mixed_lengths_match_per_batch(self):
+        from dabtools_tpu.ops.viterbi import viterbi_decode_ragged
+        rng = np.random.default_rng(7)
+        batches = []
+        for batch, n in [(3, 768), (2, 1536), (4, 250 * 2)]:
+            msgs, soft = _noisy_batch(rng, batch, n)
+            batches.append((msgs, soft))
+        import dabtools_tpu.ops.viterbi as V
+        V.force_impl("pallas")
+        try:
+            outs = viterbi_decode_ragged([jnp.asarray(s)
+                                          for _, s in batches])
+        finally:
+            V.force_impl(None)
+        assert len(outs) == 3
+        for (msgs, soft), (bits, metric) in zip(batches, outs):
+            rb, rm = viterbi_decode(jnp.asarray(soft), impl="xla")
+            assert bits.shape == rb.shape
+            assert (np.asarray(bits) == np.asarray(rb)).all()
+            np.testing.assert_allclose(np.asarray(metric), np.asarray(rm),
+                                       rtol=1e-5)
+            assert (np.asarray(bits) == msgs).all()
+
+    def test_fic_plus_msc_shapes(self):
+        """The production pairing: FIC codewords (T=774) alongside a
+        128 kbit/s EEP-3A MSC group (T=3078) — depunctured for real."""
+        from dabtools_tpu.ops.viterbi import viterbi_decode_ragged
+        from dabtools_tpu.tables.puncturing import eep_profile
+        rng = np.random.default_rng(11)
+        prof = eep_profile(3, "A", 128)
+        fic_msgs, fic_soft = _noisy_batch(rng, 2, 768, scale=0.3)
+        msc_msgs, msc_soft = _noisy_batch(rng, 1, prof.data_bits,
+                                          scale=0.3)
+        import dabtools_tpu.ops.viterbi as V
+        V.force_impl("pallas")
+        try:
+            outs = viterbi_decode_ragged(
+                [jnp.asarray(fic_soft), jnp.asarray(msc_soft)])
+        finally:
+            V.force_impl(None)
+        (fb, _), (mb, _) = outs
+        assert (np.asarray(fb) == fic_msgs).all()
+        assert (np.asarray(mb) == msc_msgs).all()
+
+    def test_single_batch_passthrough(self):
+        from dabtools_tpu.ops.viterbi import viterbi_decode_ragged
+        rng = np.random.default_rng(3)
+        msgs, soft = _noisy_batch(rng, 2, 768)
+        (bits, _), = viterbi_decode_ragged([jnp.asarray(soft)])
+        assert (np.asarray(bits) == msgs).all()
+
+    def test_bad_lengths_rejected(self):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        with pytest.raises(ValueError):
+            viterbi_decode_pallas4(jnp.zeros((2, 4 * 10)), interpret=True,
+                                   lengths=np.array([10, 7]))  # odd
+        with pytest.raises(ValueError):
+            viterbi_decode_pallas4(jnp.zeros((2, 4 * 10)), interpret=True,
+                                   lengths=np.array([10, 12]))  # > T
+        with pytest.raises(ValueError):
+            viterbi_decode_pallas4(jnp.zeros((2, 4 * 10)), interpret=True,
+                                   lengths=np.array([10]))  # wrong shape
+
+    def test_receiver_merged_dispatch_bit_exact(self):
+        """End-to-end: the receiver's single ragged dispatch (FIC +
+        MSC in one kernel call, Pallas interpret) yields byte-identical
+        ETI to the XLA per-group path."""
+        from dabtools_tpu.models.receiver import DabReceiver, process_block
+        from dabtools_tpu.ops import viterbi as V
+        from tests.test_closed_loop import build_ensemble, modulate
+
+        ens = build_ensemble()
+        x, payload_bytes = modulate(ens, 10, seed=13)
+        rx_ref = DabReceiver(n_frames=4, ensemble=ens)
+        eti_ref = rx_ref.feed(x)
+
+        V.force_impl("pallas")
+        try:
+            process_block.clear_cache()
+            rx = DabReceiver(n_frames=4, ensemble=ens)
+            eti = rx.feed(x)
+            assert V.resolved_impl() == "pallas"   # no silent fallback
+        finally:
+            V.force_impl(None)
+            process_block.clear_cache()
+        assert eti and eti == eti_ref
