@@ -1422,8 +1422,10 @@ def _extra_kernels(ens, n_frames, rng):
                  s, impl="pallas")),
              "pallas-radix2": jax.jit(lambda s: viterbi_decode_pallas(s)),
              "xla": jax.jit(lambda s: viterbi_decode(s, impl="xla"))}
+    t_by: dict = {}
     for impl, f in impls.items():
         t, stamp = _chained_time_ex(f, soft)
+        t_by[impl] = t
 
         def ok_fn(_f=f):
             bits, _ = _f(soft)
@@ -1435,6 +1437,44 @@ def _extra_kernels(ens, n_frames, rng):
             f"decoded bits {verdict} {stamp}")
         if verdict.startswith("MISMATCH"):
             raise AssertionError(f"{impl} wrong bits on HW")
+    t4 = t_by["pallas-radix4"]
+
+    # ACS vs traceback split: a metric-only program dead-code-eliminates
+    # the traceback pallas_call (verified in compiled HLO), isolating
+    # the ACS chain — this decides whether traceback is worth optimizing.
+    f_acs = jax.jit(lambda s: viterbi_decode(s, impl="pallas")[1])
+    t_acs, stamp = _chained_time_ex(f_acs, soft)
+    log(f"# [kernel] Viterbi[pallas-radix4] ACS only (traceback DCEd): "
+        f"{t_acs * 1e3:.2f} ms (traceback = {(t4 - t_acs) * 1e3:.2f} ms "
+        f"of the full {t4 * 1e3:.2f} ms) {stamp}")
+
+    # Ragged merged dispatch (production shape): FIC's 64 codewords ride
+    # the MSC batch's lane padding (576 -> 640); the whole block's
+    # channel decode is ONE ACS chain (ops.viterbi.viterbi_decode_ragged).
+    from dabtools_tpu.ops.viterbi import viterbi_decode_ragged
+    fic_msgs = rng.integers(0, 2, size=(64, 768), dtype=np.uint8)
+    fic_soft = np.stack([1.0 - 2.0 * conv_encode(m) for m in fic_msgs])
+    fic_soft = _device_put_chunked(
+        (fic_soft + rng.normal(scale=0.5, size=fic_soft.shape))
+        .astype(np.float32))
+    fic_msgs_d = jax.device_put(fic_msgs)
+
+    f_ragged = jax.jit(lambda a, b: tuple(
+        x for o in viterbi_decode_ragged([a, b], impl="pallas")
+        for x in o))
+    t_r, stamp = _chained_time_ex(f_ragged, fic_soft, soft)
+
+    def ok_ragged():
+        fb, _, mb, _ = f_ragged(fic_soft, soft)
+        return jnp.logical_and(jnp.all(fb == fic_msgs_d),
+                               jnp.all(mb == msgs_d))
+
+    verdict = _verdict_by_timing(ok_ragged)
+    log(f"# [kernel] Viterbi ragged FIC(64x774)+MSC(576x3078) ONE "
+        f"dispatch: {t_r * 1e3:.2f} ms (vs {t4 * 1e3:.2f} ms MSC-only + "
+        f"a separate FIC call); decoded bits {verdict} {stamp}")
+    if verdict.startswith("MISMATCH"):
+        raise AssertionError("ragged dispatch wrong bits on HW")
 
 
 if __name__ == "__main__":
