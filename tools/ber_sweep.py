@@ -97,12 +97,31 @@ def main():
             return 3
         print(f"# device: {dev.device_kind} ({dev.platform})",
               file=sys.stderr)
-    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    # Resume-friendly: results append as each point lands, and a restart
+    # (the relay wedges clients mid-sweep — observed 2026-08-20, three
+    # aborted TPU sweeps in a row) skips points already on disk, so
+    # window churn ACCUMULATES a waterfall instead of restarting it.
     platform = jax.devices()[0].platform
+    done: set = set()
+    if args.output != "-" and Path(args.output).exists():
+        for line in Path(args.output).read_text().splitlines():
+            try:
+                r = json.loads(line)
+                done.add((r["snr_db"], r["cfo_hz"], r.get("seed"),
+                          r["platform"]))
+            except (ValueError, KeyError):
+                continue
+        if done:
+            print(f"# resuming: {len(done)} points already on disk",
+                  file=sys.stderr)
+    out = sys.stdout if args.output == "-" else open(args.output, "a")
     for snr in args.snrs:
         for seed in range(args.seeds):
+            if (snr, args.cfo, seed, platform) in done:
+                continue
             rec = run_point(snr, args.cfo, args.frames, seed)
             rec["platform"] = platform
+            rec["seed"] = seed
             out.write(json.dumps(rec) + "\n")
             out.flush()
             print(f"SNR {snr:5.1f} dB seed {seed}: acq={rec['acquired']} "
