@@ -828,13 +828,13 @@ def orchestrate():
                 log(f"# [{label}] SKIPPED (bench budget exhausted: "
                     f"active {active_spent:.0f}s/{active_budget:.0f}s)")
             break
-        t_probe = time.time()
+        # Probe time (pass or fail) is WAITING, not active spend — a
+        # 1-hour bad window is ~24 failed 150 s probes, which must not
+        # exhaust the budget the way wall-clock accounting did.
         if not _probe_ok():
-            active_spent += time.time() - t_probe   # probes are active
             log("# relay in a bad window (probe failed); waiting 60s")
-            time.sleep(60)                          # waiting is NOT
+            time.sleep(60)
             continue
-        active_spent += time.time() - t_probe
         kind, name, tries = queue.pop(0)
         t_item = time.time()
         try:
