@@ -93,7 +93,16 @@ def sweep_sections() -> None:
             r = subprocess.run(
                 [sys.executable, str(REPO / "bench.py"), "--section", sec],
                 capture_output=True, text=True, timeout=600, cwd=REPO)
-            ok = "ok" if r.returncode == 0 else f"rc={r.returncode}"
+            if r.returncode == 0:
+                ok = "ok"
+            else:
+                tail = [l for l in r.stderr.strip().splitlines()
+                        if l and not l.startswith("WARNING")]
+                best = next((l for l in reversed(tail)
+                             if ("Error" in l or "assert" in l)
+                             and "JAX_TRACEBACK" not in l),
+                            tail[-1] if tail else "")
+                ok = f"rc={r.returncode}: {best.strip()[:140]}"
         except subprocess.TimeoutExpired:
             ok = "timeout"
         print(f"section {sec}: {ok} ({time.time() - t0:.0f}s)", flush=True)
