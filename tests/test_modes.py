@@ -98,3 +98,29 @@ def test_mode_tables_consistent():
         np.testing.assert_allclose(np.abs(z), 1.0, rtol=1e-6)
         # 24 ms-multiple frame duration at 2.048 Msps
         assert mode.frame_size % (C.SAMPLE_RATE * 24 // 1000) == 0
+
+
+def test_mode_iii_merged_dispatch_matches_xla():
+    """Mode III under the Pallas ragged path: FIC codewords SPAN frames
+    (4 FIBs/frame, block=3k), so the merged FIC+MSC dispatch must slice
+    the block's whole FIC stream correctly.  Byte-compare vs XLA."""
+    from dabtools_tpu.models.receiver import process_block
+    from dabtools_tpu.ops import viterbi as V
+
+    mode = C.MODES["III"]
+    ens = _ensemble(0x3333)
+    x, payload_bytes = _modulate(ens, mode, 27)
+    rx_ref = DabReceiver(n_frames=6, mode=mode)
+    eti_ref = rx_ref.feed(x)
+    assert eti_ref
+
+    V.force_impl("pallas")
+    try:
+        process_block.clear_cache()
+        rx = DabReceiver(n_frames=6, mode=mode)
+        eti = rx.feed(x)
+        assert V.resolved_impl() == "pallas"
+    finally:
+        V.force_impl(None)
+        process_block.clear_cache()
+    assert eti == eti_ref
