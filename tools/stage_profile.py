@@ -82,6 +82,35 @@ def main() -> int:
         bits, metric = viterbi_decode(depuncture(fic_soft, FIC_PROFILE))
         return soft.sum() + bits.astype(jnp.float32).sum() + metric.sum()
 
+    def prog_deint(x):
+        """Everything EXCEPT the Viterbi dispatch and bit packing: the
+        'full' minus this is (almost exactly) the merged ragged Viterbi
+        cost inside the production block."""
+        from dabtools_tpu.ops.fec import time_deinterleave
+        starts, cfo, peak = sync_part(x)
+        soft, diag = demod_frames(x, starts, mode, cfo, 0.0)
+        total_fic = n_frames * mode.fic_bits_per_frame
+        fic_soft = soft[:, : mode.n_fic_syms, :].reshape(
+            total_fic // C.FIC_PUNCTURED_BITS, C.FIC_PUNCTURED_BITS)
+        acc = depuncture(fic_soft, FIC_PROFILE).sum()
+        n_cifs = n_frames * mode.n_cifs
+        msc = soft[:, mode.n_fic_syms:, :].reshape(n_cifs, C.CIF_BITS)
+        groups = {}
+        for s in dc.subchannels:
+            groups.setdefault(s.profile, []).append(s)
+        for profile, subs in groups.items():
+            aligned_all = []
+            for s in subs:
+                lo = s.start_cu * C.CU_BITS
+                ring, aligned = time_deinterleave(
+                    rings[str(s.subchid)], cif,
+                    msc[:, lo: lo + profile.tx_bits])
+                aligned_all.append(aligned)
+                acc = acc + ring.sum()
+            acc = acc + depuncture(
+                jnp.concatenate(aligned_all, axis=0), profile).sum()
+        return acc + peak.sum()
+
     def prog_full(x):
         sync = coarse_null_sync(x, mode)
         off = jnp.arange(n_frames, dtype=jnp.int32) * mode.frame_size
@@ -93,21 +122,29 @@ def main() -> int:
                       for v in out["subch"].values())
                 + sum(v.sum() for v in new_rings.values()))
 
-    stages = [("sync", prog_sync), ("sync+demod", prog_demod),
-              ("sync+demod+fic", prog_fic), ("full", prog_full)]
+    # (name, program, baseline stage the printed delta is against —
+    # 'all-but-viterbi' is NOT a superset of the fic stage, so its
+    # delta reads vs sync+demod, and 'full' minus it is the merged
+    # ragged Viterbi + packing cost.)
+    stages = [("sync", prog_sync, None),
+              ("sync+demod", prog_demod, "sync"),
+              ("sync+demod+fic", prog_fic, "sync+demod"),
+              ("all-but-viterbi", prog_deint, "sync+demod"),
+              ("full", prog_full, "all-but-viterbi")]
     sig_s = n_frames * mode.frame_size / C.SAMPLE_RATE
-    prev = 0.0
+    times: dict = {}
     print(f"# {n_frames}-frame block = {sig_s:.3f} s of signal; "
           f"device: {jax.devices()[0].device_kind}")
-    for name, fn in stages:
+    for name, fn, base in stages:
         jf = jax.jit(fn)
         t0 = time.time()
         t = bench._chained_time(jf, x)
+        times[name] = t
+        d = t - times.get(base, 0.0)
         print(f"{name:>16}: {t * 1e3:7.2f} ms/block  "
-              f"(+{(t - prev) * 1e3:6.2f} ms stage) "
+              f"(+{d * 1e3:6.2f} ms vs {base or 'zero'}) "
               f"[{sig_s / t:5.0f}x realtime; measured in {time.time() - t0:.0f}s]",
               flush=True)
-        prev = t
     return 0
 
 
