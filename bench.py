@@ -350,24 +350,17 @@ def _wait_for_relay(budget: float | None = None, probe: str | None = None):
     seconds before the first device touch.  The headline then begins in
     a window that just passed a probe, maximizing the chance it and the
     inline bit-exactness check land before the weather turns."""
-    import subprocess
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return                     # CPU run: no relay in the path
     if budget is None:
         budget = float(os.environ.get("DABTOOLS_WEATHER_WAIT", 600))
     t0 = time.time()
     while time.time() - t0 < budget:
-        try:
-            if subprocess.run([sys.executable, "-c",
-                               probe or _PROBE_SRC],
-                              capture_output=True,
-                              timeout=150).returncode == 0:
-                if time.time() - t0 > 5:
-                    log(f"# waited {time.time() - t0:.0f}s for a good "
-                        f"relay window")
-                return
-        except subprocess.TimeoutExpired:
-            pass
+        if _probe_ok(probe):
+            if time.time() - t0 > 5:
+                log(f"# waited {time.time() - t0:.0f}s for a good "
+                    f"relay window")
+            return
         log("# relay in a bad window; waiting 60s before starting")
         time.sleep(60)
     # Distinguish "relay weather" from "tunnel dead" in the artifact:
@@ -895,12 +888,25 @@ d = jax.device_put(np.zeros(1 << 25, np.uint8)); d.block_until_ready()
 
 
 
+def child_error_summary(stderr: str, rc: int) -> str:
+    """The last Error/assert line of a child's stderr (JAX appends its
+    traceback-filtering notice AFTER the real error), as a short
+    ``rc=N: ...`` string.  Shared with tools/prewarm.py."""
+    tail = [l for l in stderr.strip().splitlines()
+            if l and not l.startswith("WARNING")]
+    best = next(
+        (l for l in reversed(tail)
+         if ("Error" in l or "assert" in l)
+         and "JAX_TRACEBACK" not in l),
+        tail[-1] if tail else "")
+    return f"rc={rc}: {best.strip()[:140]}"
+
+
 def _run_one_section(name: str) -> str | None:
     """Run one section in its OWN subprocess (this machine's TPU relay
     wedges CLIENTS after a handful of fresh compiles; a fresh process
     gets a fresh client).  Returns None on success, else a short error
-    string (the last Error/assert line of the child's stderr — JAX
-    appends its traceback-filtering notice AFTER the real error)."""
+    string."""
     import subprocess
     try:
         r = subprocess.run(
@@ -912,14 +918,7 @@ def _run_one_section(name: str) -> str | None:
                 # child already persisted its lines; stderr-only here
                 print(line, file=sys.stderr, flush=True)
         if r.returncode != 0:
-            tail = [l for l in r.stderr.strip().splitlines()
-                    if l and not l.startswith("WARNING")]
-            best = next(
-                (l for l in reversed(tail)
-                 if ("Error" in l or "assert" in l)
-                 and "JAX_TRACEBACK" not in l),
-                tail[-1] if tail else "")
-            return f"rc={r.returncode}: {best.strip()[:140]}"
+            return child_error_summary(r.stderr, r.returncode)
         return None
     except subprocess.TimeoutExpired:
         return "timeout"

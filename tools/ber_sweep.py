@@ -102,22 +102,26 @@ def main():
     # aborted TPU sweeps in a row) skips points already on disk, so
     # window churn ACCUMULATES a waterfall instead of restarting it.
     platform = jax.devices()[0].platform
-    done: set = set()
+    # Count records per (snr, cfo, platform): seeds are written in
+    # order, so a point is done when `seed < count`.  Counting (rather
+    # than keying on the "seed" field) also resumes files written
+    # before the field existed.
+    done: dict = {}
     if args.output != "-" and Path(args.output).exists():
         for line in Path(args.output).read_text().splitlines():
             try:
                 r = json.loads(line)
-                done.add((r["snr_db"], r["cfo_hz"], r.get("seed"),
-                          r["platform"]))
+                key = (r["snr_db"], r["cfo_hz"], r["platform"])
             except (ValueError, KeyError):
                 continue
+            done[key] = done.get(key, 0) + 1
         if done:
-            print(f"# resuming: {len(done)} points already on disk",
-                  file=sys.stderr)
+            print(f"# resuming: {sum(done.values())} points already on "
+                  f"disk", file=sys.stderr)
     out = sys.stdout if args.output == "-" else open(args.output, "a")
     for snr in args.snrs:
         for seed in range(args.seeds):
-            if (snr, args.cfo, seed, platform) in done:
+            if seed < done.get((snr, args.cfo, platform), 0):
                 continue
             rec = run_point(snr, args.cfo, args.frames, seed)
             rec["platform"] = platform

@@ -62,9 +62,12 @@ while (( $(date +%s) - START < DEADLINE_S )); do
         continue
     fi
     if (( ! done[bench] )); then
+        # worst case ~= 600 preflight + 3600 headline budget (+420 last
+        # child) + 7200 wall (+600 last section) ~= 12.4k s; the wrapper
+        # must clear that or a mid-queue SIGTERM re-runs the WHOLE stage.
         DABTOOLS_HEADLINE_BUDGET=3600 DABTOOLS_BENCH_BUDGET=3600 \
             DABTOOLS_BENCH_WALL=7200 \
-            run_stage bench timeout 12000 python bench.py \
+            run_stage bench timeout 14400 python bench.py \
             && done[bench]=1 || true
         continue
     fi

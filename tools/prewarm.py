@@ -96,13 +96,8 @@ def sweep_sections() -> None:
             if r.returncode == 0:
                 ok = "ok"
             else:
-                tail = [l for l in r.stderr.strip().splitlines()
-                        if l and not l.startswith("WARNING")]
-                best = next((l for l in reversed(tail)
-                             if ("Error" in l or "assert" in l)
-                             and "JAX_TRACEBACK" not in l),
-                            tail[-1] if tail else "")
-                ok = f"rc={r.returncode}: {best.strip()[:140]}"
+                from bench import child_error_summary
+                ok = child_error_summary(r.stderr, r.returncode)
         except subprocess.TimeoutExpired:
             ok = "timeout"
         print(f"section {sec}: {ok} ({time.time() - t0:.0f}s)", flush=True)
