@@ -103,39 +103,55 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, t2_ref, dec_ref, metric_ref,
         metric_ref[0, :] = pm_ref[0, :]
 
 
-def _traceback4_kernel(dec_ref, bits_ref, oh_ref):
+def _traceback4_kernel(dec_ref, bits_ref, oh16_ref, uh_ref):
+    """Survivor-path traceback with the state FACTORIZED.
+
+    The 64-state one-hot t = 32*u2 + 16*u1 + a (a = t & 15, u = t >> 4)
+    is carried as the outer product of ``uh`` (4, B — one-hot over u)
+    and ``oh16`` (16, B — one-hot over a).  Everything the step needs
+    falls out of the factors at (4, B)/(16, B) width instead of the
+    previous (64, B) selects and sublane reductions (~3x fewer
+    vector-op units per step, and the step count — T/2 — is the whole
+    cost of this kernel):
+
+    * output bits: u1 = uh[1]+uh[3], u2 = uh[2]+uh[3];
+    * the packed decision word for t is word u, so ``sum(uh * packed)``
+      selects it with no row-wise where;
+    * predecessor t' = 4a + p (p = this state's 2-bit decision), i.e.
+      a' = 4*(a & 3) + p and u' = a >> 2 — both are row-major
+      reshape+sum folds of oh16.
+    """
     i = pl.program_id(0)
-    b = oh_ref.shape[-1]
+    b = oh16_ref.shape[-1]
 
     @pl.when(i == 0)
     def _():
-        rows = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
-        oh_ref[...] = jnp.where(rows == 0, 1.0, 0.0).astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (16, b), 0)
+        oh16_ref[...] = jnp.where(rows == 0, 1.0, 0.0).astype(jnp.float32)
+        rows4 = jax.lax.broadcasted_iota(jnp.int32, (4, b), 0)
+        uh_ref[...] = jnp.where(rows4 == 0, 1.0, 0.0).astype(jnp.float32)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
+    rowa = jax.lax.broadcasted_iota(jnp.int32, (16, b), 0)
 
     def step(k, _):
         j = TC2 - 1 - k
-        oh = oh_ref[...]
+        oh16 = oh16_ref[...]                       # (16, B) one-hot over a
+        uh = uh_ref[...]                           # (4, B) one-hot over u
         packed = dec_ref[j]                        # (4, B) int32, bit-packed
-        word = jnp.where(
-            row < 16, packed[0:1, :],
-            jnp.where(row < 32, packed[1:2, :],
-                      jnp.where(row < 48, packed[2:3, :], packed[3:4, :])))
-        dec = (jax.lax.shift_right_logical(word, 2 * (row % 16)) & 3
-               ).astype(jnp.float32)               # values 0..3, (64, B)
-        u2 = jnp.sum(oh[32:, :], axis=0)            # bit 5 of the state
-        u1 = (jnp.sum(oh[16:32, :], axis=0)
-              + jnp.sum(oh[48:, :], axis=0))        # bit 4
-        d_sel = jnp.sum(oh * dec, axis=0)           # (B,)
-        oh16 = (oh[0:16, :] + oh[16:32, :]
-                + oh[32:48, :] + oh[48:64, :])      # fold away u1,u2
-        branches = [oh16 * (jnp.abs(d_sel - p) < 0.5).astype(jnp.float32)
+        bits_ref[2 * j, :] = uh[1] + uh[3]         # u1 (earlier input bit)
+        bits_ref[2 * j + 1, :] = uh[2] + uh[3]     # u2
+        word = jnp.sum(uh.astype(jnp.int32) * packed, axis=0,
+                       keepdims=True)              # (1, B): packed[u]
+        dec16 = (jax.lax.shift_right_logical(word, 2 * rowa) & 3
+                 ).astype(jnp.float32)             # (16, B), values 0..3
+        d_sel = jnp.sum(oh16 * dec16, axis=0)      # (B,): decision p of t
+        r = oh16.reshape(4, 4, b)                  # (a>>2, a&3, B)
+        uh_ref[...] = jnp.sum(r, axis=1)           # u' = a >> 2
+        q4 = jnp.sum(r, axis=0)                    # (4, B) one-hot over a&3
+        branches = [q4 * (jnp.abs(d_sel - p) < 0.5).astype(jnp.float32)
                     for p in range(4)]
-        oh_ref[...] = (jnp.stack(branches, axis=1)  # (16, 4, B)
-                       .reshape(64, b))
-        bits_ref[2 * j, :] = u1                     # earlier input bit
-        bits_ref[2 * j + 1, :] = u2
+        oh16_ref[...] = (jnp.stack(branches, axis=1)   # (4(q), 4(p), B)
+                         .reshape(16, b))          # row 4q+p = a'
         return 0
 
     jax.lax.fori_loop(0, TC2, step, 0)
@@ -223,7 +239,8 @@ def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
             (2 * TC2, b), lambda i: (pl.num_programs(0) - 1 - i, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2 * t2_pad, b), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((64, b), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((16, b), jnp.float32),
+                        pltpu.VMEM((4, b), jnp.float32)],
         interpret=interpret,
     )(dec)
 
