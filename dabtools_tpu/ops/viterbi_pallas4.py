@@ -83,15 +83,14 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, t2_ref, dec_ref, metric_ref,
         # which traceback's state 0 maps to predecessor 0 — so the
         # padded tail is a fixed point at the tail-terminated state and
         # the short lane's traceback is untouched.
-        live = (g2 < t2_ref[...]).astype(jnp.int32)        # (1, B)
+        live = g2 < t2_ref[...]                    # (1, B) bool
         # Pack the 64 two-bit decisions into four int32 words (16 states
         # per word; disjoint bit positions make the sublane sum an OR).
-        val = jax.lax.shift_left(d * live, shift)  # (64, B)
+        val = jax.lax.shift_left(d * live.astype(jnp.int32), shift)
         dec_ref[j] = jnp.concatenate(
             [jnp.sum(val[16 * c:16 * (c + 1)], axis=0, keepdims=True)
              for c in range(4)], axis=0)           # (4, B)
-        keep = live.astype(jnp.float32)
-        return new * keep + pm * (1.0 - keep)
+        return jnp.where(live, new, pm)            # freeze dead lanes
 
     pm = pm_ref[...]
     for j in range(TC2):
