@@ -156,6 +156,48 @@ def _traceback4_kernel(dec_ref, bits_ref, oh16_ref, uh_ref):
     jax.lax.fori_loop(0, TC2, step, 0)
 
 
+def _traceback4_kernel_onehot64(dec_ref, bits_ref, oh_ref):
+    """Pre-factorization traceback (full (64, B) one-hot carry), kept as
+    a selectable realization (``DABTOOLS_VITERBI4_TRACEBACK=onehot64``)
+    for A/B timing on hardware and as an escape hatch should the
+    factored kernel's strided folds lower poorly on some target."""
+    i = pl.program_id(0)
+    b = oh_ref.shape[-1]
+
+    @pl.when(i == 0)
+    def _():
+        rows = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
+        oh_ref[...] = jnp.where(rows == 0, 1.0, 0.0).astype(jnp.float32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
+
+    def step(k, _):
+        j = TC2 - 1 - k
+        oh = oh_ref[...]
+        packed = dec_ref[j]                        # (4, B) int32, bit-packed
+        word = jnp.where(
+            row < 16, packed[0:1, :],
+            jnp.where(row < 32, packed[1:2, :],
+                      jnp.where(row < 48, packed[2:3, :], packed[3:4, :])))
+        dec = (jax.lax.shift_right_logical(word, 2 * (row % 16)) & 3
+               ).astype(jnp.float32)               # values 0..3, (64, B)
+        u2 = jnp.sum(oh[32:, :], axis=0)            # bit 5 of the state
+        u1 = (jnp.sum(oh[16:32, :], axis=0)
+              + jnp.sum(oh[48:, :], axis=0))        # bit 4
+        d_sel = jnp.sum(oh * dec, axis=0)           # (B,)
+        oh16 = (oh[0:16, :] + oh[16:32, :]
+                + oh[32:48, :] + oh[48:64, :])      # fold away u1,u2
+        branches = [oh16 * (jnp.abs(d_sel - p) < 0.5).astype(jnp.float32)
+                    for p in range(4)]
+        oh_ref[...] = (jnp.stack(branches, axis=1)  # (16, 4, B)
+                       .reshape(64, b))
+        bits_ref[2 * j, :] = u1                     # earlier input bit
+        bits_ref[2 * j + 1, :] = u2
+        return 0
+
+    jax.lax.fori_loop(0, TC2, step, 0)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -172,9 +214,11 @@ def _round_up(x: int, m: int) -> int:
 B_CHUNK = 896
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "select"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "select", "traceback"))
 def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
-                  interpret: bool = False, select: str = "matmul"):
+                  interpret: bool = False, select: str = "matmul",
+                  traceback: str = "factored"):
     """One kernel invocation (batch must respect the VMEM ceiling).
 
     ``t2``: (batch,) int32 — per-lane codeword length in DOUBLE trellis
@@ -228,8 +272,15 @@ def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
         interpret=interpret,
     )(jnp.asarray(pu4), jnp.asarray(ws4), soft_t, t2p)
 
+    if traceback == "factored":
+        tb_kernel = _traceback4_kernel
+        tb_scratch = [pltpu.VMEM((16, b), jnp.float32),
+                      pltpu.VMEM((4, b), jnp.float32)]
+    else:
+        tb_kernel = _traceback4_kernel_onehot64
+        tb_scratch = [pltpu.VMEM((64, b), jnp.float32)]
     bits_t = pl.pallas_call(
-        _traceback4_kernel,
+        tb_kernel,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(
             (TC2, 4, b), lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
@@ -238,8 +289,7 @@ def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
             (2 * TC2, b), lambda i: (pl.num_programs(0) - 1 - i, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2 * t2_pad, b), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((16, b), jnp.float32),
-                        pltpu.VMEM((4, b), jnp.float32)],
+        scratch_shapes=tb_scratch,
         interpret=interpret,
     )(dec)
 
@@ -249,7 +299,8 @@ def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
 
 
 @functools.cache
-def _decode4_vmappable(interpret: bool, select: str = "matmul"):
+def _decode4_vmappable(interpret: bool, select: str = "matmul",
+                       traceback: str = "factored"):
     """Batch-aware entry point (cached per ``interpret`` value).
 
     Two TPU-first behaviors the plain kernel lacks:
@@ -269,9 +320,9 @@ def _decode4_vmappable(interpret: bool, select: str = "matmul"):
     def decode(soft, t2):
         b0 = soft.shape[0]
         if b0 <= B_CHUNK:
-            return _decode4_call(soft, t2, interpret, select)
+            return _decode4_call(soft, t2, interpret, select, traceback)
         outs = [_decode4_call(soft[i: i + B_CHUNK], t2[i: i + B_CHUNK],
-                              interpret, select)
+                              interpret, select, traceback)
                 for i in range(0, b0, B_CHUNK)]
         return (jnp.concatenate([o[0] for o in outs], axis=0),
                 jnp.concatenate([o[1] for o in outs], axis=0))
@@ -295,11 +346,13 @@ def _decode4_vmappable(interpret: bool, select: str = "matmul"):
 
 
 _SELECTS = ("matmul", "shuffle")
+_TRACEBACKS = ("factored", "onehot64")
 
 
 def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
                            select: str | None = None,
-                           lengths=None):
+                           lengths=None,
+                           traceback: str | None = None):
     """Radix-4 drop-in for ``viterbi_decode_pallas`` (same contract);
     vmap-collapsing and VMEM-chunked (see ``_decode4_vmappable``).
 
@@ -319,6 +372,10 @@ def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
     the VPU reshape beats the 256x64 HIGHEST-precision MXU pass, and
     both realizations are bit-exact data movement by construction
     (test_select_variants_bit_identical).
+
+    ``traceback`` (or ``DABTOOLS_VITERBI4_TRACEBACK``) picks the
+    traceback realization: ``factored`` (default — (16,B)+(4,B) state
+    factors) or ``onehot64`` (the full (64,B) carry).
     """
     if soft.ndim != 2:
         raise ValueError("expected (batch, 4*T) soft bits")
@@ -329,6 +386,11 @@ def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
         select = os.environ.get("DABTOOLS_VITERBI4_SELECT", "shuffle")
     if select not in _SELECTS:
         raise ValueError(f"select must be one of {_SELECTS}")
+    if traceback is None:
+        traceback = os.environ.get("DABTOOLS_VITERBI4_TRACEBACK",
+                                   "factored")
+    if traceback not in _TRACEBACKS:
+        raise ValueError(f"traceback must be one of {_TRACEBACKS}")
     if lengths is None:
         t2 = jnp.full((soft.shape[0],), t_max // 2, jnp.int32)
     else:
@@ -341,4 +403,4 @@ def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
                 raise ValueError("each lane length must be even, positive "
                                  "and <= the padded codeword length")
         t2 = jnp.asarray(ln, jnp.int32) // 2
-    return _decode4_vmappable(bool(interpret), select)(soft, t2)
+    return _decode4_vmappable(bool(interpret), select, traceback)(soft, t2)

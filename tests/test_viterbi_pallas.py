@@ -281,3 +281,38 @@ class TestRagged:
             V.force_impl(None)
             process_block.clear_cache()
         assert eti and eti == eti_ref
+
+
+class TestTracebackRealizations:
+    def test_variants_bit_identical(self):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        rng = np.random.default_rng(42)
+        msgs, soft = _noisy_batch(rng, 3, 1536)
+        fb, fm = viterbi_decode_pallas4(jnp.asarray(soft), interpret=True,
+                                        traceback="factored")
+        ob, om = viterbi_decode_pallas4(jnp.asarray(soft), interpret=True,
+                                        traceback="onehot64")
+        assert (np.asarray(fb) == np.asarray(ob)).all()
+        np.testing.assert_allclose(np.asarray(fm), np.asarray(om),
+                                   rtol=1e-5)
+        assert (np.asarray(fb) == msgs).all()
+
+    def test_ragged_with_onehot64(self):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        rng = np.random.default_rng(43)
+        m1, s1 = _noisy_batch(rng, 2, 768)
+        m2, s2 = _noisy_batch(rng, 1, 1536)
+        soft = np.zeros((3, s2.shape[-1]), np.float32)
+        soft[:2, : s1.shape[-1]] = s1
+        soft[2] = s2
+        bits, _ = viterbi_decode_pallas4(
+            jnp.asarray(soft), interpret=True, traceback="onehot64",
+            lengths=np.array([768 + 6, 768 + 6, 1536 + 6]))
+        assert (np.asarray(bits[:2, :768]) == m1).all()
+        assert (np.asarray(bits[2, :1536]) == m2[0]).all()
+
+    def test_env_rejects_unknown(self, monkeypatch):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        monkeypatch.setenv("DABTOOLS_VITERBI4_TRACEBACK", "nope")
+        with pytest.raises(ValueError):
+            viterbi_decode_pallas4(jnp.zeros((1, 4 * 10)), interpret=True)
