@@ -86,8 +86,16 @@ def lottery(rounds: int, target: float) -> None:
 def sweep_sections() -> None:
     # import bench's section list so prewarm can't drift from it
     sys.path.insert(0, str(REPO))
-    from bench import SECTIONS
+    from bench import SECTIONS, _probe_ok
     for sec in SECTIONS:
+        # Gate each section on weather (up to ~7 min of waiting): a
+        # 600 s section timeout burned inside a bad window caches
+        # nothing, and the sweep's whole job is populating the cache.
+        for _ in range(3):
+            if _probe_ok():
+                break
+            print(f"section {sec}: waiting out a bad window", flush=True)
+            time.sleep(60)
         t0 = time.time()
         try:
             r = subprocess.run(
