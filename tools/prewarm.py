@@ -122,7 +122,9 @@ def main() -> int:
     lottery(args.rounds, args.target)
     # config 1b's big-block programs: the relay's compile helper rejects
     # them flat on bad days (7/7 in r01) — cache them while the sun shines.
-    for nf in (64, 32):
+    # 64 only: bench's queue runs 16- and 64-frame children; warming a
+    # 32-frame program spent up to 1500 s of window on nothing.
+    for nf in (64,):
         # big-block programs compile for minutes through the relay's
         # compile helper even in good windows; give them room
         rt = measure_headline(timeout=1500, n_frames=nf)
