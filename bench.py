@@ -1453,15 +1453,15 @@ def _extra_kernels(ens, n_frames, rng):
     # codeword lengths (the production default since r2); radix-2 is
     # timed explicitly so the artifact records the radix decision data
     # (VERDICT r3 item 8).
+    # Measurement order = evidence priority (the section can be killed by
+    # a window-shift timeout at any point; each log line persists as it
+    # lands): production radix-4 first, then the production-shape ragged
+    # dispatch, then the ACS/traceback split, and only then the
+    # decision-record comparisons (radix-2, XLA, onehot64 traceback).
     from dabtools_tpu.ops.viterbi_pallas import viterbi_decode_pallas
-    impls = {"pallas-radix4": jax.jit(lambda s: viterbi_decode(
-                 s, impl="pallas")),
-             "pallas-radix2": jax.jit(lambda s: viterbi_decode_pallas(s)),
-             "xla": jax.jit(lambda s: viterbi_decode(s, impl="xla"))}
-    t_by: dict = {}
-    for impl, f in impls.items():
+
+    def timed_impl(impl, f):
         t, stamp = _chained_time_ex(f, soft)
-        t_by[impl] = t
 
         def ok_fn(_f=f):
             bits, _ = _f(soft)
@@ -1473,16 +1473,10 @@ def _extra_kernels(ens, n_frames, rng):
             f"decoded bits {verdict} {stamp}")
         if verdict.startswith("MISMATCH"):
             raise AssertionError(f"{impl} wrong bits on HW")
-    t4 = t_by["pallas-radix4"]
+        return t
 
-    # ACS vs traceback split: a metric-only program dead-code-eliminates
-    # the traceback pallas_call (verified in compiled HLO), isolating
-    # the ACS chain — this decides whether traceback is worth optimizing.
-    f_acs = jax.jit(lambda s: viterbi_decode(s, impl="pallas")[1])
-    t_acs, stamp = _chained_time_ex(f_acs, soft)
-    log(f"# [kernel] Viterbi[pallas-radix4] ACS only (traceback DCEd): "
-        f"{t_acs * 1e3:.2f} ms (traceback = {(t4 - t_acs) * 1e3:.2f} ms "
-        f"of the full {t4 * 1e3:.2f} ms) {stamp}")
+    t4 = timed_impl("pallas-radix4", jax.jit(
+        lambda s: viterbi_decode(s, impl="pallas")))
 
     # Ragged merged dispatch (production shape): FIC's 64 codewords ride
     # the MSC batch's lane padding (576 -> 640); the whole block's
@@ -1511,6 +1505,31 @@ def _extra_kernels(ens, n_frames, rng):
         f"a separate FIC call); decoded bits {verdict} {stamp}")
     if verdict.startswith("MISMATCH"):
         raise AssertionError("ragged dispatch wrong bits on HW")
+
+    # ACS vs traceback split: a metric-only program dead-code-eliminates
+    # the traceback pallas_call (verified in compiled HLO), isolating
+    # the ACS chain — this decides whether traceback is worth optimizing.
+    f_acs = jax.jit(lambda s: viterbi_decode(s, impl="pallas")[1])
+    t_acs, stamp = _chained_time_ex(f_acs, soft)
+    log(f"# [kernel] Viterbi[pallas-radix4] ACS only (traceback DCEd): "
+        f"{t_acs * 1e3:.2f} ms (traceback = {(t4 - t_acs) * 1e3:.2f} ms "
+        f"of the full {t4 * 1e3:.2f} ms) {stamp}")
+
+    # Decision-record comparisons (lowest priority: retired realizations
+    # timed so the artifact shows WHY the defaults are what they are).
+    timed_impl("pallas-radix2", jax.jit(
+        lambda s: viterbi_decode_pallas(s)))
+    timed_impl("xla", jax.jit(lambda s: viterbi_decode(s, impl="xla")))
+
+    # onehot64 traceback (pre-factorization realization), metric-only:
+    # quantifies what the factored (16+4 one-hot) carry bought on HW.
+    from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+    f_oh = jax.jit(lambda s: viterbi_decode_pallas4(
+        s, traceback="onehot64"))
+    t_oh, stamp = _chained_time_ex(f_oh, soft)
+    log(f"# [kernel] Viterbi[radix4, traceback=onehot64] (576x3078): "
+        f"{t_oh * 1e3:.2f} ms (vs {t4 * 1e3:.2f} ms factored default; "
+        f"traceback delta {(t_oh - t4) * 1e3:+.2f} ms) {stamp}")
 
 
 if __name__ == "__main__":
