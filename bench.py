@@ -902,8 +902,8 @@ SECTIONS = ("kernels", "rs", "batched", "channelizer", "mixedmux", "e2e")
 # that fetch decoded data get a budget covering one such stall — but a
 # single section may not eat half the whole bench budget.  With a
 # prewarmed .jax_cache each section is <120 s of device time.
-_SECTION_TIMEOUT = {"mixedmux": 600, "e2e": 600, "channelizer": 600,
-                    "kernels": 600, "batched": 600}
+_SECTION_TIMEOUT = {"mixedmux": 900, "e2e": 600, "channelizer": 600,
+                    "kernels": 600, "batched": 900}
 
 
 # The probe must exercise everything a bad window breaks, else it

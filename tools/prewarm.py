@@ -87,10 +87,17 @@ def sweep_sections() -> None:
     # import bench's section list so prewarm can't drift from it
     sys.path.insert(0, str(REPO))
     from bench import SECTIONS, _probe_ok
+    # The batched (8-stream vmapped receiver) and mixedmux (full
+    # DabReceiver over the 6xEEP+UEP+DAB+ mix) programs are the biggest
+    # compiles in the repo; both timed out at 600 s on their only r4
+    # cold-cache attempts (2026-08-20 06:21 sweep) and so never reached
+    # any artifact.  The sweep runs in background windows — give the
+    # cold compile the time it needs; once cached, bench children fly.
+    sweep_timeout = {"batched": 1500, "mixedmux": 1500, "channelizer": 900}
     for sec in SECTIONS:
         # Gate each section on weather (up to ~7 min of waiting): a
-        # 600 s section timeout burned inside a bad window caches
-        # nothing, and the sweep's whole job is populating the cache.
+        # section timeout burned inside a bad window caches nothing,
+        # and the sweep's whole job is populating the cache.
         for _ in range(3):
             if _probe_ok():
                 break
@@ -100,7 +107,8 @@ def sweep_sections() -> None:
         try:
             r = subprocess.run(
                 [sys.executable, str(REPO / "bench.py"), "--section", sec],
-                capture_output=True, text=True, timeout=600, cwd=REPO)
+                capture_output=True, text=True,
+                timeout=sweep_timeout.get(sec, 600), cwd=REPO)
             if r.returncode == 0:
                 ok = "ok"
             else:
