@@ -921,6 +921,7 @@ np.asarray(jax.jit(
     lambda v: (jnp.fft.fft(v) * c).real.sum())(jnp.ones(2048,
                                                         jnp.complex64)))
 d = jax.device_put(np.zeros(1 << 25, np.uint8)); d.block_until_ready()
+np.asarray(d[:8])
 """
 
 
@@ -1521,8 +1522,9 @@ def _extra_kernels(ens, n_frames, rng):
         lambda s: viterbi_decode_pallas(s)))
     timed_impl("xla", jax.jit(lambda s: viterbi_decode(s, impl="xla")))
 
-    # onehot64 traceback (pre-factorization realization), metric-only:
-    # quantifies what the factored (16+4 one-hot) carry bought on HW.
+    # onehot64 traceback (pre-factorization realization), full decode
+    # timed — both sides include their traceback kernel, so the delta
+    # vs the factored default is a valid A/B of the carry width.
     from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
     f_oh = jax.jit(lambda s: viterbi_decode_pallas4(
         s, traceback="onehot64"))

@@ -111,7 +111,10 @@ def main():
         for line in Path(args.output).read_text().splitlines():
             try:
                 r = json.loads(line)
-                key = (r["snr_db"], r["cfo_hz"], r["platform"])
+                # Records written before the n_frames field existed were
+                # all 12-frame sweeps; default so they still resume.
+                key = (r["snr_db"], r["cfo_hz"], r["platform"],
+                       r.get("n_frames", 12))
             except (ValueError, KeyError):
                 continue
             done[key] = done.get(key, 0) + 1
@@ -121,11 +124,12 @@ def main():
     out = sys.stdout if args.output == "-" else open(args.output, "a")
     for snr in args.snrs:
         for seed in range(args.seeds):
-            if seed < done.get((snr, args.cfo, platform), 0):
+            if seed < done.get((snr, args.cfo, platform, args.frames), 0):
                 continue
             rec = run_point(snr, args.cfo, args.frames, seed)
             rec["platform"] = platform
             rec["seed"] = seed
+            rec["n_frames"] = args.frames
             out.write(json.dumps(rec) + "\n")
             out.flush()
             print(f"SNR {snr:5.1f} dB seed {seed}: acq={rec['acquired']} "

@@ -13,23 +13,18 @@ from __future__ import annotations
 import subprocess
 import sys
 import time
+from pathlib import Path
 
-# Bench-grade probe (bench._PROBE_SRC): a FRESH compile (unique
-# constant defeats the persistent cache) + headline-scale 32 MB H2D +
-# fetch.  The previous 4 MB cached-jit probe green-lit windows where
-# every fresh compile and big transfer failed (measured 2026-08-18;
-# and 2026-08-20 it waved three ber_sweep runs into mid-sweep wedges).
-PROBE = """
-import time
-import numpy as np, jax, jax.numpy as jnp
-np.asarray(jax.jit(lambda: jnp.zeros(8))())
-c = float(int(time.time() * 1e3) % 100003)
-np.asarray(jax.jit(
-    lambda v: (jnp.fft.fft(v) * c).real.sum())(jnp.ones(2048,
-                                                        jnp.complex64)))
-d = jax.device_put(np.zeros(1 << 25, np.uint8)); d.block_until_ready()
-np.asarray(d[:8])
-"""
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Bench-grade probe, ONE source of truth (bench._PROBE_SRC): a FRESH
+# compile (unique constant defeats the persistent cache) +
+# headline-scale 32 MB H2D + fetch.  A cheaper 4 MB cached-jit probe
+# green-lit windows where every fresh compile and big transfer failed
+# (measured 2026-08-18; and 2026-08-20 it waved three ber_sweep runs
+# into mid-sweep wedges); a hand-copied probe here drifted from
+# bench's once already — import it instead.
+from bench import _PROBE_SRC as PROBE  # noqa: E402
 
 
 def probe_ok(timeout: int = 150) -> bool:
