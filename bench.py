@@ -150,6 +150,14 @@ class Inconclusive(RuntimeError):
     printed an absurd headline as an 'honest protocol' artifact)."""
 
 
+def _sep_ok(sep: float, t_base: float) -> bool:
+    """ONE separation standard for every chained protocol (headline and
+    _chained_time_ex must grade identically under identical weather):
+    the L1-L0 difference must contribute >= 0.15 s or 1.5x the
+    base-length time, whichever is larger."""
+    return sep >= max(0.15, 0.5 * t_base)
+
+
 def _sustained_time(fn, *args, min_queue=16):
     """Sustained seconds per execution of ``fn``, with execution
     completion proven by a trailing scalar fetch (see protocol note
@@ -263,7 +271,7 @@ def _chained_time_ex(fn, *args, L0=4, L1=64, L_max=4096,
         _note_rtt(t0_)               # upper bound on dispatch+fetch RTT
         t1_ = min(timed(L1) for _ in range(2))
         sep = t1_ - t0_
-        if sep >= max(0.15, 0.5 * t0_):
+        if _sep_ok(sep, t0_):
             break
         if L1 >= L_max:
             raise Inconclusive(
@@ -280,6 +288,10 @@ def _chained_time_ex(fn, *args, L0=4, L1=64, L_max=4096,
     b1 = sep / (L1 - L0)
     bm = (tm_ - t0_) / (Lm - L0)
     rel = abs(b1 - bm) / max(b1, 1e-12)
+    # The earlier upper-bound note included L0 executions of compute;
+    # now that the slope is known, refine (min-keeping) to the actual
+    # dispatch+fetch share so slim children don't stamp compute as rtt.
+    _note_rtt(max(t0_ - L0 * b1, 0.0))
     stamp = _weather_stamp(consistency_pct=min(rel * 100, 100),
                            degraded=rel > tol or bm <= 0)
     return b1, stamp
@@ -527,13 +539,14 @@ def main():
             t_lm = min(timed(Lm) for _ in range(2))
             t_l1 = min(timed(L1) for _ in range(2))
             sep = t_l1 - t_l0
-            if sep < max(0.05, 0.25 * t_l0):
+            if not _sep_ok(sep, t_l0):
                 raise Inconclusive(
                     f"headline chain lengths did not separate "
                     f"(t_L{L0}={t_l0:.3f}s, t_L{L1}={t_l1:.3f}s)")
             t = sep / (L1 - L0)
             b_mid = (t_lm - t_l0) / (Lm - L0)
             rel = abs(t - b_mid) / t
+            _note_rtt(max(t_l0 - L0 * t, 0.0))  # refine: strip compute
             stamp = _weather_stamp(consistency_pct=min(rel * 100, 100),
                                    degraded=rel > 0.35 or b_mid <= 0)
             break

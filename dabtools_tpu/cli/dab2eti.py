@@ -233,6 +233,12 @@ def main(argv=None) -> int:
     if args.frequency and args.device == "file":
         log.info("frequency %.3f MHz (file/stream input; not tuning)",
                  args.frequency / 1e6)
+    if sum((args.tist, args.tist_utc, args.tist_epoch is not None)) > 1:
+        # Validate BEFORE any open(..., "wb"): a usage error must not
+        # truncate an existing output file (and --wideband returns
+        # before the per-path checks below).
+        p.error("--tist, --tist-utc and --tist-epoch are mutually "
+                "exclusive (each picks a different timestamp anchor)")
 
     from dabtools_tpu import constants as C
     from dabtools_tpu.models.receiver import DabReceiver
@@ -242,9 +248,6 @@ def main(argv=None) -> int:
     if args.wideband is not None:
         return _wideband(args, mode, n_frames)
     out = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
-    if sum((args.tist, args.tist_utc, args.tist_epoch is not None)) > 1:
-        p.error("--tist, --tist-utc and --tist-epoch are mutually "
-                "exclusive (each picks a different timestamp anchor)")
     tist = (args.tist_epoch if args.tist_epoch is not None
             else "utc" if args.tist_utc else args.tist)
     rx = DabReceiver(n_frames=n_frames, mode=mode,

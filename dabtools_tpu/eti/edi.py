@@ -587,36 +587,64 @@ class EdiToEti:
         return b"".join(out)
 
 
+def _edi_packet_valid_at(buf: bytes, i: int,
+                         require_crc: bool = False) -> bool:
+    """Validate an AF/PFT packet starting at ``buf[i:]`` with the same
+    checks the de-framers apply.  With ``require_crc`` a
+    truncated-at-buffer-end AF packet (header plausible, CRC
+    unavailable) does NOT count."""
+    b = buf[i:i + (1 << 20) + 12]
+    if b[:2] == AF_SYNC:
+        if len(b) < 10:
+            return False
+        ln = int.from_bytes(b[2:6], "big")
+        if ln > (1 << 20) or not b[8] & 0x80 or b[9] != _PT_TAG:
+            return False
+        total = 10 + ln + 2
+        if len(b) >= total:           # whole packet present: CRC decides
+            return crc16_ccitt(b[:total - 2]) == int.from_bytes(
+                b[total - 2:total], "big")
+        return not require_crc
+    if b[:2] == PFT_SYNC:
+        # PFT header: "PF" Pseq(2) Findex(3) Fcount(3) flags|plen(2)
+        # [+RS(2)] [+Addr(4)] HCRC(2) — the header CRC decides.
+        if len(b) < 14:
+            return False
+        flags = int.from_bytes(b[10:12], "big")
+        hlen = 12 + (2 if flags & 0x8000 else 0) + (4 if flags & 0x4000
+                                                    else 0)
+        if len(b) < hlen + 2:
+            return False
+        return crc16_ccitt(b[:hlen]) == int.from_bytes(
+            b[hlen:hlen + 2], "big")
+    return False
+
+
 def _sniff_edi(first: bytes) -> bool:
     """True iff ``first`` really starts an EDI stream — the two sync
     bytes alone are not enough: a live ETI pipe tapped mid-frame whose
     first two bytes happen to be ``AF``/``PF`` must NOT be routed through
     the EDI transcoder (which would silently consume the whole stream as
     unsynced garbage instead of letting the ETI parser resync).  So the
-    header behind the sync is validated the same way the de-framers do."""
-    if first[:2] == AF_SYNC:
-        if len(first) < 10:
-            return False
-        ln = int.from_bytes(first[2:6], "big")
-        if ln > (1 << 20) or not first[8] & 0x80 or first[9] != _PT_TAG:
-            return False
-        total = 10 + ln + 2
-        if len(first) >= total:       # whole packet present: CRC decides
-            return crc16_ccitt(first[:total - 2]) == int.from_bytes(
-                first[total - 2:total], "big")
+    header behind the sync is validated the same way the de-framers do.
+
+    A single CORRUPTED first packet must not condemn a real EDI stream
+    to the raw path either (the de-framers resync past bad packets, the
+    raw path loses everything): if position 0 doesn't validate, scan the
+    buffer for any other FULLY-validated (CRC-checked) AF/PFT packet —
+    present in any genuine EDI capture, vanishingly unlikely inside an
+    ETI byte stream."""
+    if first[:2] not in (AF_SYNC, PFT_SYNC):
+        return False
+    if _edi_packet_valid_at(first, 0):
         return True
-    if first[:2] == PFT_SYNC:
-        # PFT header: "PF" Pseq(2) Findex(3) Fcount(3) flags|plen(2)
-        # [+RS(2)] [+Addr(4)] HCRC(2) — the header CRC decides.
-        if len(first) < 14:
-            return False
-        flags = int.from_bytes(first[10:12], "big")
-        hlen = 12 + (2 if flags & 0x8000 else 0) + (4 if flags & 0x4000
-                                                    else 0)
-        if len(first) < hlen + 2:
-            return False
-        return crc16_ccitt(first[:hlen]) == int.from_bytes(
-            first[hlen:hlen + 2], "big")
+    for sync in (AF_SYNC, PFT_SYNC):
+        pos, tried = first.find(sync, 1, 1 << 18), 0
+        while pos != -1 and tried < 64:
+            if _edi_packet_valid_at(first, pos, require_crc=True):
+                return True
+            tried += 1
+            pos = first.find(sync, pos + 1, 1 << 18)
     return False
 
 

@@ -506,9 +506,15 @@ class DabReceiver:
         for key, st in list(self._probe.items()):
             aligned = np.asarray(out["probe_soft"][key])
             want = self._PROBE_ROWS_PER_ATTEMPT * (st["attempts"] + 1)
-            for j in range(j0, n_rows_blk):
+            # Never collect the same output CIF twice: the autoprobe
+            # replay re-runs a block through this method with state
+            # preserved, and duplicated rows would be correlated
+            # evidence double-counted by the identifier.
+            j_start = max(j0, st.get("upto", 0) - cif0)
+            for j in range(j_start, n_rows_blk):
                 if len(st["rows"]) < want:
                     st["rows"].append(np.array(aligned[j]))
+            st["upto"] = cif0 + n_rows_blk
             if len(st["rows"]) < want:
                 continue
             st["attempts"] += 1
@@ -686,10 +692,25 @@ class DabReceiver:
                     self._assembler.frame_count if self._assembler
                     else 0,
                     self._assembler._tist0 if self._assembler else None)
+            # _identify_uep_rows has already removed resolved/abandoned
+            # probes; the survivors' accumulated rows, attempt counters,
+            # and collection watermarks must outlive the re-activation
+            # (else every identification restarts every OTHER probe and
+            # the 2-attempt give-up bound never binds).
+            prev_probe = dict(self._probe)
             self._cif_count = jnp.asarray(cif0, dtype=jnp.int32)
             self._activate(self.ensemble)
             (self._activation_cif, self._fib_fifo, self._err_level,
              self._next_eti_cif, fc, tist0) = keep
+            self._probe = {k: st for k, st in self._probe.items()
+                           if k in prev_probe}
+            for k, st in self._probe.items():
+                for f in ("rows", "attempts", "upto"):
+                    if f in prev_probe[k]:
+                        st[f] = prev_probe[k][f]
+            self._probe_subs = tuple(
+                s for s in self._probe_subs
+                if str(s.subchid) in self._probe)
             if self._assembler is not None:
                 self._assembler.frame_count = fc
                 self._assembler._tist0 = tist0

@@ -562,3 +562,31 @@ def test_sniff_rejects_eti_tapped_midframe():
     assert _sniff_edi(edi[: 1 << 20])
     out = b"".join(iter_eti_chunks(io.BytesIO(edi)))
     assert len(out) % 6144 == 0 and out            # transcoded back to ETI
+
+
+def test_sniff_survives_corrupted_first_packet():
+    """A 1-byte corruption in the FIRST AF packet must not misroute the
+    whole EDI stream down the raw path (review r4: the de-framers resync
+    past a bad packet and recover the rest; the raw path loses all of
+    it).  The sniff scans for any other CRC-valid packet."""
+    import io
+
+    from dabtools_tpu.eti.edi import _sniff_edi, iter_eti_chunks
+    from dabtools_tpu.eti.parse import EtiParser
+
+    raw = _eti_stream(4)
+    edi = bytearray(b"".join(EdiWriter().from_eti_bytes(raw)))
+    edi[40] ^= 0xFF                      # corrupt first packet's payload
+    assert _sniff_edi(bytes(edi)[: 1 << 20])
+    out = b"".join(iter_eti_chunks(io.BytesIO(bytes(edi))))
+    frames = list(EtiParser().feed(out))
+    assert len(frames) >= 3              # later packets recovered
+
+    # PFT framing: corrupt the first fragment's header CRC
+    from dabtools_tpu.eti.edi import pft_fragments
+    afs = EdiWriter().from_eti_bytes(raw)
+    frags = [b for i, af in enumerate(afs)
+             for b in pft_fragments(af, seq=i, mtu=600)]
+    edi_pft = bytearray(b"".join(frags))
+    edi_pft[12] ^= 0xFF
+    assert _sniff_edi(bytes(edi_pft)[: 1 << 20])

@@ -53,7 +53,9 @@ def headline_entries() -> list[pathlib.Path]:
             for p in glob.glob(str(CACHE / pat))]
 
 
-def lottery(rounds: int, target: float) -> None:
+def lottery(rounds: int, target: float) -> bool:
+    """Returns True iff at least one measurement succeeded (a good
+    executable is pinned)."""
     best_rt, best_files = -1.0, {}
     stash = REPO / ".jax_cache" / ".best_headline"
     for i in range(rounds):
@@ -79,8 +81,9 @@ def lottery(rounds: int, target: float) -> None:
         for name, src in best_files.items():
             shutil.copy2(src, CACHE / name)
         print(f"pinned best executable: {best_rt:.0f}x", flush=True)
-    else:
-        print("no successful measurement; cache left as-is", flush=True)
+        return True
+    print("no successful measurement; cache left as-is", flush=True)
+    return False
 
 
 def sweep_sections() -> None:
@@ -127,7 +130,7 @@ def main() -> int:
     ap.add_argument("--skip-sections", action="store_true")
     args = ap.parse_args()
     os.makedirs(CACHE, exist_ok=True)
-    lottery(args.rounds, args.target)
+    pinned = lottery(args.rounds, args.target)
     # config 1b's big-block programs: the relay's compile helper rejects
     # them flat on bad days (7/7 in r01) — cache them while the sun shines.
     # 64 only: bench's queue runs 16- and 64-frame children; warming a
@@ -139,7 +142,11 @@ def main() -> int:
         print(f"{nf}-frame program: {rt and round(rt)}x", flush=True)
     if not args.skip_sections:
         sweep_sections()
-    return 0
+    # A lottery with zero successful measurements did NOT do prewarm's
+    # job (the driver/bench children would pay fresh-compile costs and
+    # run whatever executable luck serves).  Exit nonzero so callers
+    # that loop on stage success (tools/grind_round.sh) retry it.
+    return 0 if pinned else 2
 
 
 if __name__ == "__main__":

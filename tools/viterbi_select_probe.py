@@ -1,9 +1,10 @@
 """Time the radix-4 Viterbi ACS selection realizations on hardware.
 
 The predecessor-selection step (``pred[p*64+t] = pm[4*(t&15)+p]``) is the
-sequential chain's dominant op; ``ops/viterbi_pallas4.py`` offers three
-interchangeable realizations (matmul@HIGHEST / matmul@HIGH / VPU
-shuffle).  This probe measures each with the honest chained protocol
+sequential chain's dominant op; ``ops/viterbi_pallas4.py`` offers two
+interchangeable realizations (matmul@HIGHEST / VPU shuffle; a matmul@HIGH
+variant was removed — Mosaic rejects non-HIGHEST f32 dot precision on
+this target).  This probe measures each with the honest chained protocol
 (bench._chained_time_ex: device-chained L1-L0 differencing with
 self-consistency stamps) plus a fetch-free on-device bit-exactness
 verdict, on the same 576x3078 workload as the bench kernels section.
