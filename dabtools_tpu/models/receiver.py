@@ -535,11 +535,14 @@ class DabReceiver:
                 del self._probe[key]
                 identified = True
             elif st["attempts"] >= self._PROBE_MAX_ATTEMPTS:
+                # diag may be the sparse single-candidate refusal
+                # (uep_probe requires >= 2 candidates; ADVICE r4)
                 log.warning(
                     "UEP autoprobe inconclusive for subch %s after %d "
-                    "rows (best %.3f, gap %.4f, per_row_win=%s); leaving "
+                    "rows (best %s, gap %s, per_row_win=%s); leaving "
                     "the sub-channel skipped", key, len(st["rows"]),
-                    diag["best_metric"], diag["gap"], diag["per_row_win"])
+                    diag.get("best_metric"), diag.get("gap"),
+                    diag.get("per_row_win", diag.get("reason")))
                 del self._probe[key]
         if not self._probe:
             # All probes resolved or abandoned: drop the probe slices
@@ -547,7 +550,15 @@ class DabReceiver:
             self._probe_subs = ()
         return identified
 
-    def _process_one_block(self, x: np.ndarray) -> list[bytes]:
+    def _process_one_block(self, x: np.ndarray,
+                           _replay: bool = False) -> list[bytes]:
+        """``_replay``: this is the second pass over the SAME block
+        (acquisition, reconfiguration, or UEP-autoprobe
+        re-specialization).  Stats/JSONL records and FIG feeding are
+        skipped on replays — the first pass already recorded them, and
+        downstream consumers assume one record per block (ADVICE r4);
+        the ETI-side state (_fib_fifo/_err_level) is still rebuilt
+        because _activate resets it."""
         cif0 = int(self._cif_count)
         # Pre-block deinterleaver state, kept for the autoprobe replay
         # path (which re-runs this block under a re-specialized config).
@@ -609,7 +620,7 @@ class DabReceiver:
         for f in range(self.n_frames):
             frame_sync_bad = (prs_peak[f] < 0.2) or (null_ratio > 0.5)
             for i in range(self.mode.n_fibs):
-                if fib_ok[f, i]:
+                if fib_ok[f, i] and not _replay:
                     fib = fib_bytes[f, i].tobytes()
                     if fib in self._fib_cache:
                         self._fig.tick(self._fib_cache[fib])
@@ -633,16 +644,17 @@ class DabReceiver:
                 self._fib_fifo[n] = triplet
                 self._err_level[n] = level
 
-        self.stats.append(FrameStats(
-            cif_count=cif0,
-            null_start=int(out["null_start"]),
-            null_ratio=null_ratio,
-            cfo_carriers=float(out["cfo_carriers"]),
-            prs_peak_min=float(np.min(prs_peak)),
-            fib_crc_ok=n_ok, fib_crc_bad=n_bad,
-            delay_spread_us=float(np.mean(out["delay_spread"]))
-            * 1e6 / C.SAMPLE_RATE))
-        self._log_stats_jsonl(out)
+        if not _replay:
+            self.stats.append(FrameStats(
+                cif_count=cif0,
+                null_start=int(out["null_start"]),
+                null_ratio=null_ratio,
+                cfo_carriers=float(out["cfo_carriers"]),
+                prs_peak_min=float(np.min(prs_peak)),
+                fib_crc_ok=n_ok, fib_crc_bad=n_bad,
+                delay_spread_us=float(np.mean(out["delay_spread"]))
+                * 1e6 / C.SAMPLE_RATE))
+            self._log_stats_jsonl(out)
 
         # Acquisition -> activation: rewind and reprocess the same block
         # with the MSC decode enabled so its CIFs aren't lost (the reference
@@ -650,7 +662,7 @@ class DabReceiver:
         if self.ensemble is None and self._fig.have_mci():
             self._cif_count = jnp.asarray(cif0, dtype=jnp.int32)
             self._activate(self._fig.ensemble())
-            return self._process_one_block(x)
+            return self._process_one_block(x, _replay=True)
 
         # Ensemble reconfiguration (multiplex changes signalled via FIG).
         # Metadata-only changes (labels/services/eid) update in place; a
@@ -672,7 +684,7 @@ class DabReceiver:
                 self._cif_count = jnp.asarray(cif0, dtype=jnp.int32)
                 self._subch_fifo.clear()
                 self._activate(new_ens)
-                return pending + self._process_one_block(x)
+                return pending + self._process_one_block(x, _replay=True)
             else:
                 self._reconfig_candidate = new_ens.subchannels
 
@@ -717,7 +729,7 @@ class DabReceiver:
             for k, v in pre_rings.items():
                 if k in self._rings:
                     self._rings[k] = v
-            return self._process_one_block(x)
+            return self._process_one_block(x, _replay=True)
 
         # Sub-channel rows j correspond to logical frames cif0 + j - 15.
         if self.ensemble is not None:

@@ -94,6 +94,15 @@ def identify_uep_profile(aligned_soft,
     tests/test_uep_autoprobe.py).  Returns ``(index_or_None,
     diagnostics)``.
     """
+    if len(profiles) < 2:
+        # With one candidate, per-row-win is trivially true and the gap
+        # is measured against 0.0, so acceptance would degenerate to the
+        # 0.80 floor alone — which free-path correlation on pure noise
+        # can approach (see above).  The probe needs competition to
+        # discriminate; refuse rather than rubber-stamp (ADVICE r4).
+        return None, {"best": None, "n_candidates": len(profiles),
+                      "reason": "need >= 2 candidate profiles for the "
+                                "per-row-win/margin tests to bind"}
     m = candidate_metrics(aligned_soft, profiles)      # (n_cand, n_rows)
     mean = m.mean(axis=1)
     order = np.argsort(mean)[::-1]

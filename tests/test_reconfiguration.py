@@ -15,8 +15,13 @@ def test_mux_reconfiguration():
     ens1 = build_ensemble()                              # subch 1 @ CU 0
     ens2 = Ensemble(eid=ens1.eid, label="TPU DAB",
                     subchannels=(Subchannel.eep(3, 96, 2, "B", 64),))
+    # Phase 2 must outlast the merged transient: old FIG subchannel
+    # entries age out max_subch_age_fibs=120 FIB-feeds (~2.5 4-frame
+    # blocks) after their last sighting — each FIB now ticks ONCE (the
+    # pre-r5 replay passes double-fed reconfig blocks, aging ~1 block
+    # fast; ADVICE r4) — then reconfirmation takes 2 more blocks.
     x1, p1 = modulate(ens1, 10, seed=20)
-    x2, p2 = modulate(ens2, 16, seed=21)
+    x2, p2 = modulate(ens2, 22, seed=21)
 
     rx = DabReceiver(n_frames=4)
     eti = rx.feed(np.concatenate([x1, x2]))
@@ -53,9 +58,11 @@ def test_mux_revert_a_b_a():
     ens_a = build_ensemble()
     ens_b = Ensemble(eid=ens_a.eid, label="TPU DAB",
                      subchannels=(Subchannel.eep(3, 96, 2, "B", 64),))
+    # each phase outlasts the (single-tick-accurate) aging transient —
+    # see the note in test_mux_reconfiguration
     xa1, _ = modulate(ens_a, 10, seed=50)
-    xb, _ = modulate(ens_b, 12, seed=51)
-    xa2, pa2 = modulate(ens_a, 14, seed=52)
+    xb, _ = modulate(ens_b, 18, seed=51)
+    xa2, pa2 = modulate(ens_a, 20, seed=52)
 
     rx = DabReceiver(n_frames=4)
     eti = rx.feed(np.concatenate([xa1, xb, xa2]))
