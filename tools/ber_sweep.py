@@ -138,6 +138,40 @@ def main():
                   file=sys.stderr)
     if args.output != "-":
         out.close()
+        # One graded summary line into the evidence ledger (via
+        # bench.log): the per-point records live in the output jsonl,
+        # but the waterfall's existence must survive into driver
+        # artifacts like every other hardware capture.
+        try:
+            import bench
+            pts: dict = {}
+            for line in Path(args.output).read_text().splitlines():
+                try:
+                    r = json.loads(line)
+                except ValueError:
+                    continue
+                if r.get("platform") != platform:
+                    continue
+                pts.setdefault(r["snr_db"], []).append(
+                    r["frame_decode_rate"])
+            if pts:
+                summary = " ".join(
+                    f"{snr:g}dB={np.mean(v):.2f}"
+                    for snr, v in sorted(pts.items()))
+                msg = (f"# [ber-waterfall] {platform} frame-decode "
+                       f"rate vs SNR (AWGN, EEP-3A): {summary} "
+                       f"({sum(len(v) for v in pts.values())} points, "
+                       f"{args.output})")
+                if platform == "cpu":
+                    # CPU sweeps select CPU via jax.config, not the env
+                    # var bench's ledger guard keys on — route around
+                    # the ledger explicitly: CPU numbers are not chip
+                    # evidence.
+                    print(msg, file=sys.stderr)
+                else:
+                    bench.log(msg)
+        except Exception as e:  # noqa: BLE001 — summary must not fail the sweep
+            print(f"# summary line failed: {e}", file=sys.stderr)
     return 0
 
 

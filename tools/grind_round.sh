@@ -1,14 +1,17 @@
 #!/bin/bash
-# Round-4 opportunistic TPU evidence grinder: loops until every stage
+# Round-5 opportunistic TPU evidence grinder: loops until every stage
 # has succeeded once or the deadline passes, sleeping through dead
 # tunnels (no listener on 8082-8117 — restarting is infra's job, ours is
 # to be ready when it returns) and bad windows.  Stages, in priority
-# order: prewarm caches, full-breadth bench artifact, TPU BER waterfall,
-# stage profile.  Everything tees to $LOG; bench additionally tees to
-# BENCH_PARTIAL.log.
+# order: prewarm caches (its section sweep now ledgers every capture),
+# full-breadth bench artifact, viterbi-select A/B (re-probe with the
+# r5 scalar-fetch verdict — the r4 matmul arm read INCONCLUSIVE off the
+# enqueue-ack lie), TPU BER waterfall, stage profile.  Everything tees
+# to $LOG; bench additionally persists to BENCH_PARTIAL.log and every
+# graded result line lands in BENCH_LEDGER.jsonl.
 set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-LOG="${GRIND_LOG:-/tmp/grind_r4.log}"
+LOG="${GRIND_LOG:-/tmp/grind_r5.log}"
 DEADLINE_S="${GRIND_DEADLINE_S:-32400}"   # 9 h
 cd "$REPO"
 exec >> "$LOG" 2>&1
@@ -39,15 +42,11 @@ run_stage() {  # $1 = name, rest = command
 }
 
 START=$(date +%s)
-# vselect retired 2026-08-20: the probe's datum (shuffle 2.70 ms vs
-# matmul 3.48 ms, bits OK) flipped the production default; re-probing
-# would waste good-window minutes.  prewarm re-runs because the select
-# flip changed every Viterbi-bearing program's cache key.
-declare -A done=( [prewarm]=0 [bench]=0 [ber]=0 [profile]=0 )
+declare -A done=( [prewarm]=0 [bench]=0 [vselect]=0 [ber]=0 [profile]=0 )
 echo "$(stamp) === grind loop start (deadline ${DEADLINE_S}s) ==="
 
 while (( $(date +%s) - START < DEADLINE_S )); do
-    if (( done[prewarm] & done[bench] & done[ber] & done[profile] )); then
+    if (( done[prewarm] & done[bench] & done[vselect] & done[ber] & done[profile] )); then
         break
     fi
     if ! tunnel_alive; then
@@ -58,7 +57,7 @@ while (( $(date +%s) - START < DEADLINE_S )); do
     if (( ! done[prewarm] )); then
         run_stage prewarm timeout 7200 python tools/weatherwait.py \
             --max-wait 3600 -- python tools/prewarm.py --rounds 2 \
-            --target 450 && done[prewarm]=1 || true
+            --target 500 && done[prewarm]=1 || true
         continue
     fi
     if (( ! done[bench] )); then
@@ -71,11 +70,17 @@ while (( $(date +%s) - START < DEADLINE_S )); do
             && done[bench]=1 || true
         continue
     fi
+    if (( ! done[vselect] )); then
+        run_stage vselect timeout 2700 python tools/weatherwait.py \
+            --max-wait 1800 -- python tools/viterbi_select_probe.py \
+            && done[vselect]=1 || true
+        continue
+    fi
     if (( ! done[ber] )); then
         run_stage ber timeout 5400 python tools/weatherwait.py \
             --max-wait 2400 -- python tools/ber_sweep.py --tpu \
             --snrs 4 5 6 7 8 10 12 --frames 12 --seeds 2 \
-            -o /tmp/ber_tpu_r4.jsonl && done[ber]=1 || true
+            -o logs/ber_tpu_r5.jsonl && done[ber]=1 || true
         continue
     fi
     if (( ! done[profile] )); then
@@ -85,4 +90,4 @@ while (( $(date +%s) - START < DEADLINE_S )); do
         continue
     fi
 done
-echo "$(stamp) === grind loop done: prewarm=${done[prewarm]} bench=${done[bench]} ber=${done[ber]} profile=${done[profile]} ==="
+echo "$(stamp) === grind loop done: prewarm=${done[prewarm]} bench=${done[bench]} vselect=${done[vselect]} ber=${done[ber]} profile=${done[profile]} ==="

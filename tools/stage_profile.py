@@ -26,6 +26,13 @@ def main() -> int:
     from dabtools_tpu.utils.jitcache import enable_persistent_cache
     enable_persistent_cache()
     import bench
+    if jax.devices()[0].platform == "cpu":
+        # CPU datum run (explicit or plugin fallback): keep its lines
+        # out of the TPU evidence ledger and the TPU partial log —
+        # bench's guards key on this env var.
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        bench._PARTIAL_PATH = "/tmp/BENCH_PARTIAL_cpu.log"
     from __graft_entry__ import _flagship_ensemble
     from dabtools_tpu import constants as C
     from dabtools_tpu.models.receiver import block_samples, pipeline_core
@@ -138,13 +145,17 @@ def main() -> int:
     for name, fn, base in stages:
         jf = jax.jit(fn)
         t0 = time.time()
-        t = bench._chained_time(jf, x)
+        # bench.log => BENCH_PARTIAL.log + the evidence ledger: each
+        # stage's line survives a later-stage crash or client wedge
+        # (r4's TPU capture died mid-run and left nothing committed).
+        t, stamp = bench._chained_time_ex(jf, x)
         times[name] = t
         d = t - times.get(base, 0.0)
-        print(f"{name:>16}: {t * 1e3:7.2f} ms/block  "
-              f"(+{d * 1e3:6.2f} ms vs {base or 'zero'}) "
-              f"[{sig_s / t:5.0f}x realtime; measured in {time.time() - t0:.0f}s]",
-              flush=True)
+        bench.log(
+            f"# [stage-profile] {name} ({n_frames}-frame): "
+            f"{t * 1e3:.2f} ms/block (+{d * 1e3:.2f} ms vs "
+            f"{base or 'zero'}; {sig_s / t:.0f}x realtime; measured in "
+            f"{time.time() - t0:.0f}s) {stamp}")
     return 0
 
 
