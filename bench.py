@@ -793,7 +793,7 @@ def orchestrate():
     # because a new run's header had overwritten the log before the
     # commit (VERDICT r4 weak #3); archived logs under logs/ survive.
     try:
-        if (not _PARTIAL_PATH.startswith("/tmp")
+        if (not os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
                 and os.path.exists(_PARTIAL_PATH)
                 and os.path.getsize(_PARTIAL_PATH) > 0):
             import shutil

@@ -58,7 +58,11 @@ _MODE_I_POS = (  # k in [1, 768]
 # Mode I table shares): the i column cycles 0,1,2,3 ascending across the
 # negative-k groups and descends ...,3,2,1,0 across the positive-k groups;
 # n is in 0..3; groups tile [-K/2, -1] and [1, K/2] in 32-carrier blocks.
-# Verify over-the-air via docs/INTEROP.md row 18 when a capture exists.
+# CAVEAT (ADVICE r4): closed-loop tests CANNOT catch a wrong value here —
+# modulator and receiver share this table, so any consistent error
+# cancels.  Verify over-the-air via docs/INTEROP.md row 18, or pin
+# against a second independent source (a known-good Mode II/IV capture
+# or another implementation's tables), when one exists.
 _MODE_II_NEG = (  # k in [-192, -1]
     (-192, 0, 2), (-160, 1, 3), (-128, 2, 2), (-96, 3, 2),
     (-64, 0, 1), (-32, 1, 2),
