@@ -984,7 +984,7 @@ def orchestrate():
                           "--once"], timeout=420)
         log(f"# [config 1b] 64-frame blocks: {v:.0f}x real-time "
             f"(6.1 s latency operating point) {w}")
-        if v > max(rts) * 1.05:
+        if rts and v > max(rts) * 1.05:
             log(f"# NOTE: 64-frame sustained point beats the 16-frame "
                 f"headline ({v:.0f}x vs {rt16:.0f}x); the printed JSON "
                 f"is the 16-frame low-latency point")
@@ -1072,14 +1072,36 @@ def _recap():
               if k not in live_keys]
     if not res and not cached:
         return
+    # The driver records only a finite TAIL of this run's output, and a
+    # full-breadth recap can exceed it — so print in ascending priority:
+    # whatever gets truncated is the least important, and the BASELINE
+    # config lines + headline always survive at the very end.
+    _PRIO = (("stage-profile", 0), ("viterbi-select", 1),
+             ("ber-waterfall", 2), ("kernel", 3), ("closedloop", 4),
+             ("e2e-host", 5), ("e2e", 6), ("config 4", 7),
+             ("config 2", 8), ("config 1-dispatch", 9),
+             ("config 1b", 10), ("config 3", 11), ("mixedmux", 12),
+             ("config 1", 13), ("headline", 14))
+
+    def prio(key_or_msg: str) -> int:
+        best, best_len = 3, -1         # unknown tags print mid-block
+        for prefix, p in _PRIO:        # LONGEST match wins ("config 1"
+            if (key_or_msg.startswith((prefix, f"# [{prefix}"))
+                    and len(prefix) > best_len):   # vs "config 1b")
+                best, best_len = p, len(prefix)
+        return best
+
+    lines = ([(prio(m if m.startswith("# [") else "headline"), 1, m)
+              for m in res]
+             + [(prio(e["key"]), 0,
+                 f"{e['line']} [cached capture from {e['ts']}, "
+                 f"{e.get('fingerprint', '?')}]") for e in cached])
     print(f"# ===== recap: {len(res)} result lines this run, "
-          f"{len(cached)} cached captures from the ledger =====",
+          f"{len(cached)} cached captures from the ledger "
+          f"(most important printed last) =====",
           file=sys.stderr, flush=True)
-    for msg in res:
+    for _, _, msg in sorted(lines, key=lambda t: (t[0], t[1])):
         print(msg, file=sys.stderr, flush=True)
-    for e in cached:
-        print(f"{e['line']} [cached capture from {e['ts']}, "
-              f"{e.get('fingerprint', '?')}]", file=sys.stderr, flush=True)
 
 
 # One pass of every section runs right after the first headline child
