@@ -27,7 +27,12 @@ TC2 = 8  # double-steps (= 16 trellis steps) per grid iteration
 
 
 def _acs4_kernel(pu_ref, ws_ref, soft_ref, t2_ref, dec_ref, metric_ref,
-                 pm_ref, bm_ref, *, select="matmul"):
+                 pm_ref, bm_ref, *, select="matmul", skip_dec=False):
+    """``skip_dec`` (timing probes ONLY — tools/viterbi_pack_probe.py):
+    skip the decision pack-and-store, leaving ``dec_ref`` unwritten
+    (garbage) while the path metrics stay exact.  Timing full-vs-skip
+    isolates the packing cost (shift + 4x 16-sublane sums per step) to
+    decide whether an MXU-packed realization is worth building."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -84,12 +89,14 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, t2_ref, dec_ref, metric_ref,
         # padded tail is a fixed point at the tail-terminated state and
         # the short lane's traceback is untouched.
         live = g2 < t2_ref[...]                    # (1, B) bool
-        # Pack the 64 two-bit decisions into four int32 words (16 states
-        # per word; disjoint bit positions make the sublane sum an OR).
-        val = jax.lax.shift_left(d * live.astype(jnp.int32), shift)
-        dec_ref[j] = jnp.concatenate(
-            [jnp.sum(val[16 * c:16 * (c + 1)], axis=0, keepdims=True)
-             for c in range(4)], axis=0)           # (4, B)
+        if not skip_dec:
+            # Pack the 64 two-bit decisions into four int32 words (16
+            # states per word; disjoint bit positions make the sublane
+            # sum an OR).
+            val = jax.lax.shift_left(d * live.astype(jnp.int32), shift)
+            dec_ref[j] = jnp.concatenate(
+                [jnp.sum(val[16 * c:16 * (c + 1)], axis=0, keepdims=True)
+                 for c in range(4)], axis=0)       # (4, B)
         return jnp.where(live, new, pm)            # freeze dead lanes
 
     pm = pm_ref[...]
@@ -215,10 +222,11 @@ B_CHUNK = 896
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "select", "traceback"))
+                   static_argnames=("interpret", "select", "traceback",
+                                    "skip_dec"))
 def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
                   interpret: bool = False, select: str = "matmul",
-                  traceback: str = "factored"):
+                  traceback: str = "factored", skip_dec: bool = False):
     """One kernel invocation (batch must respect the VMEM ceiling).
 
     ``t2``: (batch,) int32 — per-lane codeword length in DOUBLE trellis
@@ -245,7 +253,7 @@ def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
 
     pu4, ws4 = acs_radix4_matrices()
     dec, metric = pl.pallas_call(
-        functools.partial(_acs4_kernel, select=select),
+        functools.partial(_acs4_kernel, select=select, skip_dec=skip_dec),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((256, 64), lambda i: (0, 0),

@@ -42,11 +42,11 @@ run_stage() {  # $1 = name, rest = command
 }
 
 START=$(date +%s)
-declare -A done=( [prewarm]=0 [bench]=0 [vselect]=0 [batchprobe]=0 [ber]=0 [profile]=0 )
+declare -A done=( [prewarm]=0 [bench]=0 [vselect]=0 [batchprobe]=0 [packprobe]=0 [ber]=0 [profile]=0 )
 echo "$(stamp) === grind loop start (deadline ${DEADLINE_S}s) ==="
 
 while (( $(date +%s) - START < DEADLINE_S )); do
-    if (( done[prewarm] & done[bench] & done[vselect] & done[batchprobe] & done[ber] & done[profile] )); then
+    if (( done[prewarm] & done[bench] & done[vselect] & done[batchprobe] & done[packprobe] & done[ber] & done[profile] )); then
         break
     fi
     if ! tunnel_alive; then
@@ -80,6 +80,12 @@ while (( $(date +%s) - START < DEADLINE_S )); do
         run_stage batchprobe timeout 2700 python tools/weatherwait.py \
             --max-wait 1800 -- python tools/viterbi_batch_probe.py \
             && done[batchprobe]=1 || true
+        continue
+    fi
+    if (( ! done[packprobe] )); then
+        run_stage packprobe timeout 2700 python tools/weatherwait.py \
+            --max-wait 1800 -- python tools/viterbi_pack_probe.py \
+            && done[packprobe]=1 || true
         continue
     fi
     if (( ! done[ber] )); then
