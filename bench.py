@@ -374,7 +374,9 @@ def _kernel_fingerprint() -> str:
     default flip; every ledger line carries the stack it measured)."""
     sel = os.environ.get("DABTOOLS_VITERBI4_SELECT", "shuffle")
     tb = os.environ.get("DABTOOLS_VITERBI4_TRACEBACK", "factored")
-    return f"acs={sel},tb={tb},ragged=on"
+    pk = os.environ.get("DABTOOLS_VITERBI4_PACK", "shift4")
+    fp = f"acs={sel},tb={tb},ragged=on"
+    return fp if pk == "shift4" else fp + f",pack={pk}"
 
 
 def _ledger_key(msg: str) -> str | None:

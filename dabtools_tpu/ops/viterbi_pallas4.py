@@ -27,12 +27,29 @@ TC2 = 8  # double-steps (= 16 trellis steps) per grid iteration
 
 
 def _acs4_kernel(pu_ref, ws_ref, soft_ref, t2_ref, dec_ref, metric_ref,
-                 pm_ref, bm_ref, *, select="matmul", skip_dec=False):
+                 pm_ref, bm_ref, *w8_scratch, select="matmul",
+                 skip_dec=False, pack="shift4"):
     """``skip_dec`` (timing probes ONLY — tools/viterbi_pack_probe.py):
     skip the decision pack-and-store, leaving ``dec_ref`` unwritten
     (garbage) while the path metrics stay exact.  Timing full-vs-skip
     isolates the packing cost (shift + 4x 16-sublane sums per step) to
-    decide whether an MXU-packed realization is worth building."""
+    decide whether an MXU-packed realization is worth building.
+
+    ``pack`` picks that realization (DABTOOLS_VITERBI4_PACK):
+      shift4 — four int32 words of 16 two-bit decisions each, packed
+               with shift_left + four 16-sublane sums (the historical
+               default; the sublane-reduce trees are pure VPU work on
+               the critical chain).
+      mxu8   — eight words of 8 decisions each via ONE MXU pass:
+               dec8 = W8 @ (d*live) with W8[w,t] = 4^(t&7)·[t>>3 == w].
+               Every product is d·2^(2k) (exact in bf16: power-of-two
+               scale, 2-bit mantissa) and partial sums stay < 2^16
+               (exact in the MXU's f32 accumulator), so the packed
+               words are EXACT at default dot precision — and the MXU
+               work can overlap the next step's VPU ops instead of
+               serializing with them.  ``dec_ref`` is (TC2, 8, B).
+    """
+    w8_ref = w8_scratch[0] if pack == "mxu8" else None
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -40,6 +57,16 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, t2_ref, dec_ref, metric_ref,
         b = pm_ref.shape[-1]
         rows = jax.lax.broadcasted_iota(jnp.int32, (64, b), 0)
         pm_ref[...] = jnp.where(rows == 0, 0.0, NEG_INF).astype(jnp.float32)
+        if pack == "mxu8":
+            # W8[w, t] = 4^(t&7) iff t>>3 == w — built once into scratch
+            # (an extra kernel INPUT would change the default path's HLO
+            # and invalidate every prewarmed cache entry)
+            r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 64), 0)
+            c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 64), 1)
+            w8_ref[...] = jnp.where(
+                (c8 >> 3) == r8,
+                jax.lax.shift_left(1, 2 * (c8 & 7)), 0
+            ).astype(jnp.float32)
 
     b = pm_ref.shape[-1]
     # This chunk's fused branch metrics in one MXU pass, step-major.
@@ -89,7 +116,15 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, t2_ref, dec_ref, metric_ref,
         # padded tail is a fixed point at the tail-terminated state and
         # the short lane's traceback is untouched.
         live = g2 < t2_ref[...]                    # (1, B) bool
-        if not skip_dec:
+        if skip_dec:
+            pass                                   # timing probe only
+        elif pack == "mxu8":
+            dl = (d * live.astype(jnp.int32)).astype(jnp.float32)
+            dec_ref[j] = jax.lax.dot_general(
+                w8_ref[...], dl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ).astype(jnp.int32)                    # (8, B), exact
+        else:
             # Pack the 64 two-bit decisions into four int32 words (16
             # states per word; disjoint bit positions make the sublane
             # sum an OR).
@@ -109,7 +144,8 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, t2_ref, dec_ref, metric_ref,
         metric_ref[0, :] = pm_ref[0, :]
 
 
-def _traceback4_kernel(dec_ref, bits_ref, oh16_ref, uh_ref):
+def _traceback4_kernel(dec_ref, bits_ref, oh16_ref, uh_ref,
+                       *, pack="shift4"):
     """Survivor-path traceback with the state FACTORIZED.
 
     The 64-state one-hot t = 32*u2 + 16*u1 + a (a = t & 15, u = t >> 4)
@@ -143,13 +179,27 @@ def _traceback4_kernel(dec_ref, bits_ref, oh16_ref, uh_ref):
         j = TC2 - 1 - k
         oh16 = oh16_ref[...]                       # (16, B) one-hot over a
         uh = uh_ref[...]                           # (4, B) one-hot over u
-        packed = dec_ref[j]                        # (4, B) int32, bit-packed
+        packed = dec_ref[j]                        # int32, bit-packed
         bits_ref[2 * j, :] = uh[1] + uh[3]         # u1 (earlier input bit)
         bits_ref[2 * j + 1, :] = uh[2] + uh[3]     # u2
-        word = jnp.sum(uh.astype(jnp.int32) * packed, axis=0,
-                       keepdims=True)              # (1, B): packed[u]
-        dec16 = (jax.lax.shift_right_logical(word, 2 * rowa) & 3
-                 ).astype(jnp.float32)             # (16, B), values 0..3
+        if pack == "mxu8":
+            # state t = 16u + a lives in word w = 2u + (a>>3) at bit
+            # offset 2*(a&7); select the u-row's two words, pick by a's
+            # high bit, shift by its low bits
+            uh_i = uh.astype(jnp.int32)
+            pr = packed.reshape(4, 2, b)           # (u, a_hi, B)
+            w0 = jnp.sum(uh_i * pr[:, 0], axis=0, keepdims=True)
+            w1 = jnp.sum(uh_i * pr[:, 1], axis=0, keepdims=True)
+            whi = jnp.where(rowa < 8,
+                            jnp.broadcast_to(w0, (16, b)),
+                            jnp.broadcast_to(w1, (16, b)))
+            dec16 = (jax.lax.shift_right_logical(whi, 2 * (rowa & 7)) & 3
+                     ).astype(jnp.float32)         # (16, B), values 0..3
+        else:
+            word = jnp.sum(uh.astype(jnp.int32) * packed, axis=0,
+                           keepdims=True)          # (1, B): packed[u]
+            dec16 = (jax.lax.shift_right_logical(word, 2 * rowa) & 3
+                     ).astype(jnp.float32)         # (16, B), values 0..3
         d_sel = jnp.sum(oh16 * dec16, axis=0)      # (B,): decision p of t
         r = oh16.reshape(4, 4, b)                  # (a>>2, a&3, B)
         uh_ref[...] = jnp.sum(r, axis=1)           # u' = a >> 2
@@ -223,10 +273,11 @@ B_CHUNK = 896
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "select", "traceback",
-                                    "skip_dec"))
+                                    "skip_dec", "pack"))
 def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
                   interpret: bool = False, select: str = "matmul",
-                  traceback: str = "factored", skip_dec: bool = False):
+                  traceback: str = "factored", skip_dec: bool = False,
+                  pack: str = "shift4"):
     """One kernel invocation (batch must respect the VMEM ceiling).
 
     ``t2``: (batch,) int32 — per-lane codeword length in DOUBLE trellis
@@ -252,8 +303,14 @@ def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
         t2.astype(jnp.int32))                      # pad lanes: length 0
 
     pu4, ws4 = acs_radix4_matrices()
+    n_words = 8 if pack == "mxu8" else 4
+    acs_scratch = [pltpu.VMEM((64, b), jnp.float32),
+                   pltpu.VMEM((TC2, 256, b), jnp.float32)]
+    if pack == "mxu8":
+        acs_scratch.append(pltpu.VMEM((8, 64), jnp.float32))  # W8
     dec, metric = pl.pallas_call(
-        functools.partial(_acs4_kernel, select=select, skip_dec=skip_dec),
+        functools.partial(_acs4_kernel, select=select, skip_dec=skip_dec,
+                          pack=pack),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((256, 64), lambda i: (0, 0),
@@ -266,32 +323,35 @@ def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TC2, 4, b), lambda i: (i, 0, 0),
+            pl.BlockSpec((TC2, n_words, b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t2_pad, 4, b), jnp.int32),
+            jax.ShapeDtypeStruct((t2_pad, n_words, b), jnp.int32),
             jax.ShapeDtypeStruct((1, b), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((64, b), jnp.float32),
-                        pltpu.VMEM((TC2, 256, b), jnp.float32)],
+        scratch_shapes=acs_scratch,
         interpret=interpret,
     )(jnp.asarray(pu4), jnp.asarray(ws4), soft_t, t2p)
 
     if traceback == "factored":
-        tb_kernel = _traceback4_kernel
+        tb_kernel = functools.partial(_traceback4_kernel, pack=pack)
         tb_scratch = [pltpu.VMEM((16, b), jnp.float32),
                       pltpu.VMEM((4, b), jnp.float32)]
     else:
+        if pack == "mxu8":
+            raise ValueError(
+                "pack='mxu8' supports only the factored traceback")
         tb_kernel = _traceback4_kernel_onehot64
         tb_scratch = [pltpu.VMEM((64, b), jnp.float32)]
     bits_t = pl.pallas_call(
         tb_kernel,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(
-            (TC2, 4, b), lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
+            (TC2, n_words, b),
+            lambda i: (pl.num_programs(0) - 1 - i, 0, 0),
             memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
             (2 * TC2, b), lambda i: (pl.num_programs(0) - 1 - i, 0),
@@ -308,7 +368,8 @@ def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
 
 @functools.cache
 def _decode4_vmappable(interpret: bool, select: str = "matmul",
-                       traceback: str = "factored"):
+                       traceback: str = "factored",
+                       pack: str = "shift4"):
     """Batch-aware entry point (cached per ``interpret`` value).
 
     Two TPU-first behaviors the plain kernel lacks:
@@ -328,9 +389,10 @@ def _decode4_vmappable(interpret: bool, select: str = "matmul",
     def decode(soft, t2):
         b0 = soft.shape[0]
         if b0 <= B_CHUNK:
-            return _decode4_call(soft, t2, interpret, select, traceback)
+            return _decode4_call(soft, t2, interpret, select, traceback,
+                                 pack=pack)
         outs = [_decode4_call(soft[i: i + B_CHUNK], t2[i: i + B_CHUNK],
-                              interpret, select, traceback)
+                              interpret, select, traceback, pack=pack)
                 for i in range(0, b0, B_CHUNK)]
         return (jnp.concatenate([o[0] for o in outs], axis=0),
                 jnp.concatenate([o[1] for o in outs], axis=0))
@@ -355,12 +417,14 @@ def _decode4_vmappable(interpret: bool, select: str = "matmul",
 
 _SELECTS = ("matmul", "shuffle")
 _TRACEBACKS = ("factored", "onehot64")
+_PACKS = ("shift4", "mxu8")
 
 
 def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
                            select: str | None = None,
                            lengths=None,
-                           traceback: str | None = None):
+                           traceback: str | None = None,
+                           pack: str | None = None):
     """Radix-4 drop-in for ``viterbi_decode_pallas`` (same contract);
     vmap-collapsing and VMEM-chunked (see ``_decode4_vmappable``).
 
@@ -384,6 +448,13 @@ def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
     ``traceback`` (or ``DABTOOLS_VITERBI4_TRACEBACK``) picks the
     traceback realization: ``factored`` (default — (16,B)+(4,B) state
     factors) or ``onehot64`` (the full (64,B) carry).
+
+    ``pack`` (or ``DABTOOLS_VITERBI4_PACK``) picks the decision-word
+    packing: ``shift4`` (default) or ``mxu8`` (one MXU pass per step in
+    place of the four 16-sublane reduce trees; factored traceback
+    only — see ``_acs4_kernel``).  Flip the default only on a
+    hardware A/B datum (tools/viterbi_pack_probe.py decides whether
+    the experiment is even worth timing).
     """
     if soft.ndim != 2:
         raise ValueError("expected (batch, 4*T) soft bits")
@@ -399,6 +470,10 @@ def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
                                    "factored")
     if traceback not in _TRACEBACKS:
         raise ValueError(f"traceback must be one of {_TRACEBACKS}")
+    if pack is None:
+        pack = os.environ.get("DABTOOLS_VITERBI4_PACK", "shift4")
+    if pack not in _PACKS:
+        raise ValueError(f"pack must be one of {_PACKS}")
     if lengths is None:
         t2 = jnp.full((soft.shape[0],), t_max // 2, jnp.int32)
     else:
@@ -411,4 +486,5 @@ def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
                 raise ValueError("each lane length must be even, positive "
                                  "and <= the padded codeword length")
         t2 = jnp.asarray(ln, jnp.int32) // 2
-    return _decode4_vmappable(bool(interpret), select, traceback)(soft, t2)
+    return _decode4_vmappable(bool(interpret), select, traceback,
+                              pack)(soft, t2)

@@ -316,3 +316,48 @@ class TestTracebackRealizations:
         monkeypatch.setenv("DABTOOLS_VITERBI4_TRACEBACK", "nope")
         with pytest.raises(ValueError):
             viterbi_decode_pallas4(jnp.zeros((1, 4 * 10)), interpret=True)
+
+
+class TestPackRealizations:
+    """Decision-word packing realizations (shift4 default / mxu8
+    experimental — one MXU pass per step; see _acs4_kernel)."""
+
+    def test_variants_bit_identical(self):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        rng = np.random.default_rng(77)
+        msgs, soft = _noisy_batch(rng, 3, 1536)
+        sb, sm = viterbi_decode_pallas4(jnp.asarray(soft), interpret=True,
+                                        pack="shift4")
+        mb, mm = viterbi_decode_pallas4(jnp.asarray(soft), interpret=True,
+                                        pack="mxu8")
+        assert (np.asarray(sb) == np.asarray(mb)).all()
+        np.testing.assert_allclose(np.asarray(sm), np.asarray(mm),
+                                   rtol=1e-5)
+        assert (np.asarray(mb) == msgs).all()
+
+    def test_mxu8_ragged_and_selects(self):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        rng = np.random.default_rng(78)
+        m1, s1 = _noisy_batch(rng, 2, 768)
+        m2, s2 = _noisy_batch(rng, 1, 1536)
+        soft = np.zeros((3, s2.shape[-1]), np.float32)
+        soft[:2, : s1.shape[-1]] = s1
+        soft[2] = s2
+        for select in ("matmul", "shuffle"):
+            bits, _ = viterbi_decode_pallas4(
+                jnp.asarray(soft), interpret=True, pack="mxu8",
+                select=select, lengths=np.array([774, 774, 1542]))
+            assert (np.asarray(bits[:2, :768]) == m1).all()
+            assert (np.asarray(bits[2, :1536]) == m2[0]).all()
+
+    def test_mxu8_requires_factored_traceback(self):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        with pytest.raises(ValueError):
+            viterbi_decode_pallas4(jnp.zeros((1, 4 * 10)), interpret=True,
+                                   pack="mxu8", traceback="onehot64")
+
+    def test_env_rejects_unknown(self, monkeypatch):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        monkeypatch.setenv("DABTOOLS_VITERBI4_PACK", "nah")
+        with pytest.raises(ValueError):
+            viterbi_decode_pallas4(jnp.zeros((1, 4 * 10)), interpret=True)

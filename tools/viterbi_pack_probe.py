@@ -43,29 +43,44 @@ def main() -> int:
         .astype(np.float32))
     t2 = jnp.full((576,), 3078 // 2, jnp.int32)
 
+    msgs_d = jax.device_put(msgs)
     f_full = jax.jit(lambda s: viterbi_decode_pallas4(s))
     f_acs = jax.jit(lambda s: viterbi_decode_pallas4(s)[1])
     f_nodec = jax.jit(
         lambda s: _decode4_call(s, t2, select="shuffle",
                                 skip_dec=True)[1])
+    f_mxu8 = jax.jit(lambda s: viterbi_decode_pallas4(s, pack="mxu8"))
     results = {}
     for name, f in (("full", f_full), ("acs", f_acs),
-                    ("acs-nodec", f_nodec)):
+                    ("acs-nodec", f_nodec), ("full-mxu8", f_mxu8)):
         try:
             t, stamp = bench._chained_time_ex(f, soft)
         except Exception as e:  # noqa: BLE001 — probe must report, not die
             bench.log(f"# [viterbi-pack] {name}: FAILED ({str(e)[:90]})")
             continue
         results[name] = t
+        verdict = ""
+        if name in ("full", "full-mxu8"):
+            def ok_fn(_f=f):
+                bits, _ = _f(soft)
+                return jnp.all(bits == msgs_d)
+            verdict = ("; bits "
+                       + bench._verdict_by_timing(ok_fn).split(" [")[0])
         bench.log(f"# [viterbi-pack] {name} (576x3078): "
-                  f"{t * 1e3:.2f} ms {stamp}")
+                  f"{t * 1e3:.2f} ms{verdict} {stamp}")
     if "acs" in results and "acs-nodec" in results:
         share = (results["acs"] - results["acs-nodec"]) / results["acs"]
-        bench.log(f"# [viterbi-pack] decision data: packing = "
+        bench.log(f"# [viterbi-pack] packing share: "
                   f"{share * 100:.0f}% of the ACS chain "
                   f"({(results['acs'] - results['acs-nodec']) * 1e3:+.2f}"
-                  f" ms) => MXU-packed realization "
-                  f"{'WORTH building' if share > 0.15 else 'not worth it'}")
+                  f" ms)")
+    if "full" in results and "full-mxu8" in results:
+        d = results["full"] - results["full-mxu8"]
+        bench.log(f"# [viterbi-pack] decision data: mxu8 pack "
+                  f"{d * 1e3:+.2f} ms vs shift4 "
+                  f"({results['full-mxu8'] * 1e3:.2f} vs "
+                  f"{results['full'] * 1e3:.2f} ms) => "
+                  f"{'FLIP default (re-prewarm!)' if d > 0.1e-3 else 'keep shift4'}")
     return 0 if results else 1
 
 
