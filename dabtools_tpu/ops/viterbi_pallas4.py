@@ -101,6 +101,26 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, t2_ref, dec_ref, metric_ref,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)   # (256, B)
         cand = (pred + bm_ref[j]).reshape(4, 64, b)
+        if pack == "mxu8" and not skip_dec:
+            # Select-based decision build, straight to f32 for the MXU
+            # pack — no int casts or arithmetic on the chain.  Kept in a
+            # fully separate branch so the DEFAULT path's op order (and
+            # therefore its HLO text = persistent-cache key) stays
+            # byte-stable.
+            m01 = jnp.maximum(cand[0], cand[1])
+            m23 = jnp.maximum(cand[2], cand[3])
+            new = jnp.maximum(m01, m23)
+            g2v = i * TC2 + j
+            livem = g2v < t2_ref[...]              # (1, B) bool
+            df = jnp.where(m23 > m01,
+                           jnp.where(cand[3] > cand[2], 3.0, 2.0),
+                           jnp.where(cand[1] > cand[0], 1.0, 0.0))
+            dl = jnp.where(livem, df, 0.0)         # dead steps pack 0
+            dec_ref[j] = jax.lax.dot_general(
+                w8_ref[...], dl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ).astype(jnp.int32)                    # (8, B), exact
+            return jnp.where(livem, new, pm)
         m01 = jnp.maximum(cand[0], cand[1])
         d01 = (cand[1] > cand[0]).astype(jnp.int32)
         m23 = jnp.maximum(cand[2], cand[3])
@@ -116,15 +136,7 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, t2_ref, dec_ref, metric_ref,
         # padded tail is a fixed point at the tail-terminated state and
         # the short lane's traceback is untouched.
         live = g2 < t2_ref[...]                    # (1, B) bool
-        if skip_dec:
-            pass                                   # timing probe only
-        elif pack == "mxu8":
-            dl = (d * live.astype(jnp.int32)).astype(jnp.float32)
-            dec_ref[j] = jax.lax.dot_general(
-                w8_ref[...], dl, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32
-            ).astype(jnp.int32)                    # (8, B), exact
-        else:
+        if not skip_dec:                           # (mxu8 returned above)
             # Pack the 64 two-bit decisions into four int32 words (16
             # states per word; disjoint bit positions make the sublane
             # sum an OR).
