@@ -42,11 +42,11 @@ run_stage() {  # $1 = name, rest = command
 }
 
 START=$(date +%s)
-declare -A done=( [prewarm]=0 [bench]=0 [vselect]=0 [batchprobe]=0 [packprobe]=0 [ber]=0 [profile]=0 )
+declare -A done=( [prewarm]=0 [bench]=0 [vselect]=0 [batchprobe]=0 [packprobe]=0 [batchedprofile]=0 [ber]=0 [profile]=0 )
 echo "$(stamp) === grind loop start (deadline ${DEADLINE_S}s) ==="
 
 while (( $(date +%s) - START < DEADLINE_S )); do
-    if (( done[prewarm] & done[bench] & done[vselect] & done[batchprobe] & done[packprobe] & done[ber] & done[profile] )); then
+    if (( done[prewarm] & done[bench] & done[vselect] & done[batchprobe] & done[packprobe] & done[batchedprofile] & done[ber] & done[profile] )); then
         break
     fi
     if ! tunnel_alive; then
@@ -88,6 +88,12 @@ while (( $(date +%s) - START < DEADLINE_S )); do
             && done[packprobe]=1 || true
         continue
     fi
+    if (( ! done[batchedprofile] )); then
+        run_stage batchedprofile timeout 3600 python tools/weatherwait.py \
+            --max-wait 1800 -- python tools/batched_profile.py \
+            && done[batchedprofile]=1 || true
+        continue
+    fi
     if (( ! done[ber] )); then
         run_stage ber timeout 5400 python tools/weatherwait.py \
             --max-wait 2400 -- python tools/ber_sweep.py --tpu \
@@ -102,4 +108,4 @@ while (( $(date +%s) - START < DEADLINE_S )); do
         continue
     fi
 done
-echo "$(stamp) === grind loop done: prewarm=${done[prewarm]} bench=${done[bench]} vselect=${done[vselect]} ber=${done[ber]} profile=${done[profile]} ==="
+echo "$(stamp) === grind loop done: $(for k in "${!done[@]}"; do printf "%s=%s " "$k" "${done[$k]}"; done)==="

@@ -32,7 +32,11 @@ from dabtools_tpu.mod.convcode import conv_encode  # noqa: E402
 from dabtools_tpu.ops.viterbi_pallas4 import (  # noqa: E402
     B_CHUNK, viterbi_decode_pallas4)
 
-LANES = (128, 384, 640, 896, 2 * B_CHUNK)
+LANES = (128, 384, 640, 896, 2 * B_CHUNK, 2432)
+# 2432 = the config-3 batched block's exact lane count (8 streams x
+# (9 subch x 32 CIFs + FIC) at 8 frames): its 3-chunk time here, vs the
+# full batched block's 37.19 ms (ledger 2026-08-20T17:25), splits the
+# config-3 gap into Viterbi-chunking vs vmapped-front-end parts.
 
 
 def main() -> int:
