@@ -60,20 +60,15 @@ while (( $(date +%s) - START < DEADLINE_S )); do
             --target 500 && done[prewarm]=1 || true
         continue
     fi
-    if (( ! done[bench] )); then
-        # worst case ~= 600 preflight + 3600 headline budget (+420 last
-        # child) + 7200 wall (+600 last section) ~= 12.4k s; the wrapper
-        # must clear that or a mid-queue SIGTERM re-runs the WHOLE stage.
-        DABTOOLS_HEADLINE_BUDGET=3600 DABTOOLS_BENCH_BUDGET=3600 \
-            DABTOOLS_BENCH_WALL=7200 \
-            run_stage bench timeout 14400 python bench.py \
-            && done[bench]=1 || true
-        continue
-    fi
-    if (( ! done[vselect] )); then
-        run_stage vselect timeout 2700 python tools/weatherwait.py \
-            --max-wait 1800 -- python tools/viterbi_select_probe.py \
-            && done[vselect]=1 || true
+    # r5 session-b ordering: decision data FIRST (batchedprofile gates
+    # the config-3 fix this session; probes + stage profile are quick),
+    # the long BER sweep next, the full bench artifact LAST — the driver
+    # runs bench.py itself at round end and the ledger replay already
+    # carries every section a sweep/probe lands in the meantime.
+    if (( ! done[batchedprofile] )); then
+        run_stage batchedprofile timeout 3600 python tools/weatherwait.py \
+            --max-wait 1800 -- python tools/batched_profile.py \
+            && done[batchedprofile]=1 || true
         continue
     fi
     if (( ! done[batchprobe] )); then
@@ -88,10 +83,16 @@ while (( $(date +%s) - START < DEADLINE_S )); do
             && done[packprobe]=1 || true
         continue
     fi
-    if (( ! done[batchedprofile] )); then
-        run_stage batchedprofile timeout 3600 python tools/weatherwait.py \
-            --max-wait 1800 -- python tools/batched_profile.py \
-            && done[batchedprofile]=1 || true
+    if (( ! done[profile] )); then
+        run_stage profile timeout 3600 python tools/weatherwait.py \
+            --max-wait 1800 -- python tools/stage_profile.py 16 \
+            && done[profile]=1 || true
+        continue
+    fi
+    if (( ! done[vselect] )); then
+        run_stage vselect timeout 2700 python tools/weatherwait.py \
+            --max-wait 1800 -- python tools/viterbi_select_probe.py \
+            && done[vselect]=1 || true
         continue
     fi
     if (( ! done[ber] )); then
@@ -101,10 +102,14 @@ while (( $(date +%s) - START < DEADLINE_S )); do
             -o logs/ber_tpu_r5.jsonl && done[ber]=1 || true
         continue
     fi
-    if (( ! done[profile] )); then
-        run_stage profile timeout 3600 python tools/weatherwait.py \
-            --max-wait 1800 -- python tools/stage_profile.py 16 \
-            && done[profile]=1 || true
+    if (( ! done[bench] )); then
+        # worst case ~= 600 preflight + 3600 headline budget (+420 last
+        # child) + 7200 wall (+600 last section) ~= 12.4k s; the wrapper
+        # must clear that or a mid-queue SIGTERM re-runs the WHOLE stage.
+        DABTOOLS_HEADLINE_BUDGET=3600 DABTOOLS_BENCH_BUDGET=3600 \
+            DABTOOLS_BENCH_WALL=7200 \
+            run_stage bench timeout 14400 python bench.py \
+            && done[bench]=1 || true
         continue
     fi
 done
