@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dabtools_tpu.constants import MODE_I, SAMPLE_RATE, Mode
+from dabtools_tpu.ops.slicing import window_slices
 from dabtools_tpu.tables.freq_interleave import freq_interleave_map
 
 
@@ -97,11 +98,11 @@ def gather_symbol_windows(x: jnp.ndarray, frame_starts: jnp.ndarray,
         # per-element index clamping produced
         x = jnp.pad(x, (0, frame_len - x.shape[0]), mode="edge")
 
-    def one_frame(start):
-        fr = jax.lax.dynamic_slice(x, (start,), (frame_len,))
-        return fr[local]
-
-    win = jax.vmap(one_frame)(frame_starts)
+    # window_slices (not a plain vmapped dynamic_slice) so that an OUTER
+    # channel vmap (config 3) collapses into the sample axis instead of
+    # batching the gather operand off the TPU fast path.
+    frames = window_slices(x, frame_starts, frame_len)   # (B, frame_len)
+    win = frames[:, local]
     # Absolute sample index of every window sample (for the CFO ramp —
     # the phase reference is the block timebase, not the frame slice).
     starts = (frame_starts[:, None] + mode.null_size

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dabtools_tpu.constants import MODE_I, Mode
+from dabtools_tpu.ops.slicing import window_slices
 from dabtools_tpu.tables.prs import prs_time
 
 
@@ -68,9 +69,11 @@ def fractional_cfo(x: jnp.ndarray, frame_start: jnp.ndarray,
     ``frame_start`` (start of null symbol; traced ok)."""
     sym0 = frame_start + mode.null_size
     starts = sym0 + jnp.arange(n_syms, dtype=jnp.int32) * mode.symbol_size
-    idx = starts[:, None] + jnp.arange(mode.guard, dtype=jnp.int32)
-    guard = x[idx]                       # (n_syms, guard)
-    tail = x[idx + mode.fft_size]
+    # Whole symbols via window_slices (guard + tail are its two ends):
+    # row-slice gather that stays fast under an outer channel vmap.
+    sym = window_slices(x, starts, mode.symbol_size)     # (n_syms, T_s)
+    guard = sym[:, : mode.guard]
+    tail = sym[:, mode.fft_size: mode.fft_size + mode.guard]
     corr = jnp.sum(jnp.conj(guard) * tail)
     # phase advance over T_u samples = 2*pi * cfo_norm
     return jnp.angle(corr) / (2.0 * jnp.pi)
@@ -119,7 +122,10 @@ def fine_sync_prs(x: jnp.ndarray, prs_guess: jnp.ndarray,
     """
     win_len = mode.fft_size + 2 * search
     fft_len = int(2 ** np.ceil(np.log2(win_len + mode.fft_size)))
-    win = jax.lax.dynamic_slice(x, (prs_guess - search,), (win_len,))
+    # window_slices (not dynamic_slice) so the receiver's per-frame vmap
+    # AND config 3's channel vmap both stay on the gather fast path.
+    win = window_slices(x, jnp.asarray(prs_guess - search)[None],
+                        win_len)[0]
     # exp(-j*2*pi*f*t): same compensation convention as the demod ramp
     # (ops/ofdm.py gather_symbol_windows); only |corr| is used below, so
     # the window-relative timebase is fine.
@@ -168,7 +174,8 @@ def channel_impulse_response(x: jnp.ndarray, prs_start: jnp.ndarray,
     """
     from dabtools_tpu.tables.prs import prs_spectrum
 
-    win = jax.lax.dynamic_slice(x, (prs_start,), (mode.fft_size,))
+    win = window_slices(x, jnp.asarray(prs_start)[None],
+                        mode.fft_size)[0]
     ic = jnp.round(cfo_carriers)
     frac = cfo_carriers - ic
     n = jnp.arange(mode.fft_size, dtype=jnp.float32)
