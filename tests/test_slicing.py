@@ -70,9 +70,7 @@ def test_two_levels_unbatched_operand_lowering_has_flat_gather(data):
     f = jax.vmap(lambda xc, sc: window_slices(xc, sc, LEN))
     txt = jax.jit(f).lower(x[0], starts[0]).as_text()
     n_flat = x.shape[2] * x.shape[1]
-    assert f"tensor<{n_flat}xf32>" in txt
-    assert f"tensor<{x.shape[1]}x{x.shape[2]}xf32>" not in txt.split(
-        "func.func")[0] or True  # operand shape only matters inside gathers
+    assert f"tensor<{n_flat}xf32>" in txt  # the flat operand exists
     import re
     for m in re.finditer(r'"stablehlo\.gather"\(([^)]*)\)[^\n]*'
                          r':\s*\(tensor<([0-9x]+)xf32>', txt):
