@@ -42,11 +42,11 @@ run_stage() {  # $1 = name, rest = command
 }
 
 START=$(date +%s)
-declare -A done=( [prewarm]=0 [bench]=0 [vselect]=0 [batchprobe]=0 [packprobe]=0 [batchedprofile]=0 [ber]=0 [profile]=0 )
+declare -A done=( [prewarm]=0 [bench]=0 [vselect]=0 [batchprobe]=0 [packprobe]=0 [batchedprofile]=0 [windowgather]=0 [ber]=0 [profile]=0 )
 echo "$(stamp) === grind loop start (deadline ${DEADLINE_S}s) ==="
 
 while (( $(date +%s) - START < DEADLINE_S )); do
-    if (( done[prewarm] & done[bench] & done[vselect] & done[batchprobe] & done[packprobe] & done[batchedprofile] & done[ber] & done[profile] )); then
+    if (( done[prewarm] & done[bench] & done[vselect] & done[batchprobe] & done[packprobe] & done[batchedprofile] & done[windowgather] & done[ber] & done[profile] )); then
         break
     fi
     if ! tunnel_alive; then
@@ -69,6 +69,12 @@ while (( $(date +%s) - START < DEADLINE_S )); do
         run_stage batchedprofile timeout 3600 python tools/weatherwait.py \
             --max-wait 1800 -- python tools/batched_profile.py \
             && done[batchedprofile]=1 || true
+        continue
+    fi
+    if (( ! done[windowgather] )); then
+        run_stage windowgather timeout 2700 python tools/weatherwait.py \
+            --max-wait 1800 -- python tools/window_gather_probe.py \
+            && done[windowgather]=1 || true
         continue
     fi
     if (( ! done[batchprobe] )); then
