@@ -16,6 +16,7 @@ once per block, not per symbol (SURVEY.md s3.4).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +53,8 @@ def _drift_adjustment(drift, sym_pos: jnp.ndarray, mode: Mode) -> jnp.ndarray:
 def gather_symbol_windows(x: jnp.ndarray, frame_starts: jnp.ndarray,
                           mode: Mode = MODE_I,
                           cfo_norm: jnp.ndarray | float = 0.0,
-                          drift: jnp.ndarray | float = 0.0) -> jnp.ndarray:
+                          drift: jnp.ndarray | float = 0.0,
+                          layout: str | None = None) -> jnp.ndarray:
     """Gather the useful part of every OFDM symbol of every frame.
 
     ``x``: (n_samples,) complex64 baseband block.
@@ -66,8 +68,23 @@ def gather_symbol_windows(x: jnp.ndarray, frame_starts: jnp.ndarray,
     offset stays within +-0.5 sample at every symbol (the PRS fine sync
     only corrects the frame *start*).
 
+    ``layout`` (or ``DABTOOLS_WINDOW_GATHER``) picks the extraction
+    realization — identical values (same sample indices), different TPU
+    gather structure; A/B'd on hardware by tools/window_gather_probe.py:
+
+      twostage — one row-slice gather of whole frame windows, then the
+                 (76, 2048) local windows gathered WITHIN each frame
+                 slice (the historical default).
+      persym   — one row-slice gather straight to the (B*76, 2048)
+                 symbol windows: ~20%% fewer bytes, no second gather,
+                 and a single flat-operand gather under a channel vmap.
+
     Returns (B, n_symbols, T_u) complex64.
     """
+    if layout is None:
+        layout = os.environ.get("DABTOOLS_WINDOW_GATHER", "twostage")
+    if layout not in ("twostage", "persym"):
+        raise ValueError("layout must be 'twostage' or 'persym'")
     sym_idx = jnp.arange(mode.n_symbols, dtype=jnp.int32)
     sym_pos = (mode.null_size + sym_idx * mode.symbol_size).astype(jnp.float32)
     MARGIN = _DRIFT_MARGIN
@@ -77,20 +94,16 @@ def gather_symbol_windows(x: jnp.ndarray, frame_starts: jnp.ndarray,
     # steps don't corrupt the DQPSK differential (a 1-sample step is
     # 2.4 rad at the band edge!).
     #
-    # TPU layout note: ONE flat gather of the (B, S, T) window tensor from
-    # the block runs at ~0.3 GB/s on v5e (measured — it dominated the
-    # whole pipeline at 73 ms/block); a per-frame lax.dynamic_slice
-    # followed by a gather WITHIN the 200k-sample frame runs 40x faster,
-    # and the samples/indices are identical, so the outputs are
-    # bit-exactly the same.
+    # TPU layout note: ONE flat per-ELEMENT gather of the (B, S, T) window
+    # tensor from the block runs at ~0.3 GB/s on v5e (measured — it
+    # dominated the whole pipeline at 73 ms/block); both layouts below
+    # keep whole-window ROW slices as the gather unit, which runs ~40x
+    # faster, and the samples/indices are identical either way.
     # No left margin needed: the smallest in-frame offset is
     # null+guard-MARGIN > 2500, so the slice begins exactly at the
     # frame start (identical clamping behavior to the old flat gather).
     frame_len = (mode.null_size + (mode.n_symbols - 1) * mode.symbol_size
                  + mode.guard + mode.fft_size + MARGIN)
-    local = (mode.null_size + sym_idx[:, None] * mode.symbol_size
-             + mode.guard + drift_adj[:, None]
-             + jnp.arange(mode.fft_size, dtype=jnp.int32)[None, :])
 
     if x.shape[0] < frame_len:
         # shorter-than-a-frame inputs (unit tests, tail blocks): edge-pad
@@ -98,16 +111,25 @@ def gather_symbol_windows(x: jnp.ndarray, frame_starts: jnp.ndarray,
         # per-element index clamping produced
         x = jnp.pad(x, (0, frame_len - x.shape[0]), mode="edge")
 
-    # window_slices (not a plain vmapped dynamic_slice) so that an OUTER
-    # channel vmap (config 3) collapses into the sample axis instead of
-    # batching the gather operand off the TPU fast path.
-    frames = window_slices(x, frame_starts, frame_len)   # (B, frame_len)
-    win = frames[:, local]
-    # Absolute sample index of every window sample (for the CFO ramp —
-    # the phase reference is the block timebase, not the frame slice).
+    # Absolute sample index of the first sample of every symbol window
+    # (also the CFO ramp's phase reference — the block timebase).
     starts = (frame_starts[:, None] + mode.null_size
               + sym_idx[None, :] * mode.symbol_size + mode.guard
               + drift_adj[None, :])
+
+    # window_slices (not a plain vmapped dynamic_slice) so that an OUTER
+    # channel vmap (config 3) collapses into the sample axis instead of
+    # batching the gather operand off the TPU fast path.
+    if layout == "persym":
+        win = window_slices(
+            x, starts.reshape(-1), mode.fft_size).reshape(
+            frame_starts.shape[0], mode.n_symbols, mode.fft_size)
+    else:
+        local = (mode.null_size + sym_idx[:, None] * mode.symbol_size
+                 + mode.guard + drift_adj[:, None]
+                 + jnp.arange(mode.fft_size, dtype=jnp.int32)[None, :])
+        frames = window_slices(x, frame_starts, frame_len)  # (B, frame_len)
+        win = frames[:, local]
     idx = starts[:, :, None] + jnp.arange(mode.fft_size, dtype=jnp.int32)
     cfo_norm = jnp.asarray(cfo_norm, dtype=jnp.float32)
     # exp(-j*2*pi*f*t): f in carrier spacings, t in samples / T_u.

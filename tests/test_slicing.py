@@ -88,3 +88,31 @@ def test_clamp_never_crosses_channels():
     out = jax.vmap(lambda xc, sc: window_slices(xc, sc, LEN))(x, starts)
     np.testing.assert_array_equal(out[0, 0], np.zeros(LEN, np.float32))
     np.testing.assert_array_equal(out[1, 0], np.ones(LEN, np.float32))
+
+
+def test_symbol_window_layouts_bit_identical():
+    """gather_symbol_windows twostage vs persym: same sample indices =>
+    bit-identical windows, unbatched and under a channel vmap, with
+    traced CFO and drift engaged."""
+    from dabtools_tpu import constants as C
+    from dabtools_tpu.ops.ofdm import gather_symbol_windows
+
+    mode = C.MODE_I
+    rng = np.random.default_rng(7)
+    n = 2 * mode.frame_size + 8192
+    z = rng.normal(size=(2, n, 2)).astype(np.float32)
+    x = jnp.asarray((z[..., 0] + 1j * z[..., 1]).astype(np.complex64))
+    starts = jnp.asarray([[3, mode.frame_size + 11],
+                          [7, mode.frame_size + 2]], jnp.int32)
+
+    def run(layout):
+        f = lambda xc, sc: gather_symbol_windows(  # noqa: E731
+            xc, sc, mode, cfo_norm=0.37, drift=3.2, layout=layout)
+        single = f(x[0], starts[0])
+        batched = jax.vmap(f)(x, starts)
+        return single, batched
+
+    s_two, b_two = run("twostage")
+    s_per, b_per = run("persym")
+    np.testing.assert_array_equal(np.asarray(s_two), np.asarray(s_per))
+    np.testing.assert_array_equal(np.asarray(b_two), np.asarray(b_per))
