@@ -28,7 +28,7 @@ TC2 = 8  # double-steps (= 16 trellis steps) per grid iteration
 
 def _acs4_kernel(pu_ref, ws_ref, soft_ref, t2_ref, dec_ref, metric_ref,
                  pm_ref, bm_ref, *w8_scratch, select="matmul",
-                 skip_dec=False, pack="shift4"):
+                 skip_dec=False, pack="shift4", bm="f32"):
     """``skip_dec`` (timing probes ONLY — tools/viterbi_pack_probe.py):
     skip the decision pack-and-store, leaving ``dec_ref`` unwritten
     (garbage) while the path metrics stay exact.  Timing full-vs-skip
@@ -70,10 +70,28 @@ def _acs4_kernel(pu_ref, ws_ref, soft_ref, t2_ref, dec_ref, metric_ref,
 
     b = pm_ref.shape[-1]
     # This chunk's fused branch metrics in one MXU pass, step-major.
-    bm_ref[...] = jax.lax.dot_general(
-        ws_ref[...], soft_ref[...],
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).swapaxes(0, 1)  # (TC2, 256, B)
+    if bm == "bf16":
+        # bf16-STORED branch metrics (``DABTOOLS_VITERBI4_BM``): the MXU
+        # still accumulates in f32; only the (TC2, 256, B) scratch is
+        # rounded to bf16, halving the kernel's dominant scoped-VMEM
+        # term and therefore raising the lane ceiling (B_CHUNK 896 ->
+        # 1280).  Path metrics stay f32 — only each step's ADDED branch
+        # metric carries bf16 rounding (|err| <= 2^-9 |bm|), so decode
+        # decisions can flip only in sub-LSB ties; with soft inputs that
+        # are bf16-exact the kernel is BIT-IDENTICAL to the f32 build
+        # (pinned by test_bm_bf16_exact_inputs_bit_identical).  Separate
+        # branch so the default path's HLO (= persistent-cache key)
+        # stays byte-stable.
+        bm_ref[...] = jax.lax.dot_general(
+            ws_ref[...], soft_ref[...],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).swapaxes(0, 1).astype(
+            jnp.bfloat16)                            # (TC2, 256, B) bf16
+    else:
+        bm_ref[...] = jax.lax.dot_general(
+            ws_ref[...], soft_ref[...],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).swapaxes(0, 1)  # (TC2,256,B)
     pu = pu_ref[...]
 
     shift = 2 * (jax.lax.broadcasted_iota(jnp.int32, (64, b), 0) % 16)
@@ -281,15 +299,24 @@ def _round_up(x: int, m: int) -> int:
 # vmap-over-pallas grid would impose, but each chunk at FULL lane
 # occupancy instead of the vmap's per-slice width.
 B_CHUNK = 896
+# bf16-stored branch metrics halve the dominant scratch term: at B=1280
+# the extrapolated budget is ~14.2 MB (bm 5.24 + ~8.9 B-proportional
+# rest), inside the 16 MiB scoped limit with margin comparable to the
+# f32 build's.  Validate with the AOT probe on hardware before raising.
+B_CHUNK_BF16 = 1280
+
+
+def b_chunk_for(bm: str) -> int:
+    return B_CHUNK_BF16 if bm == "bf16" else B_CHUNK
 
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "select", "traceback",
-                                    "skip_dec", "pack"))
+                                    "skip_dec", "pack", "bm"))
 def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
                   interpret: bool = False, select: str = "matmul",
                   traceback: str = "factored", skip_dec: bool = False,
-                  pack: str = "shift4"):
+                  pack: str = "shift4", bm: str = "f32"):
     """One kernel invocation (batch must respect the VMEM ceiling).
 
     ``t2``: (batch,) int32 — per-lane codeword length in DOUBLE trellis
@@ -316,13 +343,14 @@ def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
 
     pu4, ws4 = acs_radix4_matrices()
     n_words = 8 if pack == "mxu8" else 4
+    bm_dtype = jnp.bfloat16 if bm == "bf16" else jnp.float32
     acs_scratch = [pltpu.VMEM((64, b), jnp.float32),
-                   pltpu.VMEM((TC2, 256, b), jnp.float32)]
+                   pltpu.VMEM((TC2, 256, b), bm_dtype)]
     if pack == "mxu8":
         acs_scratch.append(pltpu.VMEM((8, 64), jnp.float32))  # W8
     dec, metric = pl.pallas_call(
         functools.partial(_acs4_kernel, select=select, skip_dec=skip_dec,
-                          pack=pack),
+                          pack=pack, bm=bm),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((256, 64), lambda i: (0, 0),
@@ -381,7 +409,7 @@ def _decode4_call(soft: jnp.ndarray, t2: jnp.ndarray,
 @functools.cache
 def _decode4_vmappable(interpret: bool, select: str = "matmul",
                        traceback: str = "factored",
-                       pack: str = "shift4"):
+                       pack: str = "shift4", bm: str = "f32"):
     """Batch-aware entry point (cached per ``interpret`` value).
 
     Two TPU-first behaviors the plain kernel lacks:
@@ -397,15 +425,18 @@ def _decode4_vmappable(interpret: bool, select: str = "matmul",
     """
     from jax import custom_batching
 
+    chunk = b_chunk_for(bm)
+
     @custom_batching.custom_vmap
     def decode(soft, t2):
         b0 = soft.shape[0]
-        if b0 <= B_CHUNK:
+        if b0 <= chunk:
             return _decode4_call(soft, t2, interpret, select, traceback,
-                                 pack=pack)
-        outs = [_decode4_call(soft[i: i + B_CHUNK], t2[i: i + B_CHUNK],
-                              interpret, select, traceback, pack=pack)
-                for i in range(0, b0, B_CHUNK)]
+                                 pack=pack, bm=bm)
+        outs = [_decode4_call(soft[i: i + chunk], t2[i: i + chunk],
+                              interpret, select, traceback, pack=pack,
+                              bm=bm)
+                for i in range(0, b0, chunk)]
         return (jnp.concatenate([o[0] for o in outs], axis=0),
                 jnp.concatenate([o[1] for o in outs], axis=0))
 
@@ -430,13 +461,15 @@ def _decode4_vmappable(interpret: bool, select: str = "matmul",
 _SELECTS = ("matmul", "shuffle")
 _TRACEBACKS = ("factored", "onehot64")
 _PACKS = ("shift4", "mxu8")
+_BMS = ("f32", "bf16")
 
 
 def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
                            select: str | None = None,
                            lengths=None,
                            traceback: str | None = None,
-                           pack: str | None = None):
+                           pack: str | None = None,
+                           bm: str | None = None):
     """Radix-4 drop-in for ``viterbi_decode_pallas`` (same contract);
     vmap-collapsing and VMEM-chunked (see ``_decode4_vmappable``).
 
@@ -467,6 +500,16 @@ def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
     only — see ``_acs4_kernel``).  Flip the default only on a
     hardware A/B datum (tools/viterbi_pack_probe.py decides whether
     the experiment is even worth timing).
+
+    ``bm`` (or ``DABTOOLS_VITERBI4_BM``) picks the branch-metric
+    scratch storage: ``f32`` (default, bit-exact vs the XLA scan) or
+    ``bf16`` (MXU still accumulates f32; only the stored metric rounds
+    to bf16 — sub-LSB decision ties may flip, BER-invisible at DAB
+    operating points — halving the dominant scoped-VMEM term and
+    raising the per-call lane ceiling ``B_CHUNK`` 896 -> 1280: one
+    fewer sequential chunk at the 64-frame/config-3 lane counts).
+    Flip only on a hardware datum (the lane-scaling probe must first
+    show chunk cost is NOT proportional to lanes).
     """
     if soft.ndim != 2:
         raise ValueError("expected (batch, 4*T) soft bits")
@@ -486,6 +529,10 @@ def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
         pack = os.environ.get("DABTOOLS_VITERBI4_PACK", "shift4")
     if pack not in _PACKS:
         raise ValueError(f"pack must be one of {_PACKS}")
+    if bm is None:
+        bm = os.environ.get("DABTOOLS_VITERBI4_BM", "f32")
+    if bm not in _BMS:
+        raise ValueError(f"bm must be one of {_BMS}")
     if lengths is None:
         t2 = jnp.full((soft.shape[0],), t_max // 2, jnp.int32)
     else:
@@ -499,4 +546,4 @@ def viterbi_decode_pallas4(soft: jnp.ndarray, interpret: bool = False,
                                  "and <= the padded codeword length")
         t2 = jnp.asarray(ln, jnp.int32) // 2
     return _decode4_vmappable(bool(interpret), select, traceback,
-                              pack)(soft, t2)
+                              pack, bm)(soft, t2)

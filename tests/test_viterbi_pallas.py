@@ -361,3 +361,64 @@ class TestPackRealizations:
         monkeypatch.setenv("DABTOOLS_VITERBI4_PACK", "nah")
         with pytest.raises(ValueError):
             viterbi_decode_pallas4(jnp.zeros((1, 4 * 10)), interpret=True)
+
+
+class TestBf16BranchMetrics:
+    """bm='bf16' realization (DABTOOLS_VITERBI4_BM): bf16-STORED branch
+    metrics with f32 MXU accumulation.  On bf16-exact soft inputs the
+    rounding is a no-op, so the kernel must be BIT-IDENTICAL to the f32
+    build; on noisy inputs it must still decode the true message at
+    clean-channel SNR."""
+
+    def test_bm_bf16_exact_inputs_bit_identical(self):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        rng = np.random.default_rng(21)
+        msgs = rng.integers(0, 2, size=(4, 120), dtype=np.uint8)
+        soft = np.stack([1.0 - 2.0 * conv_encode(m) for m in msgs])
+        # perturb with bf16-exact steps (multiples of 0.25): bm sums of
+        # 8 such values are exactly representable in bf16
+        soft += 0.25 * rng.integers(-2, 3, size=soft.shape)
+        soft = soft.astype(np.float32)
+        fb, fm = viterbi_decode_pallas4(jnp.asarray(soft), interpret=True,
+                                        bm="f32")
+        gb, gm = viterbi_decode_pallas4(jnp.asarray(soft), interpret=True,
+                                        bm="bf16")
+        np.testing.assert_array_equal(np.asarray(fb), np.asarray(gb))
+        np.testing.assert_allclose(np.asarray(fm), np.asarray(gm))
+
+    def test_bm_bf16_noisy_decodes_ground_truth(self):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        rng = np.random.default_rng(22)
+        msgs = rng.integers(0, 2, size=(3, 250), dtype=np.uint8)
+        soft = np.stack([1.0 - 2.0 * conv_encode(m) for m in msgs])
+        soft = (soft + rng.normal(scale=0.35, size=soft.shape)
+                ).astype(np.float32)
+        gb, _ = viterbi_decode_pallas4(jnp.asarray(soft), interpret=True,
+                                       bm="bf16")
+        np.testing.assert_array_equal(np.asarray(gb), msgs)
+
+    def test_bm_env_rejects_unknown(self, monkeypatch):
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        monkeypatch.setenv("DABTOOLS_VITERBI4_BM", "f16")
+        with pytest.raises(ValueError, match="bm must be one of"):
+            viterbi_decode_pallas4(jnp.zeros((1, 4 * 10)), interpret=True)
+
+    def test_bm_bf16_chunking_matches_unchunked(self, monkeypatch):
+        import dabtools_tpu.ops.viterbi_pallas4 as vp4
+        from dabtools_tpu.ops.viterbi_pallas4 import viterbi_decode_pallas4
+        monkeypatch.setattr(vp4, "B_CHUNK_BF16", 3)
+        vp4._decode4_vmappable.cache_clear()
+        rng = np.random.default_rng(23)
+        msgs = rng.integers(0, 2, size=(7, 60), dtype=np.uint8)
+        soft = np.stack([1.0 - 2.0 * conv_encode(m) for m in msgs]
+                        ).astype(np.float32)
+        cb, cm = viterbi_decode_pallas4(jnp.asarray(soft), interpret=True,
+                                        bm="bf16")
+        vp4._decode4_vmappable.cache_clear()
+        monkeypatch.undo()
+        vp4._decode4_vmappable.cache_clear()
+        ub, um = viterbi_decode_pallas4(jnp.asarray(soft), interpret=True,
+                                        bm="bf16")
+        np.testing.assert_array_equal(np.asarray(cb), np.asarray(ub))
+        np.testing.assert_allclose(np.asarray(cm), np.asarray(um))
+        vp4._decode4_vmappable.cache_clear()
