@@ -42,11 +42,11 @@ run_stage() {  # $1 = name, rest = command
 }
 
 START=$(date +%s)
-declare -A done=( [prewarm]=0 [bench]=0 [vselect]=0 [batchprobe]=0 [packprobe]=0 [batchedprofile]=0 [windowgather]=0 [ber]=0 [profile]=0 )
+declare -A done=( [prewarm]=0 [bench]=0 [vselect]=0 [batchprobe]=0 [packprobe]=0 [bmprobe]=0 [batchedprofile]=0 [windowgather]=0 [ber]=0 [profile]=0 )
 echo "$(stamp) === grind loop start (deadline ${DEADLINE_S}s) ==="
 
 while (( $(date +%s) - START < DEADLINE_S )); do
-    if (( done[prewarm] & done[bench] & done[vselect] & done[batchprobe] & done[packprobe] & done[batchedprofile] & done[windowgather] & done[ber] & done[profile] )); then
+    if (( done[prewarm] & done[bench] & done[vselect] & done[batchprobe] & done[packprobe] & done[bmprobe] & done[batchedprofile] & done[windowgather] & done[ber] & done[profile] )); then
         break
     fi
     if ! tunnel_alive; then
@@ -87,6 +87,12 @@ while (( $(date +%s) - START < DEADLINE_S )); do
         run_stage packprobe timeout 2700 python tools/weatherwait.py \
             --max-wait 1800 -- python tools/viterbi_pack_probe.py \
             && done[packprobe]=1 || true
+        continue
+    fi
+    if (( ! done[bmprobe] )); then
+        run_stage bmprobe timeout 2700 python tools/weatherwait.py \
+            --max-wait 1800 -- python tools/viterbi_bm_probe.py \
+            && done[bmprobe]=1 || true
         continue
     fi
     if (( ! done[profile] )); then
